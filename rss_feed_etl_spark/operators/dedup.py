@@ -1,0 +1,248 @@
+"""Deduplication operators.
+
+Reference semantics (A2/A3): pandas ``drop_duplicates(keep="last"/"first")``
+depends on physical row order, which Spark does not guarantee — so every
+dedup here is an explicit ``row_number`` over a deterministic (order_cols)
+window (SURVEY §7.3).  The window partitions by the dedup key, so the only
+shuffle is the hash exchange on the key — the same exchange a groupBy would
+need; AQE coalesces the post-shuffle partitions.
+
+Beyond the reference, this module carries the large-scale training-data
+dedup suite: exact (hash), n-gram Jaccard, MinHash+LSH, SimHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MOD, md5_bucket, token_code
+from ..functions.text import norm_text, word_shingles
+
+
+def dedup_by_key(
+    df: DataFrame,
+    key: str = "link",
+    order_cols: list[str] | None = None,
+    keep: str = "last",
+) -> DataFrame:
+    """Keep one row per key: ``keep="last"`` keeps the greatest
+    (order_cols) row — reference ingest dedup (scd1_manager.py:218-237,
+    keep-last on arrival order); ``keep="first"`` keeps the least.
+    """
+    order_cols = order_cols or ["event_id"]
+    ordering = (
+        [F.col(c).desc() for c in order_cols]
+        if keep == "last"
+        else [F.col(c).asc() for c in order_cols]
+    )
+    w = Window.partitionBy(key).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def union_dedup_keep_first(
+    new: DataFrame,
+    existing: DataFrame,
+    key: str = "link",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Append-mode load (reference M4/A3, run_job_filter.py:350-382):
+    union new with existing, one row per key, NEW rows win.
+
+    pandas ``concat([new, existing]).drop_duplicates(keep="first")`` wins by
+    position; here an explicit priority column (0=new, 1=existing) makes it
+    order-independent, with ``tiebreak_cols`` for determinism within a side.
+    """
+    tiebreak_cols = tiebreak_cols or []
+    n = new.withColumn("__prio", F.lit(0))
+    e = existing.withColumn("__prio", F.lit(1))
+    u = n.unionByName(e, allowMissingColumns=True)
+    w = Window.partitionBy(key).orderBy(
+        F.col("__prio").asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline dedup suite (beyond the reference's surface)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact near-identity dedup: group by md5 of normalized text, keep the
+    smallest id per group.  The shuffle key is the 128-bit digest, not the
+    document body — at 100 TB the exchange moves 16-byte keys + ids, never
+    full documents."""
+    fp = F.md5(norm_text(text_col)).alias("__fp")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), fp, F.col(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by word n-gram Jaccard similarity.
+
+    Plan: explode distinct shingles → self-equi-join on shingle (the ONLY
+    join key; Catalyst uses a shuffled hash join on the shingle hash) →
+    count shared shingles per pair → Jaccard = |∩| / (|A|+|B|-|∩|).
+
+    This is the exact-answer baseline; it is quadratic in documents that
+    share a hot shingle, which is why `minhash_lsh_pairs` (banded buckets,
+    tunable collision probability) is the 100 TB path.  Returns
+    (id_a, id_b, jaccard) with id_a < id_b, rounded to 6dp for stable
+    cross-engine comparison.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
+    )
+    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
+    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+N_MINHASH = 32
+LSH_BANDS = 8  # 8 bands × 4 rows: P(collide) = 1-(1-j^4)^8 ≈ .5 at j≈.55
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """MinHash signatures over word-shingle sets, as pure expressions.
+
+    Permutation i is the universal hash ``(a_i*code + b_i) mod p`` over the
+    engine-independent shingle code (md5-derived, functions/hashing.py), so
+    signatures are deterministic AND oracle-checkable.  The per-row cost is
+    N_MINHASH × |shingles| multiply-mods inside whole-stage codegen — no
+    Python, no shuffle until the band join.
+    """
+    # Fixed pseudo-random but deterministic coefficients (seeded linear
+    # congruence over i) — identical constants in the DuckDB oracle SQL.
+    coeffs = [((2 * i + 1) * 2654435761 % MOD, (i * i + i + 41) % MOD) for i in range(N_MINHASH)]
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
+    )
+    codes = sh.withColumn("codes", F.transform("shingles", token_code)).drop("shingles")
+    sig_cols = [
+        F.array_min(
+            F.transform("codes", lambda c, ai=a, bi=b: (c * F.lit(ai) + F.lit(bi)) % F.lit(MOD))
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return codes.select("id", *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified by
+    estimated Jaccard (fraction of agreeing minhashes).
+
+    Scale path: documents never self-join on raw shingles; the join key is
+    the (band, band-hash) bucket — collisions are tunable, the exchange
+    carries 32 bigints per doc.  Returns (id_a, id_b, est_jaccard).
+    """
+    rows_per_band = N_MINHASH // LSH_BANDS
+    sigs = minhash_signatures(df, id_col, text_col, n)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)],
+            )
+        ).alias(f"band{b}")
+        for b in range(LSH_BANDS)
+    ]
+    banded = sigs.select("id", *[F.col(f"mh{i}") for i in range(N_MINHASH)], *band_cols)
+    bands_long = banded.select(
+        "id",
+        F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("sig"),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias("bucket"),
+    )
+    cand = (
+        bands_long.alias("a")
+        .join(bands_long.alias("b"), on="bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(N_MINHASH),
+        6,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-document SimHash over word tokens (near-dup fingerprint).
+
+    Bit b of the fingerprint is 1 iff more token codes have bit b set than
+    unset.  Pure expressions: token codes are md5-derived (engine-stable),
+    the per-bit vote is an aggregate over the token array.  Hamming-close
+    fingerprints → near-duplicates; at scale, group by fingerprint prefix
+    buckets to find candidates without a cross join.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    codes = F.transform(toks, token_code)
+    bit_votes = [
+        F.size(F.filter(codes, lambda c, b=b: F.shiftright(c, b) % 2 == 1)).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    with_votes = df.select(F.col(id_col), F.size(codes).alias("n_tok"), *bit_votes)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") * 2 > F.col("n_tok"), F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = bit if fp is None else (fp + bit)
+    return with_votes.select(F.col(id_col), fp.alias("simhash"))

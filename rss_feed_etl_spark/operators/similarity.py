@@ -1,0 +1,240 @@
+"""Similarity operators: embedding ANN, near-dup by cosine, TF-IDF, and the
+reference's lexicon skills matching (A4/A5/X2/X5).
+
+Embedding math stays in Catalyst expressions (``zip_with`` + ``aggregate``
+folds — sequential, deterministic, double-precision) rather than a UDF; at
+100 TB the brute-force variants are the correctness baseline and the
+bucketed variants (LSH hyperplane signs) are the scale path: candidates
+meet in hash buckets, so the join key is a small signature, never the
+vector itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column, decimals: int = 4) -> Column:
+    """Cosine similarity of two float arrays, rounded for cross-engine
+    comparison (fold order and float widening differ between engines at the
+    last ulp; 4dp absorbs it)."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), decimals)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: for every query vector, the k most similar
+    corpus vectors (excluding itself).
+
+    The query side broadcasts (it is small by construction); the corpus
+    streams through a map-side nested-loop join — one scan, no shuffle
+    until the per-query top-k window.  Ranking is (sim desc, neighbor asc)
+    so ties are deterministic.  This is the exact baseline ANN; see
+    ``cosine_topk_lsh`` for the bucketed scale path.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    pairs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev")
+    ).join(q, F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("ev")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+N_HYPERPLANES = 12
+
+
+def _lsh_signature(vec: Column, dim: int = 64) -> Column:
+    """Random-hyperplane sign signature as a deterministic expression.
+
+    Hyperplane h's component j is ±1 by parity of a fixed integer mix of
+    (h, j) — no stored model, identical on every engine/executor.
+    """
+    sig = F.lit(0).cast("bigint")
+    for h in range(N_HYPERPLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, j, hh=h: x.cast("double")
+                * F.when(((j * F.lit(2654435761) + F.lit(hh * 40503 + 7)) % 97) % 2 == 0, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(2**h).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share a hyperplane-sign bucket with the
+    query (equi-join on the signature), then exact cosine re-ranks.
+
+    At scale the corpus is grouped by the 12-bit signature (~4k buckets);
+    each query probes one bucket instead of the full corpus — recall trades
+    off against N_HYPERPLANES.  Multi-probe (flipping low bits) raises
+    recall without changing the plan shape.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ev"),
+        _lsh_signature(F.col(vec_col), dim).alias("sig"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _lsh_signature(F.col(vec_col), dim).alias("sig"),
+        )
+    )
+    pairs = e.join(q, on="sig").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("ev")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold (id_a < id_b).
+
+    Brute-force exact form; the LSH signature from ``cosine_topk_lsh``
+    pre-buckets candidates at scale (high-cosine pairs almost always share
+    all hyperplane signs).
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sim: float = 0.5,
+) -> DataFrame:
+    """TF-IDF cosine similarity between documents (reference A5/X5,
+    src/utils/ats_matcher.py:20-37 — sklearn TfidfVectorizer + cosine),
+    re-expressed as pure relational algebra so it distributes and is
+    oracle-checkable:
+
+        tf(d,t)  = count of t in d
+        idf(t)   = ln((1+N)/(1+df(t))) + 1      (sklearn smoothing)
+        w(d,t)   = tf·idf, L2-normalized per doc
+        sim(a,b) = Σ_t w(a,t)·w(b,t)            (join on shared terms)
+
+    Spark ML's HashingTF/IDF gives the same shape with feature hashing; the
+    exact-vocabulary form here avoids hash collisions and external models.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").cast("double").alias("tf"))
+    n_docs = df.count()  # small scalar; at scale pass it in precomputed
+    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    idf = dfreq.select(
+        "term",
+        (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)).alias("idf"),
+    )
+    w = tf.join(idf, "term").select("id", "term", (F.col("tf") * F.col("idf")).alias("w"))
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    wn = w.join(norms, "id").select("id", "term", (F.col("w") / F.col("nrm")).alias("wn"))
+    sims = (
+        wn.alias("a")
+        .join(wn.alias("b"), on="term")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.round(F.sum(F.col("a.wn") * F.col("b.wn")), 4).alias("tfidf_cosine"))
+        .filter(F.col("tfidf_cosine") >= min_sim)
+    )
+    return sims
+
+
+def skills_match(
+    df: DataFrame,
+    resume_skills: list[str],
+    lexicon: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexicon skills extraction + set-overlap match scoring (reference
+    A4/X2: skills_extractor.py:152-198 — match% = |resume ∩ job| / |job|).
+
+    job_skills = distinct document tokens ∩ lexicon (the PhraseMatcher
+    analog), matched/missing vs the broadcast resume skill set, all with
+    native array ops.  Arrays are emitted sorted and comma-joined so the
+    output is order-stable for value comparison.
+    """
+    toks = F.array_distinct(F.transform(tokens(F.col(text_col)), F.lower))
+    lex = F.array(*[F.lit(s) for s in sorted(lexicon)])
+    res = F.array(*[F.lit(s) for s in sorted(resume_skills)])
+    job_skills = F.array_sort(F.array_intersect(toks, lex))
+    matched = F.array_sort(F.array_intersect(job_skills, res))
+    missing = F.array_sort(F.array_except(job_skills, res))
+    pct = F.when(
+        F.size(job_skills) > 0,
+        F.round(F.size(matched) * 100.0 / F.size(job_skills), 2),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.concat_ws(",", job_skills).alias("job_skills"),
+        F.concat_ws(",", matched).alias("matched_skills"),
+        F.concat_ws(",", missing).alias("missing_skills"),
+        pct.alias("match_percentage"),
+    )

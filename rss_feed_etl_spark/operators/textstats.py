@@ -1,0 +1,120 @@
+"""Text-analysis operators for large-scale corpus pipelines.
+
+These generalize the reference's text handling (cleaning F4/F5, keyword
+scans F3, skills token matching X2) into the operators a training-data
+pipeline needs: token counting, quality scoring, language ID, document
+fingerprinting.  Everything is a pure Catalyst expression — one projection
+over the corpus, no UDF, no shuffle — so throughput is the parquet scan
+rate; at 100 TB these run as map-only stages.
+
+Every formula is deliberately engine-independent (plain arithmetic, md5,
+explicit character classes) so the DuckDB oracle can replay it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import rolling_hash
+from ..functions.text import norm_text
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; empty/blank text counts 0.
+
+    A BPE-ish subword estimate is ``ceil(chars/4)`` (the reference uses
+    exactly that to budget LLM batches — run_ats_enrichment.py:674); see
+    ``subword_estimate``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(_tokens(c)))
+
+
+def subword_estimate(col: Column | str) -> Column:
+    """chars/4 token-budget estimate (reference run_ats_enrichment.py:674)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.ceil(F.length(c) / F.lit(4.0)).cast("bigint")
+
+
+STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
+_PUNCT_CLASS = "[.!,?;:]"
+
+# tiny per-language function-word profiles for the n-gram/stopword
+# language-ID heuristic; scoring is deterministic and shared with the oracle
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "los", "y", "es", "un", "una"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和"],
+}
+
+
+def text_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """n_tokens, n_chars, punctuation ratio, stopword ratio, quality score.
+
+    quality = 0.4·min(1, n_tokens/50) + 0.3·stopword_ratio
+            + 0.3·(1 − punct_ratio), rounded to 6dp — length, naturalness
+    and cleanliness components, the standard cheap quality gates.
+    """
+    c = F.col(text_col)
+    toks = _tokens(c)
+    n_tok = token_count(c)
+    n_chars = F.length(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, _PUNCT_CLASS, ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(F.lit(0.0))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS_EN)))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok.cast("double")).otherwise(F.lit(0.0))
+    quality = F.round(
+        F.least(F.lit(1.0), n_tok / F.lit(50.0)) * 0.4
+        + stop_ratio * 0.3
+        + (F.lit(1.0) - punct_ratio) * 0.3,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: score each language by how many tokens
+    fall in its function-word profile; argmax wins (fixed en>de>es>fr>zh
+    tie-break), 'und' when every score is 0."""
+    toks = F.transform(_tokens(F.col(text_col)), F.lower)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t, ws=words: t.isin(ws)))
+        for lang, words in LANG_PROFILES.items()
+    }
+    langs = list(LANG_PROFILES)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier languages win ties
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        *[scores[lang].cast("bigint").alias(f"score_{lang}") for lang in langs],
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprint over normalized tokens.
+
+    Polynomial fold mod 1e9+7 (functions/hashing.py) — stable across
+    engines and row order, usable as a grouping key for exact dedup and as
+    a cheap content-version stamp in SCD merges.
+    """
+    toks = _tokens(norm_text(text_col))
+    return df.select(F.col(id_col), rolling_hash(toks).alias("fingerprint"))
