@@ -1,0 +1,609 @@
+"""Driver-contract queries: every operator from SURVEY.md §2, runnable as
+(spark, sf_dir) -> DataFrame, with a matching DuckDB oracle SQL string.
+
+Both sides are generated from the SAME constants and SQL fragments
+(testdata.py) so semantics cannot drift.  All queries are deterministic:
+fixed AS_OF timestamps, explicit order columns for every dedup, rounded
+floats wherever cross-engine accumulation order could differ in the last
+ulp.  Column names are aliased identically on both sides (the driver's
+compare hashes values under sorted column names).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import testdata as td
+from .operators import dedup, filters, joins, merges, similarity, textstats
+from .plans.filter_pipeline import run_filter_pipeline
+from .session import tune_session
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+STAGE_COLS = [
+    "job_title",
+    "link",
+    "entry_title",
+    "published",
+    "feed_title",
+    "reader",
+    "time_window",
+    "summary",
+    "notes",
+]
+VALUE_COLS = [c for c in STAGE_COLS if c != "link"]
+COMPARE_COLS = [c for c in VALUE_COLS if c != "notes"]
+
+
+def _nb(c: str) -> str:
+    """Non-blankish predicate (P5 semantics)."""
+    return f"({c} IS NOT NULL AND TRIM({c}) NOT IN ('', 'nan'))"
+
+
+def _b2n(c: str) -> str:
+    """blank_to_null in SQL."""
+    return f"(CASE WHEN {c} IS NULL OR TRIM({c}) IN ('', 'nan') THEN NULL ELSE {c} END)"
+
+
+def _norm(c: str) -> str:
+    """Reference change-detection normalization: stringify, NULL→''."""
+    return f"COALESCE(CAST({c} AS VARCHAR), '')"
+
+
+def _kw_keep_sql() -> str:
+    parts = []
+    for col, kws in td.EXCLUDE_KEYWORDS.items():
+        ors = " OR ".join(
+            f"contains(lower({col}), '{kw.lower()}')" for kw in kws
+        )
+        parts.append(f"NOT COALESCE(({ors}), FALSE)")
+    return " AND ".join(parts)
+
+
+def _filtered_sql(as_of: str, days_back: int = td.DAYS_BACK) -> str:
+    """The §3.2 filter stages (P4+P5+P6+P8) over the stage CTE."""
+    return f"""
+    SELECT {", ".join(STAGE_COLS)}, event_id,
+           TIMESTAMP '{as_of}' AS "AS_OF_DT"
+    FROM stage
+    WHERE published >= TIMESTAMP '{as_of}' - INTERVAL {days_back} DAY
+      AND {_nb("summary")}
+      AND {_kw_keep_sql()}
+    """
+
+
+_DEDUP_SQL = """
+stage AS ({stage_sql}),
+keyed AS ({keyed_sql}),
+hist AS (
+  SELECT {cols} FROM (
+    SELECT *, row_number() OVER (PARTITION BY link ORDER BY ts DESC, event_id DESC) AS rn
+    FROM keyed WHERE ts < TIMESTAMP '{cutoff}') WHERE rn = 1),
+batch AS (
+  SELECT {cols} FROM (
+    SELECT *, row_number() OVER (PARTITION BY link ORDER BY ts DESC, event_id DESC) AS rn
+    FROM keyed WHERE ts >= TIMESTAMP '{cutoff}') WHERE rn = 1),
+batch_recent AS (
+  SELECT {cols} FROM (
+    SELECT *, row_number() OVER (PARTITION BY link ORDER BY ts DESC, event_id DESC) AS rn
+    FROM keyed WHERE ts >= TIMESTAMP '{recent}') WHERE rn = 1)
+""".format(
+    stage_sql=td.STAGE_ROWS_SQL,
+    keyed_sql=td.STAGE_KEYED_SQL,
+    cols=", ".join(STAGE_COLS),
+    cutoff=td.CUTOFF,
+    recent=td.RECENT,
+)
+
+WITH_TABLES = "WITH " + _DEDUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Spark-side table builders (mirror the CTEs above exactly)
+# ---------------------------------------------------------------------------
+
+
+def _stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return td.stage_rows(td.load_table(spark, sf_dir, "events"))
+
+
+def _keyed_split(spark: SparkSession, sf_dir: str):
+    keyed = td.stage_keyed(td.load_table(spark, sf_dir, "events"))
+    def snap(pred):
+        return dedup.dedup_by_key(
+            keyed.filter(pred), "link", ["ts", "event_id"], keep="last"
+        ).select(*STAGE_COLS)
+    hist = snap(F.col("ts") < td.CUTOFF)
+    batch = snap(F.col("ts") >= td.CUTOFF)
+    batch_recent = snap(F.col("ts") >= td.RECENT)
+    return hist, batch, batch_recent
+
+
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """current versions (keep-last < CUTOFF, open) ∪ closed versions
+    (keep-first < CUTOFF, ended at SCD2_CLOSED_END)."""
+    keyed = td.stage_keyed(td.load_table(spark, sf_dir, "events"))
+    pre = keyed.filter(F.col("ts") < td.CUTOFF)
+    current = (
+        dedup.dedup_by_key(pre, "link", ["ts", "event_id"], keep="last")
+        .select(*STAGE_COLS)
+        .withColumn("effective_start", F.to_timestamp(F.lit(td.SCD2_START)))
+        .withColumn("effective_end", F.lit(None).cast("timestamp"))
+        .withColumn("current_flag", F.lit(1))
+    )
+    closed = (
+        dedup.dedup_by_key(pre, "link", ["ts", "event_id"], keep="first")
+        .select(*STAGE_COLS)
+        .withColumn("effective_start", F.to_timestamp(F.lit(td.SCD2_START)))
+        .withColumn("effective_end", F.to_timestamp(F.lit(td.SCD2_CLOSED_END)))
+        .withColumn("current_flag", F.lit(0))
+    )
+    return current.unionByName(closed)
+
+
+_SCD2_HIST_SQL = f"""
+cur AS (
+  SELECT *, TIMESTAMP '{td.SCD2_START}' AS effective_start,
+         CAST(NULL AS TIMESTAMP) AS effective_end, 1 AS current_flag
+  FROM hist),
+closed AS (
+  SELECT {", ".join(STAGE_COLS)}, TIMESTAMP '{td.SCD2_START}' AS effective_start,
+         TIMESTAMP '{td.SCD2_CLOSED_END}' AS effective_end, 0 AS current_flag
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY link ORDER BY ts ASC, event_id ASC) AS rn
+    FROM keyed WHERE ts < TIMESTAMP '{td.CUTOFF}') WHERE rn = 1)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune_session(spark)
+        return fn(spark, sf_dir)
+
+    QUERIES[name] = wrapped
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+# --- q01 flagship: the §3.2 filter pipeline with append-mode dedup --------
+
+
+def _q_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage(spark, sf_dir)
+    prev = run_filter_pipeline(
+        stage,
+        existing=None,
+        as_of=td.AS_OF_PREV,
+        days_back=td.DAYS_BACK,
+        content_cols=["summary"],
+        exclude_keywords=td.EXCLUDE_KEYWORDS,
+    )
+    out = run_filter_pipeline(
+        stage,
+        existing=prev,
+        as_of=td.AS_OF,
+        days_back=td.DAYS_BACK,
+        content_cols=["summary"],
+        exclude_keywords=td.EXCLUDE_KEYWORDS,
+        key="link",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(*STAGE_COLS, "AS_OF_DT")
+
+
+_register(
+    "filter_pipeline",
+    _q_filter_pipeline,
+    f"""
+WITH stage AS ({td.STAGE_ROWS_SQL}),
+new_out AS ({_filtered_sql(td.AS_OF)}),
+prev_out AS ({_filtered_sql(td.AS_OF_PREV)}),
+unioned AS (
+  SELECT *, 0 AS prio FROM new_out
+  UNION ALL
+  SELECT *, 1 AS prio FROM prev_out),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY link ORDER BY prio ASC, event_id ASC) AS rn
+  FROM unioned)
+SELECT {", ".join(STAGE_COLS)}, "AS_OF_DT" FROM ranked WHERE rn = 1
+""",
+)
+
+
+# --- q02-q04: merges ------------------------------------------------------
+
+
+def _q_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist, batch, _ = _keyed_split(spark, sf_dir)
+    return merges.merge_scd1(batch, hist)
+
+
+_SCD1_SELECT = ",\n  ".join(
+    ["COALESCE(b.link, h.link) AS link"]
+    + [
+        f"CASE WHEN b.link IS NOT NULL THEN b.{c} ELSE h.{c} END AS {c}"
+        for c in VALUE_COLS
+        if c != "notes"
+    ]
+    + [
+        "CASE WHEN b.link IS NOT NULL THEN COALESCE("
+        + _b2n("b.notes")
+        + ", h.notes) ELSE h.notes END AS notes"
+    ]
+)
+
+_register(
+    "scd1_merge",
+    _q_scd1,
+    f"""
+{WITH_TABLES}
+SELECT {_SCD1_SELECT}
+FROM batch b FULL OUTER JOIN hist h ON b.link = h.link
+""",
+)
+
+
+def _q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist, batch, _ = _keyed_split(spark, sf_dir)
+    return merges.merge_upsert(batch, hist, with_flags=True)
+
+
+_CHANGED_SQL = " OR ".join(f"{_norm('b.' + c)} <> {_norm('h.' + c)}" for c in COMPARE_COLS)
+
+_UPSERT_SELECT = ",\n  ".join(
+    ["COALESCE(b.link, h.link) AS link"]
+    + [
+        f"CASE WHEN b.link IS NOT NULL THEN b.{c} ELSE h.{c} END AS {c}"
+        for c in VALUE_COLS
+        if c != "notes"
+    ]
+    + [
+        "CASE WHEN b.link IS NOT NULL AND h.link IS NOT NULL THEN COALESCE("
+        + _b2n("h.notes")
+        + ", b.notes) WHEN b.link IS NOT NULL THEN b.notes ELSE h.notes END AS notes",
+        "CAST(b.link IS NOT NULL AND h.link IS NULL AS INT) AS inserted",
+        f"CAST(b.link IS NOT NULL AND h.link IS NOT NULL AND ({_CHANGED_SQL}) AS INT) AS updated",
+    ]
+)
+
+_register(
+    "merge_upsert",
+    _q_upsert,
+    f"""
+{WITH_TABLES}
+SELECT {_UPSERT_SELECT}
+FROM batch b FULL OUTER JOIN hist h ON b.link = h.link
+""",
+)
+
+
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, batch, _ = _keyed_split(spark, sf_dir)
+    history = _scd2_history(spark, sf_dir)
+    return merges.merge_scd2(batch, history, as_of=td.AS_OF)
+
+
+_H_COLS = ",\n    ".join(
+    [f"h.{c} AS {c}" for c in VALUE_COLS]
+)
+_B_COLS = ",\n    ".join(
+    [f"b.{c} AS {c}" for c in VALUE_COLS if c != "notes"]
+    + [f"COALESCE({_b2n('b.notes')}, h.notes) AS notes"]
+)
+
+_register(
+    "scd2_merge",
+    _q_scd2,
+    f"""
+{WITH_TABLES},
+{_SCD2_HIST_SQL},
+j AS (
+  SELECT b.link AS b_link, h.link AS h_link,
+         {", ".join(f"b.{c} AS b_{c}" for c in VALUE_COLS)},
+         {", ".join(f"h.{c} AS h_{c}" for c in VALUE_COLS)},
+         h.effective_start AS h_start, h.effective_end AS h_end, h.current_flag AS h_flag,
+         (b.link IS NOT NULL AND h.link IS NOT NULL AND
+          ({" OR ".join(f"{_norm('b.' + c)} <> {_norm('h.' + c)}" for c in COMPARE_COLS)})) AS changed
+  FROM batch b FULL OUTER JOIN cur h ON b.link = h.link)
+SELECT h_link AS link, {", ".join(f"h_{c} AS {c}" for c in VALUE_COLS)},
+       h_start AS effective_start, CAST(NULL AS TIMESTAMP) AS effective_end, 1 AS current_flag
+FROM j WHERE h_link IS NOT NULL AND b_link IS NOT NULL AND NOT changed
+UNION ALL
+SELECT h_link AS link, {", ".join(f"h_{c} AS {c}" for c in VALUE_COLS)},
+       h_start AS effective_start, TIMESTAMP '{td.AS_OF}' AS effective_end, 0 AS current_flag
+FROM j WHERE h_link IS NOT NULL AND (changed OR b_link IS NULL)
+UNION ALL
+SELECT b_link AS link, {", ".join(f"b_{c} AS {c}" for c in VALUE_COLS if c != "notes")},
+       COALESCE({_b2n("b_notes")}, h_notes) AS notes,
+       TIMESTAMP '{td.AS_OF}' AS effective_start, CAST(NULL AS TIMESTAMP) AS effective_end, 1 AS current_flag
+FROM j WHERE b_link IS NOT NULL AND (h_link IS NULL OR changed)
+UNION ALL
+SELECT link, {", ".join(VALUE_COLS)}, effective_start, effective_end, current_flag FROM closed
+""",
+)
+
+# NOTE: the third branch lists notes last among value columns; Spark emits
+# value columns in STAGE_COLS order.  The driver compares under sorted
+# column names, but keep the SQL column order identical anyway via the
+# explicit aliases above (names, not positions, are what match).
+
+
+# --- q05-q06: dedup -------------------------------------------------------
+
+
+def _q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist, _, _ = _keyed_split(spark, sf_dir)
+    return hist
+
+
+_register(
+    "dedup_keep_last",
+    _q_dedup_keep_last,
+    f"{WITH_TABLES}\nSELECT * FROM hist",
+)
+
+
+def _q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage(spark, sf_dir)
+    new = stage.filter(F.col("ts") >= F.lit("2024-01-20").cast("timestamp")).withColumn(
+        "src", F.lit("new")
+    )
+    existing = stage.filter(F.col("ts") < F.lit(td.CUTOFF).cast("timestamp")).withColumn(
+        "src", F.lit("existing")
+    )
+    out = dedup.union_dedup_keep_first(new, existing, "link", ["event_id"])
+    return out.select(*STAGE_COLS, "src")
+
+
+_register(
+    "union_dedup_keep_first",
+    _q_union_dedup,
+    f"""
+WITH stage AS ({td.STAGE_ROWS_SQL}),
+unioned AS (
+  SELECT *, 'new' AS src, 0 AS prio FROM stage WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+  UNION ALL
+  SELECT *, 'existing' AS src, 1 AS prio FROM stage WHERE ts < TIMESTAMP '{td.CUTOFF}'),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY link ORDER BY prio ASC, event_id ASC) AS rn
+  FROM unioned)
+SELECT {", ".join(STAGE_COLS)}, src FROM ranked WHERE rn = 1
+""",
+)
+
+
+# --- q07-q10: join shapes -------------------------------------------------
+
+
+def _q_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist, batch, _ = _keyed_split(spark, sf_dir)
+    return joins.provenance_outer_join(batch, hist)
+
+
+_register(
+    "provenance_outer_join",
+    _q_provenance,
+    f"""
+{WITH_TABLES}
+SELECT COALESCE(b.link, h.link) AS link,
+       {", ".join(f"b.{c} AS {c}" for c in VALUE_COLS)},
+       {", ".join(f"h.{c} AS {c}_old" for c in VALUE_COLS)},
+       CASE WHEN b.link IS NOT NULL AND h.link IS NOT NULL THEN 'both'
+            WHEN b.link IS NOT NULL THEN 'left_only'
+            ELSE 'right_only' END AS provenance
+FROM batch b FULL OUTER JOIN hist h ON b.link = h.link
+""",
+)
+
+
+def _q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist, _, batch_recent = _keyed_split(spark, sf_dir)
+    cur = hist.withColumn("current_flag", F.lit(1))
+    return joins.removed_keys(batch_recent, cur).drop("current_flag")
+
+
+_register(
+    "anti_join_removed",
+    _q_anti,
+    f"""
+{WITH_TABLES}
+SELECT h.* FROM hist h LEFT JOIN batch_recent b ON h.link = b.link
+WHERE b.link IS NULL
+""",
+)
+
+
+def _q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist, _, batch_recent = _keyed_split(spark, sf_dir)
+    return joins.updated_keys(batch_recent, hist)
+
+
+_register(
+    "semi_join_updated",
+    _q_semi,
+    f"""
+{WITH_TABLES}
+SELECT b.* FROM batch_recent b
+WHERE EXISTS (SELECT 1 FROM hist h WHERE h.link = b.link)
+""",
+)
+
+
+def _q_lookup_notes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist, batch, _ = _keyed_split(spark, sf_dir)
+    return joins.lookup_notes(batch, hist).select("link", "entry_title", "notes")
+
+
+_register(
+    "lookup_join_notes",
+    _q_lookup_notes,
+    f"""
+{WITH_TABLES}
+SELECT b.link, b.entry_title,
+       COALESCE({_b2n("b.notes")}, lut.notes, '') AS notes
+FROM batch b LEFT JOIN (SELECT link, notes FROM hist WHERE TRIM(notes) <> '') lut
+  ON b.link = lut.link
+""",
+)
+
+
+# --- q11: merge metrics (A1) ---------------------------------------------
+
+
+def _q_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist, batch, _ = _keyed_split(spark, sf_dir)
+    return merges.merge_counts(batch, hist)
+
+
+_register(
+    "merge_counts",
+    _q_counts,
+    f"""
+{WITH_TABLES}
+SELECT CAST(SUM(CASE WHEN b.link IS NOT NULL AND h.link IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS inserted,
+       CAST(SUM(CASE WHEN b.link IS NOT NULL AND h.link IS NOT NULL AND ({_CHANGED_SQL}) THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+       CAST(SUM(CASE WHEN h.link IS NOT NULL AND b.link IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed
+FROM batch b FULL OUTER JOIN hist h ON b.link = h.link
+""",
+)
+
+
+# --- q12-q14: individual filter stages -----------------------------------
+
+
+def _q_date_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filters.filter_by_date(_stage(spark, sf_dir), "published", td.AS_OF, td.DAYS_BACK)
+
+
+_register(
+    "date_window_filter",
+    _q_date_window,
+    f"""
+WITH stage AS ({td.STAGE_ROWS_SQL})
+SELECT * FROM stage
+WHERE published >= TIMESTAMP '{td.AS_OF}' - INTERVAL {td.DAYS_BACK} DAY
+""",
+)
+
+
+def _q_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filters.filter_empty_content(_stage(spark, sf_dir), ["summary", "entry_title"])
+
+
+_register(
+    "nonempty_content_filter",
+    _q_nonempty,
+    f"""
+WITH stage AS ({td.STAGE_ROWS_SQL})
+SELECT * FROM stage WHERE {_nb("summary")} AND {_nb("entry_title")}
+""",
+)
+
+
+def _q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filters.filter_keywords(_stage(spark, sf_dir), td.EXCLUDE_KEYWORDS)
+
+
+_register(
+    "keyword_exclusion_filter",
+    _q_keywords,
+    f"""
+WITH stage AS ({td.STAGE_ROWS_SQL})
+SELECT * FROM stage WHERE {_kw_keep_sql()}
+""",
+)
+
+
+# --- q15-q16: aggregation / window (Spark-native OLAP over the star) ------
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = td.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_register(
+    "pricing_summary",
+    _q_tpch_q1,
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+
+def _q_top_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = td.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.select("user_id", "event_id", "event_type", "value")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+_register(
+    "topk_per_user",
+    _q_top_per_user,
+    """
+SELECT user_id, event_id, event_type, value, rnk FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events) WHERE rnk <= 3
+""",
+)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

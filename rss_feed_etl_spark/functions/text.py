@@ -42,10 +42,10 @@ def non_blankish(col: Column | str) -> Column:
 
 def blank_to_null(col: Column | str) -> Column:
     """Map ''/whitespace/'nan' to NULL so ``coalesce`` can express the
-    reference's "preserve old value when new is blank" rules."""
+    reference's "preserve old value when new is blank" rules.  Non-blank
+    values pass through UNCHANGED (no silent trim)."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(c.cast("string"))
-    return F.when(is_blankish(c), F.lit(None).cast("string")).otherwise(t)
+    return F.when(is_blankish(c), F.lit(None).cast("string")).otherwise(c.cast("string"))
 
 
 _REGEX_META = re.compile(r"[.^$*+?{}\[\]\\|()]")

@@ -30,7 +30,11 @@ TABLES = [
 ]
 
 AS_OF = "2024-01-31 00:00:00"  # fixed "now" for windows/stamps
+AS_OF_PREV = "2024-01-27 00:00:00"  # the "previous run" stamp (append-mode)
 CUTOFF = "2024-01-24 00:00:00"  # history (< cutoff) vs new batch (>= cutoff)
+RECENT = "2024-01-30 00:00:00"  # 1-day batch for anti/semi key-set queries
+SCD2_START = "2024-01-01 00:00:00"  # effective_start of synthesized history
+SCD2_CLOSED_END = "2024-01-15 00:00:00"  # effective_end of closed versions
 DAYS_BACK = 7
 
 # keyword-exclusion config analog (reference config/config.yaml:113-183
