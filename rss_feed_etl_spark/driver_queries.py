@@ -601,6 +601,9 @@ SELECT user_id, event_id, event_type, value, rnk FROM (
 )
 
 
+from . import driver_queries_corpus  # noqa: E402, F401  (registers wave-2 queries)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

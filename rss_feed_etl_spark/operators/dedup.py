@@ -158,10 +158,15 @@ def minhash_signatures(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     )
     codes = sh.withColumn("codes", F.transform("shingles", token_code)).drop("shingles")
+
+    # NB: constants must be bound via a closure factory, NOT lambda default
+    # args — PySpark counts default params as lambda arity and would pass the
+    # array index into them.
+    def perm(a: int, b: int):
+        return lambda c: (c * F.lit(a) + F.lit(b)) % F.lit(MOD)
+
     sig_cols = [
-        F.array_min(
-            F.transform("codes", lambda c, ai=a, bi=b: (c * F.lit(ai) + F.lit(bi)) % F.lit(MOD))
-        ).alias(f"mh{i}")
+        F.array_min(F.transform("codes", perm(a, b))).alias(f"mh{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     return codes.select("id", *sig_cols)
@@ -234,9 +239,12 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     codes = F.transform(toks, token_code)
+
+    def bit_set(b: int):
+        return lambda c: F.shiftright(c, b) % 2 == 1
+
     bit_votes = [
-        F.size(F.filter(codes, lambda c, b=b: F.shiftright(c, b) % 2 == 1)).alias(f"v{b}")
-        for b in range(bits)
+        F.size(F.filter(codes, bit_set(b))).alias(f"v{b}") for b in range(bits)
     ]
     with_votes = df.select(F.col(id_col), F.size(codes).alias("n_tok"), *bit_votes)
     fp = None

@@ -93,8 +93,12 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     fall in its function-word profile; argmax wins (fixed en>de>es>fr>zh
     tie-break), 'und' when every score is 0."""
     toks = F.transform(_tokens(F.col(text_col)), F.lower)
+
+    def in_profile(words: list[str]):
+        return lambda t: t.isin(words)
+
     scores = {
-        lang: F.size(F.filter(toks, lambda t, ws=words: t.isin(ws)))
+        lang: F.size(F.filter(toks, in_profile(words)))
         for lang, words in LANG_PROFILES.items()
     }
     langs = list(LANG_PROFILES)
