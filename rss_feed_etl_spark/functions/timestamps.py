@@ -21,15 +21,25 @@ _FORMATS = [
     "yyyy-MM-dd'T'HH:mm:ss",
     "yyyy-MM-dd HH:mm:ss.SSSSSS",
     "yyyy-MM-dd",
-    "EEE, dd MMM yyyy HH:mm:ss Z",  # RFC-822 (RSS pubDate)
-    "EEE, dd MMM yyyy HH:mm:ss zzz",
 ]
+
+# RFC-822 RSS pubDates ("Mon, 20 May 2024 10:00:00 +0000"): Spark ≥3.0's
+# parser rejects the 'EEE' day-of-week field, so the weekday prefix is
+# stripped before parsing (the weekday is redundant anyway).
+_RFC822_FORMATS = [
+    "dd MMM yyyy HH:mm:ss Z",
+    "dd MMM yyyy HH:mm:ss zzz",
+]
+_WEEKDAY_PREFIX = r"^[A-Za-z]{3},\s*"
 
 
 def lenient_to_timestamp(col: Column | str, formats: list[str] | None = None) -> Column:
     """Null-on-failure multi-format timestamp parse (≡ errors="coerce")."""
     c = F.col(col) if isinstance(col, str) else col
     attempts = [F.try_to_timestamp(c, F.lit(fmt)) for fmt in (formats or _FORMATS)]
+    if formats is None:
+        stripped = F.regexp_replace(c, _WEEKDAY_PREFIX, "")
+        attempts += [F.try_to_timestamp(stripped, F.lit(fmt)) for fmt in _RFC822_FORMATS]
     attempts.append(F.try_to_timestamp(c))  # Spark's default parser last
     return F.coalesce(*attempts)
 

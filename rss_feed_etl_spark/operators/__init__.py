@@ -1,1 +1,10 @@
-from . import dedup, filters, joins, merges, similarity, textstats  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    enrichment,
+    filters,
+    joins,
+    merges,
+    multimodal,
+    similarity,
+    textstats,
+)

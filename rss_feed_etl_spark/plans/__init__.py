@@ -1,1 +1,1 @@
-from . import filter_pipeline  # noqa: F401
+from . import enrichment_pipeline, etl_pipeline, filter_pipeline  # noqa: F401

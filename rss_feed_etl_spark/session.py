@@ -44,6 +44,44 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_PYFILES_ADDED: set[int] = set()
+
+
+def ensure_executors_can_import(spark: SparkSession) -> None:
+    """Ship this package to executors via addPyFile.
+
+    Pure-expression operators never run Python on executors, but the
+    ``mapInPandas`` operators (RSS fetch, enrichment, multimodal) pickle
+    closures that reference this package by module name — if the driver's
+    cwd is not the repo root, Spark's python workers cannot import it.
+    Zipping the package once per process and ``addPyFile``-ing it makes the
+    operators location-independent (works on driver-provided sessions too,
+    since addPyFile is a runtime call).
+    """
+    import os
+    import tempfile
+    import zipfile
+
+    key = id(spark.sparkContext)
+    if key in _PYFILES_ADDED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"rss_feed_etl_spark-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _PYFILES_ADDED.add(key)
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable configs to an externally provided session.
 

@@ -1,0 +1,56 @@
+"""Parquet table IO (reference S3/S4 — worksheet read / clear-and-rewrite).
+
+The reference's storage engine is Google Sheets: every load reads the whole
+worksheet (S3) and every save clears and rewrites it (S4,
+data_loader.py:426-428) — O(history) write amplification per batch.  Here
+tables are Parquet directories:
+
+- reads are lazy scans with pushdown/pruning;
+- ``write_overwrite`` reproduces the reference's overwrite semantics where
+  required (small dimension/output tables);
+- ``write_partitioned`` is the scale path: partition by ingest date so the
+  date-window queries prune structurally and incremental merges rewrite
+  only the touched partitions (dynamic partition overwrite), never the
+  whole history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_table(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_or_empty(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Create-if-missing read (the reference creates the worksheet with a
+    header row when absent, data_loader.py:74-113)."""
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:  # noqa: BLE001 — missing path
+        return spark.createDataFrame([], schema)
+
+
+def write_overwrite(df: DataFrame, path: str) -> None:
+    """Clear-and-rewrite sink (reference S4)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def write_partitioned(df: DataFrame, path: str, ts_col: str = "published") -> None:
+    """Scale sink: partition by ingest date, overwrite only touched
+    partitions.  Requires spark.sql.sources.partitionOverwriteMode=dynamic
+    (set here per-write)."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.withColumn("ingest_date", F.to_date(F.col(ts_col)))
+        .write.mode("overwrite")
+        .partitionBy("ingest_date")
+        .parquet(path)
+    )

@@ -1,0 +1,222 @@
+"""RSS source (stub fetcher), ETL pipeline, streaming foreachBatch merge,
+multimodal stubs, enrichment operator."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from rss_feed_etl_spark.operators.enrichment import (
+    deterministic_stub_client_factory,
+    llm_match_scores,
+)
+from rss_feed_etl_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_images,
+    sample_frames,
+)
+from rss_feed_etl_spark.plans.enrichment_pipeline import run_enrichment
+from rss_feed_etl_spark.plans.etl_pipeline import run_etl
+from rss_feed_etl_spark.schemas import STAGE_SCHEMA
+from rss_feed_etl_spark.sources.rss import parse_feed_xml, read_feeders
+from rss_feed_etl_spark.streaming.incremental import (
+    incremental_scd1,
+    read_stage_stream,
+    windowed_event_counts,
+)
+
+RSS_XML = """<?xml version="1.0"?>
+<rss version="2.0"><channel><title>Jobs Feed</title>
+<item><title>Data Engineer</title><link>http://x/1</link>
+<pubDate>Mon, 20 May 2024 10:00:00 +0000</pubDate>
+<description>&lt;p&gt;Great &lt;b&gt;Spark&lt;/b&gt;   job&lt;/p&gt;</description></item>
+<item><title>Analyst</title><link>http://x/2</link>
+<pubDate>not a date</pubDate>
+<description>SQL role</description></item>
+</channel></rss>"""
+
+ATOM_XML = """<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom"><title>Atom Feed</title>
+<entry><title>ML Engineer</title><link href="http://y/1"/>
+<published>2024-05-21T08:00:00</published>
+<summary>PyTorch job</summary></entry>
+</feed>"""
+
+
+def test_parse_feed_xml_rss_and_atom():
+    rss = parse_feed_xml(RSS_XML)
+    assert len(rss) == 2
+    assert rss[0]["link"] == "http://x/1"
+    atom = parse_feed_xml(ATOM_XML)
+    assert len(atom) == 1
+    assert atom[0]["entry_title"] == "ML Engineer"
+    assert parse_feed_xml("not xml at all") == []
+
+
+@pytest.fixture()
+def config_df(spark):
+    rows = [
+        ("Jobs", "rss.app", "15min", "http://feed/rss", "StageData", "Engineer"),
+        ("Atom", "rss.app", "15min", "http://feed/atom", "StageData", ""),
+        ("Blank", "rss.app", "15min", "", "StageData", ""),  # skipped
+    ]
+    return spark.createDataFrame(
+        rows, "title string, reader string, time string, url string, worksheet_name string, job_title string"
+    )
+
+
+def make_stub_fetcher():
+    # defined as a closure so cloudpickle ships it by VALUE — module-level
+    # test functions are pickled by reference to a module Spark's python
+    # workers cannot import
+    rss_xml, atom_xml = RSS_XML, ATOM_XML
+
+    def stub_fetcher(url: str) -> str:
+        if url.endswith("atom"):
+            return atom_xml
+        if url.endswith("rss"):
+            return rss_xml
+        raise OSError("unreachable feed")
+
+    return stub_fetcher
+
+
+def test_read_feeders_skips_blank(config_df):
+    feeders = read_feeders(config_df)
+    assert len(feeders) == 2
+    assert feeders[0].effective_job_title == "Engineer"
+    assert feeders[1].effective_job_title == "Atom"
+
+
+def test_etl_pipeline_end_to_end(spark, config_df):
+    history = spark.createDataFrame(
+        [("Old", "http://x/1", "Data Engineer OLD", dt.datetime(2024, 5, 1), "Jobs Feed", "r", "t", "old summary", "keep-me")],
+        STAGE_SCHEMA,
+    )
+    out = run_etl(
+        spark, config_df, history, fetcher=make_stub_fetcher(), strategy="scd1",
+        now="2024-05-22 00:00:00",
+    )
+    rows = {r["link"]: r.asDict() for r in out.collect()}
+    assert set(rows) == {"http://x/1", "http://x/2", "http://y/1"}
+    # HTML cleaned + whitespace collapsed
+    assert rows["http://x/1"]["summary"] == "Great Spark job"
+    # notes preserved from history on blank new notes
+    assert rows["http://x/1"]["notes"] == "keep-me"
+    # unparseable pubDate defaulted to now
+    assert rows["http://x/2"]["published"] == dt.datetime(2024, 5, 22)
+    # RFC-822 date parsed
+    assert rows["http://x/1"]["published"] == dt.datetime(2024, 5, 20, 10, 0)
+
+
+def test_streaming_incremental_scd1(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = spark.createDataFrame(
+        [("Eng", "L1", "t1", dt.datetime(2024, 5, 1), "f", "r", "w", "s1", "n1"),
+         ("Eng", "L2", "t2", dt.datetime(2024, 5, 2), "f", "r", "w", "s2", "")],
+        STAGE_SCHEMA,
+    )
+    batch1.write.mode("append").parquet(landing)
+    stream = read_stage_stream(spark, landing, STAGE_SCHEMA)
+    q = incremental_scd1(stream, target, ckpt)
+    q.awaitTermination(120)
+    t1 = {r["link"]: r.asDict() for r in spark.read.parquet(target).collect()}
+    assert set(t1) == {"L1", "L2"}
+
+    # second micro-batch: L2 updated (blank notes → none to preserve), L3 new
+    batch2 = spark.createDataFrame(
+        [("Eng", "L2", "t2-v2", dt.datetime(2024, 5, 3), "f", "r", "w", "s2b", ""),
+         ("Eng", "L3", "t3", dt.datetime(2024, 5, 4), "f", "r", "w", "s3", "")],
+        STAGE_SCHEMA,
+    )
+    batch2.write.mode("append").parquet(landing)
+    q2 = incremental_scd1(read_stage_stream(spark, landing, STAGE_SCHEMA), target, ckpt)
+    q2.awaitTermination(120)
+    t2 = {r["link"]: r.asDict() for r in spark.read.parquet(target).collect()}
+    assert set(t2) == {"L1", "L2", "L3"}
+    assert t2["L2"]["entry_title"] == "t2-v2"
+    assert t2["L1"]["notes"] == "n1"
+
+
+def test_windowed_counts_batch_semantics(spark):
+    # run the same aggregation expression in batch mode to pin semantics
+    df = spark.createDataFrame(
+        [("f1", dt.datetime(2024, 5, 1, 1)), ("f1", dt.datetime(2024, 5, 1, 23)),
+         ("f2", dt.datetime(2024, 5, 2, 5))],
+        "feed_title string, published timestamp",
+    )
+    out = (
+        df.groupBy(F.window("published", "1 day"), "feed_title")
+        .agg(F.count("*").alias("n_entries"))
+        .collect()
+    )
+    got = {(r["feed_title"], r["window"]["start"].day): r["n_entries"] for r in out}
+    assert got == {("f1", 1): 2, ("f2", 2): 1}
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, "image", b"img-one-bytes", ("png", None, None, None)),
+        (2, "image", b"img-two-bytes", ("jpg", None, None, None)),
+        (3, "video", b"vid-bytes", ("mp4", None, None, 3500)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_images_stub(media_df):
+    out = {r["media_id"]: r.asDict() for r in decode_images(media_df).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert 1 <= r["width"] <= 1920 and 1 <= r["height"] <= 1080
+        assert len(r["embedding"]) == 16
+    # deterministic: same input bytes → same fake decode
+    again = {r["media_id"]: r.asDict() for r in decode_images(media_df).collect()}
+    assert out == again
+
+
+def test_decode_images_strict_raises(media_df):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+        decode_images(media_df, strict=True).collect()
+
+
+def test_sample_frames_stub(media_df):
+    frames = sample_frames(media_df, every_ms=1000).collect()
+    assert len(frames) == 3  # 3500ms // 1000
+    assert sorted(f["frame_idx"] for f in frames) == [0, 1, 2]
+
+
+def test_enrichment_operator(spark):
+    stage = spark.createDataFrame(
+        [("Eng", "L1", "t", dt.datetime(2024, 5, 22, 10), "f", "r", "w", "spark join row", ""),
+         ("Eng", "L2", "t", dt.datetime(2024, 5, 22, 11), "f", "r", "w", "cobol stuff", ""),
+         ("Eng", "L3", "t", dt.datetime(2024, 5, 1), "f", "r", "w", "old row", "")],
+        STAGE_SCHEMA,
+    )
+    factory = deterministic_stub_client_factory(
+        lexicon=["spark", "join", "cobol"], resume_skills=["spark", "join"]
+    )
+    out = run_enrichment(
+        stage, "resume text", factory, as_of="2024-05-23 00:00:00", hours_back=24
+    )
+    rows = {r["link"]: r.asDict() for r in out.collect()}
+    assert set(rows) == {"L1", "L2"}  # L3 outside 24h window
+    assert rows["L1"]["match_percentage"] == 100.0
+    assert rows["L1"]["matched_skills"] == ["join", "spark"]
+    assert rows["L2"]["match_percentage"] == 0.0
+    assert rows["L2"]["missing_skills"] == ["cobol"]
+
+
+def test_enrichment_batch_chunking(spark):
+    # 7 rows with batch_size 3 → chunks of 3/3/1; results must still align
+    rows = [("Eng", f"L{i}", "t", dt.datetime(2024, 5, 22, 10), "f", "r", "w",
+             f"spark doc{i}", "") for i in range(7)]
+    stage = spark.createDataFrame(rows, STAGE_SCHEMA).coalesce(1)
+    factory = deterministic_stub_client_factory(["spark"], ["spark"])
+    out = llm_match_scores(stage, "resume", factory, batch_size=3)
+    assert out.count() == 7
+    assert all(r["match_percentage"] == 100.0 for r in out.collect())
