@@ -2,25 +2,29 @@
 
 These are the heart of the reference pipeline
 (src/etl/scd1_manager.py:10-176, src/rss_feed_etl/core/data_loader.py:115-314,
-src/etl/scd2_manager.py:8-196).  The reference materializes pandas frames and
-runs O(keys × rows) Python loops; here each merge is ONE declarative plan:
+src/etl/scd2_manager.py:8-196).  The reference materializes pandas frames
+and runs O(keys × rows) Python loops; the naive Spark translation is a
+full-outer join — but Spark cannot broadcast either side of a full outer,
+so that plan SHUFFLES THE ENTIRE HISTORY on every batch.  At the
+reference's shape (a small feed batch vs an ever-growing history) that is
+the single worst cost at scale, so each merge here is decomposed into
+broadcast-able pieces instead:
 
-    batch ⟗ history  (full-outer hash join on the key)
-      → per-column coalesce / change-detection expressions (codegen'd)
-      → (SCD2) explode into expired + new-version rows
-      → union with untouched history partitions
+    merged_hist = history ⟕ broadcast(batch)        -- map-side, no shuffle
+    matched     = history.keys ⋉ broadcast(batch)    -- map-side semi, small result
+    new_rows    = batch ▷ broadcast(matched)         -- map-side anti
+    result      = merged_hist ∪ new_rows
 
-Scale notes:
-- The join shuffles both sides on the key once; when the incoming batch is
-  small relative to history (the reference's shape: a feed batch vs months
-  of history), ``broadcast_batch=True`` broadcasts it and history never
-  shuffles at all — the merge becomes a map-side join over history's
-  existing layout.
-- Change detection compares *stringified* values with ''-for-NULL exactly
-  like the reference (astype(str) + fillna('') — scd1_manager.py:45,53,
-  scd2_manager.py:94); see SURVEY §7.3 "string-typed comparison semantics".
-- On a real lakehouse this plan is what Delta's ``MERGE INTO`` compiles to;
-  the operator keeps the plan explicit so it runs on plain Parquet.
+History is only SCANNED (twice — once full-width, once key-column-only via
+parquet column pruning), never exchanged.  With ``broadcast_batch=False``
+(a genuinely huge batch) the same decomposition degrades gracefully to
+shuffled joins chosen by AQE.
+
+Change detection compares *stringified* values with ''-for-NULL exactly
+like the reference (astype(str)+fillna('') — scd1_manager.py:45,53,
+scd2_manager.py:94); see SURVEY §7.3.  On a lakehouse this is what Delta's
+``MERGE INTO`` compiles to; the explicit plan keeps it runnable on plain
+Parquet.
 """
 
 from __future__ import annotations
@@ -43,6 +47,27 @@ def _changed(new_prefix: str, old_prefix: str, compare_cols: list[str]) -> Colum
     return cond
 
 
+def _with_presence(df: DataFrame, flag: str) -> DataFrame:
+    """Explicit row-presence literal for outer joins: inferring presence
+    from "some column is non-null" is wrong (legitimately all-null value
+    rows exist), so the probe side carries a constant flag column."""
+    return df.withColumn(flag, F.lit(1))
+
+
+def _maybe_broadcast(df: DataFrame, do_broadcast: bool) -> DataFrame:
+    return F.broadcast(df) if do_broadcast else df
+
+
+def _new_key_rows(batch: DataFrame, history: DataFrame, key: str, broadcast_batch: bool) -> DataFrame:
+    """batch rows whose key is absent from history, without shuffling
+    history: semi-probe history's key column against the broadcast batch
+    (small result), then anti-probe the batch against that."""
+    matched = history.select(key).join(
+        _maybe_broadcast(batch.select(key), broadcast_batch), on=key, how="left_semi"
+    )
+    return batch.join(_maybe_broadcast(matched, broadcast_batch), on=key, how="left_anti")
+
+
 def merge_scd1(
     batch: DataFrame,
     history: DataFrame,
@@ -62,8 +87,8 @@ def merge_scd1(
     reference does the same at ingest (scd1_manager.py:231).
     """
     value_cols = [c for c in batch.columns if c != key]
-    b = _with_presence(F.broadcast(batch) if broadcast_batch else batch, "__present")
-    j = b.alias("n").join(history.alias("h"), on=key, how="full_outer")
+    b = _maybe_broadcast(_with_presence(batch, "__present"), broadcast_batch)
+    j = history.alias("h").join(b.alias("n"), on=key, how="left")
     n_in = F.col("n.__present").isNotNull()
     out_cols = [F.col(key)]
     for c in value_cols:
@@ -74,17 +99,9 @@ def merge_scd1(
         else:
             expr = F.when(n_in, F.col(f"n.{c}")).otherwise(F.col(f"h.{c}"))
         out_cols.append(expr.alias(c))
-    return j.select(*out_cols)
-
-
-def _with_presence(df: DataFrame, flag: str) -> DataFrame:
-    """Explicit row-presence literal for full-outer joins.
-
-    pandas exposes a ``_merge`` indicator; in Spark, inferring presence
-    from "some column is non-null" is wrong (legitimately all-null value
-    rows exist), so each side carries a constant flag column instead.
-    """
-    return df.withColumn(flag, F.lit(1))
+    merged_hist = j.select(*out_cols)
+    new_rows = _new_key_rows(batch, history, key, broadcast_batch).select(key, *value_cols)
+    return merged_hist.unionByName(new_rows)
 
 
 def merge_upsert(
@@ -97,34 +114,35 @@ def merge_upsert(
     with_flags: bool = False,
 ) -> DataFrame:
     """Legacy upsert with change detection (reference M2,
-    data_loader.py:115-207): full-outer merge; rows present in both take the
-    NEW values but keep the OLD notes when history has any; history-only
-    rows survive unchanged; ``with_flags`` adds provenance + changed flags
-    (drives the inserted/updated counts, A1).
-    """
+    data_loader.py:115-207): rows present in both take the NEW values but
+    keep the OLD notes when history has any; history-only rows survive
+    unchanged; ``with_flags`` adds inserted/updated flags (drives the A1
+    metrics)."""
     value_cols = [c for c in batch.columns if c != key]
     compare_cols = compare_cols or [c for c in value_cols if c != notes_col]
-    b = _with_presence(F.broadcast(batch) if broadcast_batch else batch, "__present")
-    h = _with_presence(history, "__present")
-    j = b.alias("n").join(h.alias("h"), on=key, how="full_outer")
+    b = _maybe_broadcast(_with_presence(batch, "__present"), broadcast_batch)
+    j = history.alias("h").join(b.alias("n"), on=key, how="left")
     n_in = F.col("n.__present").isNotNull()
-    h_in = F.col("h.__present").isNotNull()
-    changed = n_in & h_in & _changed("n", "h", compare_cols)
+    changed = n_in & _changed("n", "h", compare_cols)
     out_cols = [F.col(key)]
     for c in value_cols:
         if c == notes_col:
-            expr = (
-                F.when(n_in & h_in, F.coalesce(blank_to_null(F.col(f"h.{c}")), F.col(f"n.{c}")))
-                .when(n_in, F.col(f"n.{c}"))
-                .otherwise(F.col(f"h.{c}"))
-            )
+            expr = F.when(
+                n_in, F.coalesce(blank_to_null(F.col(f"h.{c}")), F.col(f"n.{c}"))
+            ).otherwise(F.col(f"h.{c}"))
         else:
             expr = F.when(n_in, F.col(f"n.{c}")).otherwise(F.col(f"h.{c}"))
         out_cols.append(expr.alias(c))
     if with_flags:
-        out_cols.append((n_in & ~h_in).cast("int").alias("inserted"))
+        out_cols.append(F.lit(0).alias("inserted"))
         out_cols.append(changed.cast("int").alias("updated"))
-    return j.select(*out_cols)
+    merged_hist = j.select(*out_cols)
+    new_rows = _new_key_rows(batch, history, key, broadcast_batch).select(key, *value_cols)
+    if with_flags:
+        new_rows = new_rows.withColumn("inserted", F.lit(1)).withColumn(
+            "updated", F.lit(0)
+        )
+    return merged_hist.unionByName(new_rows)
 
 
 def merge_scd2(
@@ -147,12 +165,12 @@ def merge_scd2(
       effective_end = NULL, current_flag = 1``, with notes preserved from
       the prior current version when the new notes are blank (the packaged
       semantics, data_loader.py:290-292 — the legacy scd2_manager resets
-      notes; we keep the packaged behavior, pinned by tests);
-    - unchanged current rows and already-closed rows pass through untouched.
+      notes; tests pin the packaged behavior);
+    - unchanged current rows and already-closed rows pass through.
 
-    Single full-outer join + array-explode → at most 2 output rows per
-    joined key, one shuffle; closed history never joins at all (it unions
-    straight through, so the 100 TB history tail is scan-only).
+    Plan: current ⟕ broadcast(batch) explodes into ≤2 rows per key;
+    batch-anti-current adds brand-new versions; closed history unions
+    straight through (scan-only — the 100 TB closed tail never joins).
     """
     scd_cols = ["effective_start", "effective_end", "current_flag"]
     value_cols = [c for c in batch.columns if c != key]
@@ -162,14 +180,11 @@ def merge_scd2(
     current = history.filter(F.col("current_flag") == 1)
     closed = history.filter(F.col("current_flag") != 1)
 
-    b = _with_presence(F.broadcast(batch) if broadcast_batch else batch, "__present")
-    h = _with_presence(current, "__present")
-    j = b.alias("n").join(h.alias("h"), on=key, how="full_outer")
+    b = _maybe_broadcast(_with_presence(batch, "__present"), broadcast_batch)
+    j = current.alias("h").join(b.alias("n"), on=key, how="left")
     n_in = F.col("n.__present").isNotNull()
-    h_in = F.col("h.__present").isNotNull()
-    changed = n_in & h_in & _changed("n", "h", compare_cols)
-    removed = h_in & ~n_in
-    new_key = n_in & ~h_in
+    changed = n_in & _changed("n", "h", compare_cols)
+    removed = ~n_in
 
     def row_struct(values: list[Column]) -> Column:
         names = value_cols + scd_cols
@@ -183,31 +198,45 @@ def merge_scd2(
         [F.col(f"h.{c}") for c in value_cols]
         + [F.col("h.effective_start"), as_of_ts, F.lit(0)]
     )
-    new_version_vals = []
+    changed_version_vals = []
     for c in value_cols:
         if c == notes_col:
-            new_version_vals.append(
+            changed_version_vals.append(
                 F.coalesce(blank_to_null(F.col(f"n.{c}")), F.col(f"h.{c}")).cast("string")
             )
         else:
-            new_version_vals.append(F.col(f"n.{c}"))
-    new_version = row_struct(
-        new_version_vals + [as_of_ts, F.lit(None).cast("timestamp"), F.lit(1)]
+            changed_version_vals.append(F.col(f"n.{c}"))
+    changed_version = row_struct(
+        changed_version_vals + [as_of_ts, F.lit(None).cast("timestamp"), F.lit(1)]
     )
 
     rows = F.array_compact(
         F.array(
-            F.when(h_in & ~changed & ~removed, keep_current),
+            F.when(n_in & ~changed, keep_current),
             F.when(changed | removed, expired),
-            F.when(new_key | changed, new_version),
+            F.when(changed, changed_version),
         )
     )
-    merged = (
-        j.select(F.col(key), F.explode(rows).alias("__r"))
-        .select(key, *[F.col(f"__r.{c}").alias(c) for c in value_cols + scd_cols])
+    merged = j.select(F.col(key), F.explode(rows).alias("__r")).select(
+        key, *[F.col(f"__r.{c}").alias(c) for c in value_cols + scd_cols]
+    )
+    new_rows = (
+        _new_key_rows(batch, current, key, broadcast_batch)
+        .select(
+            key,
+            *[
+                blank_to_null(F.col(c)).cast("string").alias(c)
+                if c == notes_col
+                else F.col(c)
+                for c in value_cols
+            ],
+        )
+        .withColumn("effective_start", as_of_ts)
+        .withColumn("effective_end", F.lit(None).cast("timestamp"))
+        .withColumn("current_flag", F.lit(1))
     )
     closed_proj = closed.select(key, *value_cols, *scd_cols)
-    return merged.unionByName(closed_proj)
+    return merged.unionByName(new_rows).unionByName(closed_proj)
 
 
 def merge_counts(
@@ -217,27 +246,30 @@ def merge_counts(
     notes_col: str = "notes",
     compare_cols: list[str] | None = None,
     current_only: bool = False,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Inserted / updated / removed metrics (reference A1:
     data_loader.py:203-207, 310-314; scd1_manager.py:132-142).
 
-    One aggregate over the same full-outer join the merges use —
-    ``sum(when(...))`` gives the three counters in a single pass.
+    updated/removed come from one map-side pass over history (broadcast
+    probe, partial-agg to a single row); inserted counts the anti-join of
+    the batch.  No history shuffle anywhere.
     """
     value_cols = [c for c in batch.columns if c != key]
     compare_cols = compare_cols or [c for c in value_cols if c != notes_col]
     h0 = history.filter(F.col("current_flag") == 1) if current_only else history
-    b = _with_presence(batch, "__present")
-    h = _with_presence(h0, "__present")
-    j = b.alias("n").join(h.alias("h"), on=key, how="full_outer")
+    b = _maybe_broadcast(_with_presence(batch, "__present"), broadcast_batch)
+    j = h0.alias("h").join(b.alias("n"), on=key, how="left")
     n_in = F.col("n.__present").isNotNull()
-    h_in = F.col("h.__present").isNotNull()
-    changed = n_in & h_in & _changed("n", "h", compare_cols)
-    return j.agg(
-        F.sum((n_in & ~h_in).cast("bigint")).alias("inserted"),
+    changed = n_in & _changed("n", "h", compare_cols)
+    hist_side = j.agg(
         F.sum(changed.cast("bigint")).alias("updated"),
-        F.sum((h_in & ~n_in).cast("bigint")).alias("removed"),
+        F.sum((~n_in).cast("bigint")).alias("removed"),
     )
+    ins = _new_key_rows(batch, h0, key, broadcast_batch).agg(
+        F.count("*").alias("inserted")
+    )
+    return ins.crossJoin(hist_side).select("inserted", "updated", "removed")
 
 
 def sort_output(
