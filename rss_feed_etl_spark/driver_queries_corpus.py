@@ -16,7 +16,7 @@ recall observable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import testdata as td
@@ -591,12 +591,10 @@ def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .drop("rnk")
-    )
+    # Global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heap + single 10-row merge at the driver).  A row_number() over an
+    # unpartitioned Window would drag the whole aggregate to ONE partition.
+    return agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
 
 
 _register(
