@@ -602,6 +602,7 @@ SELECT user_id, event_id, event_type, value, rnk FROM (
 
 
 from . import driver_queries_corpus  # noqa: E402, F401  (registers wave-2 queries)
+from . import driver_queries_wave3  # noqa: E402, F401  (registers wave-3 queries)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

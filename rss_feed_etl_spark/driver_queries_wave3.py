@@ -1,0 +1,352 @@
+"""Driver-contract queries, wave 3: Spark-native analytics the reference
+lacks (SURVEY §2.10 "absent from reference" — window analytics, grouping
+sets/rollup/cube, set operations, as-of join), the multimodal decode
+plumbing, and a micro-batch incremental-merge fold.
+
+Registered into ``driver_queries.QUERIES`` / ``ORACLES`` like wave 2.
+Determinism rules are the same: every float that crosses an accumulation
+boundary is rounded, every window has a total order, and the multimodal
+"decode" stub is md5-byte arithmetic both engines compute identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import testdata as td
+from .driver_queries import _register
+from .operators import multimodal
+from .operators.dedup import dedup_by_key
+from .operators.joins import asof_join
+from .operators.merges import merge_scd1
+
+
+# ---------------------------------------------------------------------------
+# as-of join: latest order per customer as of each event (J — beyond ref)
+# ---------------------------------------------------------------------------
+
+
+def _q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = td.load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = td.load_table(spark, sf_dir, "orders")
+    # one right row per (key, ts): ties broken keep-max-orderkey
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    ords = (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    return asof_join(
+        ev,
+        ords,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    ).select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+_register(
+    "asof_latest_order",
+    _q_asof_latest_order,
+    """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders),
+d AS (SELECT * FROM r WHERE rn = 1)
+SELECT e.event_id, e.user_id, d.o_orderkey, d.o_totalprice
+FROM events e
+ASOF LEFT JOIN d ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# rollup / cube / grouping sets (A — beyond ref; Catalyst expands to one
+# shuffle with grouping-id, partial aggregation map-side)
+# ---------------------------------------------------------------------------
+
+
+def _q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = td.load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = td.load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = td.load_table(spark, sf_dir, "orders")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate"))
+        .rollup("n_name", "o_year")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+_register(
+    "revenue_rollup",
+    _q_revenue_rollup,
+    """
+SELECT n.n_name, year(o.o_orderdate) AS o_year,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n_name, o_year)
+""",
+)
+
+
+def _q_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = td.load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+_register(
+    "order_stats_cube",
+    _q_order_cube,
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+
+
+_GS_SQL = """
+WITH ev AS (SELECT *, user_id % 10 AS user_bucket FROM events)
+SELECT event_type, user_bucket, count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM ev
+GROUP BY GROUPING SETS ((event_type), (user_bucket), (event_type, user_bucket), ())
+"""
+
+
+def _q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td.load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_GS_SQL)
+
+
+_register("events_grouping_sets", _q_events_grouping_sets, _GS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# window analytics: running totals + sessionization (O/F — beyond ref)
+# ---------------------------------------------------------------------------
+
+
+def _q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = td.load_table(spark, sf_dir, "events")
+    ob = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = ob.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = ob.rowsBetween(-3, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(run), 6).alias("running_total"),
+        F.round(F.avg("value").over(mov), 6).alias("moving_avg4"),
+    )
+
+
+_register(
+    "running_totals",
+    _q_running_totals,
+    """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS running_total,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+         AS moving_avg4
+FROM events
+""",
+)
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization: lag + cumulative sum of new-session
+    flags — integer arithmetic on epoch micros, exact in both engines."""
+    ev = td.load_table(spark, sf_dir, "events")
+    ob = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(ob))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    run = ob.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.withColumn("__new", new_sess).select(
+        "event_id",
+        "user_id",
+        F.sum("__new").over(run).alias("session_id"),
+    )
+
+
+_register(
+    "sessionize",
+    _q_sessionize,
+    """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS gap_us
+  FROM events)
+SELECT event_id, user_id,
+       sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+FROM g
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# set operations (U — beyond ref: INTERSECT / EXCEPT as table ops)
+# ---------------------------------------------------------------------------
+
+
+def _high_value_users(spark: SparkSession, sf_dir: str, etype: str) -> DataFrame:
+    ev = td.load_table(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_type") == etype) & (F.col("value") > 150))
+        .select("user_id")
+        .distinct()
+    )
+
+
+def _q_users_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _high_value_users(spark, sf_dir, "click").subtract(
+        _high_value_users(spark, sf_dir, "purchase")
+    )
+
+
+def _q_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _high_value_users(spark, sf_dir, "click").intersect(
+        _high_value_users(spark, sf_dir, "purchase")
+    )
+
+
+_HV = (
+    "SELECT DISTINCT user_id FROM events WHERE event_type = '{t}' AND value > 150"
+)
+_register(
+    "users_click_not_purchase",
+    _q_users_except,
+    f"{_HV.format(t='click')}\nEXCEPT\n{_HV.format(t='purchase')}",
+)
+_register(
+    "users_click_and_purchase",
+    _q_users_intersect,
+    f"{_HV.format(t='click')}\nINTERSECT\n{_HV.format(t='purchase')}",
+)
+
+
+# ---------------------------------------------------------------------------
+# multimodal decode plumbing (X — beyond ref; stubs are md5-byte math)
+# ---------------------------------------------------------------------------
+
+
+def _media_df(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    docs = td.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("fake").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("n_chars") % 5000) + 500).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = multimodal.decode_images(_media_df(spark, sf_dir, "image"))
+    return feats.select(
+        "media_id", "width", "height", F.size("embedding").alias("emb_dim")
+    )
+
+
+def _hexbyte(h: str, i: int) -> str:
+    """byte i of an md5 hex digest, as SQL integer arithmetic."""
+    hi = f"(position(substr({h},{2 * i + 1},1) IN '0123456789abcdef')-1)"
+    lo = f"(position(substr({h},{2 * i + 2},1) IN '0123456789abcdef')-1)"
+    return f"({hi}*16 + {lo})"
+
+
+# struct.unpack('<HH', md5(content)[:4]) → two little-endian uint16s
+_W16 = f"({_hexbyte('h', 0)} + 256*{_hexbyte('h', 1)})"
+_H16 = f"({_hexbyte('h', 2)} + 256*{_hexbyte('h', 3)})"
+
+_register(
+    "image_decode_meta",
+    _q_image_decode,
+    f"""
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents)
+SELECT media_id,
+       ({_W16} % 1920) + 1 AS width,
+       ({_H16} % 1080) + 1 AS height,
+       16 AS emb_dim
+FROM m
+""",
+)
+
+
+def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = multimodal.sample_frames(_media_df(spark, sf_dir, "video"), every_ms=1000)
+    return frames.select("media_id", "frame_idx")
+
+
+_register(
+    "video_frames_meta",
+    _q_video_frames,
+    """
+SELECT doc_id AS media_id,
+       unnest(range(greatest(((n_chars % 5000) + 500) // 1000, 1))) AS frame_idx
+FROM documents
+""",
+)
+
+
+# ---------------------------------------------------------------------------
+# incremental merge fold: 3 micro-batches through the SCD1 merge (§2.9 —
+# the foreachBatch state-in-sink pattern, checkable without a stream)
+# ---------------------------------------------------------------------------
+
+
+def _q_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events split into 3 arrival batches (event_id mod 3); each batch is
+    deduped keep-last per user and SCD1-merged over the running state —
+    exactly what the streaming ``foreachBatch`` sink does per micro-batch.
+    The fold's fixpoint is "latest batch wins, then latest (ts, event_id)",
+    which the oracle states as one window."""
+    ev = td.load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    )
+    state: DataFrame | None = None
+    for i in range(3):
+        batch = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+        deduped = dedup_by_key(batch, "user_id", ["ts", "event_id"], keep="last")
+        state = deduped if state is None else merge_scd1(deduped, state, key="user_id")
+    return state
+
+
+_register(
+    "incremental_merge_fold",
+    _q_incremental_fold,
+    """
+SELECT user_id, ts, event_type, value, event_id FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY event_id % 3 DESC, ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""",
+)

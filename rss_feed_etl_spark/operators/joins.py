@@ -90,3 +90,68 @@ def lookup_notes(
         .withColumn(notes_col, F.coalesce(blank_to_null(F.col(notes_col)), F.col("__hist_notes"), F.lit("")))
         .drop("__hist_notes")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the single right row
+    with the greatest ``right_ts <= left_ts`` for the same ``on`` key
+    (inclusive, pandas ``merge_asof`` semantics).  Absent from the reference
+    (SURVEY §2.3 — no range/as-of joins); provided because incremental
+    feeds constantly need "latest dimension version as of event time".
+
+    Scale: the naive formulation is a range join (left × right per key,
+    then argmax) which explodes quadratically per key.  This plan instead
+    UNIONS the two sides, shuffles ONCE on the key, and sweeps each
+    partition ordered by time carrying the latest right struct forward
+    (``last(..., ignorenulls)`` over an unbounded-preceding row frame) —
+    O(n log n) for the sort, no per-key blow-up, AQE-safe.
+
+    Ties: right rows at the same ``(on, right_ts)`` are resolved by the
+    later row in the union sort, which is nondeterministic — pre-dedup the
+    right side if that matters.  ``tolerance`` (an INTERVAL string, e.g.
+    ``'90 days'``) drops matches older than ``left_ts - tolerance``.
+    """
+    from pyspark.sql import Window
+
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    carry = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols])
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(1).alias("__is_r"),
+        carry.alias("__rv"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__t"),
+        F.lit(0).alias("__is_r"),
+        F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
+        *[F.col(c) for c in left.columns if c != on],
+    )
+    # right rows sort BEFORE left rows at equal time → equality is inclusive
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = r.unionByName(l).withColumn("__m", F.last("__rv", ignorenulls=True).over(w))
+    out = swept.filter(F.col("__is_r") == 0)
+    match = F.col("__m")
+    if tolerance is not None:
+        match = F.when(
+            F.col("__m.__rts") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}"), F.col("__m")
+        )
+    return out.select(
+        on,
+        *[c for c in left.columns if c != on],
+        *[match.getField(c).alias(c) for c in right_cols],
+    )
