@@ -350,3 +350,65 @@ SELECT user_id, ts, event_type, value, event_id FROM (
   FROM events) WHERE rn = 1
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path next to brute-force ann_cosine_topk)
+# ---------------------------------------------------------------------------
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_lsh(emb, queries, k=5)
+
+
+_DOT = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+_NRM = (
+    "sqrt(list_reduce(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))"
+)
+
+
+def _proj_sql(h: int) -> str:
+    # mirrors similarity._lsh_signature: sign(h, j) by parity of an integer
+    # mix of (h, j); DuckDB's range is 1-based so j = i-1
+    c = h * 40503 + 7
+    return (
+        "list_reduce(list_transform(range(1, 65), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * "
+        f"(CASE WHEN (((i-1)*2654435761 + {c}) % 97) % 2 = 0 THEN 1.0 ELSE -1.0 END)), "
+        "(x, y) -> x + y)"
+    )
+
+
+_SIG_SQL = " + ".join(
+    f"(CASE WHEN {_proj_sql(h)} > 0 THEN CAST({2**h} AS BIGINT) ELSE 0 END)"
+    for h in range(12)
+)
+
+_register(
+    "ann_cosine_topk_lsh",
+    _q_ann_lsh,
+    f"""
+WITH sig AS (SELECT vec_id, embedding, {_SIG_SQL} AS sig FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, sig FROM sig WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_DOT.format(a='q.qv', b='e.embedding')} /
+               ({_NRM.format(a='q.qv')} * {_NRM.format(a='e.embedding')}), 4)
+           AS cosine_sim
+  FROM sig e JOIN q ON e.sig = q.sig AND e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+)

@@ -84,15 +84,18 @@ def _lsh_signature(vec: Column, dim: int = 64) -> Column:
     Hyperplane h's component j is ±1 by parity of a fixed integer mix of
     (h, j) — no stored model, identical on every engine/executor.
     """
+    def signed(hh: int):
+        # closure factory: zip_with introspects the lambda arity, so the
+        # hyperplane index must be captured in an enclosing scope, not a
+        # default argument
+        return lambda x, j: x.cast("double") * F.when(
+            ((j * F.lit(2654435761) + F.lit(hh * 40503 + 7)) % 97) % 2 == 0, 1.0
+        ).otherwise(-1.0)
+
     sig = F.lit(0).cast("bigint")
     for h in range(N_HYPERPLANES):
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, j, hh=h: x.cast("double")
-                * F.when(((j * F.lit(2654435761) + F.lit(hh * 40503 + 7)) % 97) % 2 == 0, 1.0).otherwise(-1.0),
-            ),
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), signed(h)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
