@@ -155,3 +155,34 @@ def asof_join(
         *[c for c in left.columns if c != on],
         *[match.getField(c).alias(c) for c in right_cols],
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for heavy-hitter skew.
+
+    AQE's skew-join splitting handles most skew at runtime, but it only
+    splits the PROBE side — when one key is hot on BOTH sides, or the
+    build side of a shuffled join is the skewed one, a single reducer still
+    receives the whole hot key.  Salting pre-splits it: the left side gets
+    a random salt in [0, salt), the right side is replicated ``salt``
+    times, and the join key becomes (key, salt) — the hot key's rows spread
+    over ``salt`` reducers at the cost of replicating the right side.
+
+    Use for large-large joins with known hot keys (e.g. a null-ish default
+    key, a celebrity user).  For small right sides prefer ``broadcast()``
+    (no salt needed — map-side join has no skew problem at all).
+    """
+    l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    r = right.join(
+        F.broadcast(
+            right.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = l.join(r, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

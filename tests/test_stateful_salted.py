@@ -1,0 +1,76 @@
+"""Stateful streaming sessionization (applyInPandasWithState) and the
+skew-salted join: semantics match their batch/plain-join equivalents."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_sessionize_stream_continues_across_batches(spark, tmp_path):
+    from rss_feed_etl_spark.streaming.stateful import sessionize_stream
+
+    landing = tmp_path / "landing"
+    schema = "event_id long, user_id long, ts timestamp"
+    # batch 1: user 1 has two sessions (gap > 30 min); user 2 one event
+    b1 = spark.createDataFrame(
+        [
+            (1, 1, ts("2024-01-01 10:00:00")),
+            (2, 1, ts("2024-01-01 10:10:00")),
+            (3, 1, ts("2024-01-01 12:00:00")),
+            (4, 2, ts("2024-01-01 10:00:00")),
+        ],
+        schema,
+    )
+    # batch 2: event 5 continues user 1's second session (within 30 min of
+    # event 3); event 6 opens a third session; user 2 continues session 1
+    b2 = spark.createDataFrame(
+        [
+            (5, 1, ts("2024-01-01 12:20:00")),
+            (6, 1, ts("2024-01-01 15:00:00")),
+            (7, 2, ts("2024-01-01 10:29:00")),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(str(landing / "b1"))
+    b2.coalesce(1).write.parquet(str(landing / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing / "*"))
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: r.session_id
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 2, 6: 3, 7: 1}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from rss_feed_etl_spark.operators.joins import salted_join
+
+    # skewed left: one hot key with most rows
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, 7).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lval"),
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("rval")
+    )
+    plain = left.join(right, on="k").select("k", "lval", "rval")
+    salted = salted_join(left, right, on="k", salt=8).select("k", "lval", "rval")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
