@@ -11,8 +11,11 @@ vector itself.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import tokens
 
@@ -150,20 +153,87 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold (id_a < id_b).
 
-    Brute-force exact form; the LSH signature from ``cosine_topk_lsh``
-    pre-buckets candidates at scale (high-cosine pairs almost always share
-    all hyperplane signs).
+    Exact all-pairs, executed as BLOCKED matrix multiplication: vectors are
+    hash-grouped into ``n_blocks`` blocks, the B(B+1)/2 block pairs fan out
+    as one row each, and every block pair computes its gram matrix with one
+    vectorized ``A_norm @ B_norm.T`` inside Arrow-batched ``mapInPandas``.
+    A row-at-a-time expression join costs ~100× more per pair (per-element
+    lambda evaluation); this is the standard dense all-pairs plan — each
+    task is one GEMM, memory bounded by 2·(n/B) vectors.
+
+    At corpus sizes where even B² block pairs is too many, pre-bucket with
+    the sign-LSH signature (``cosine_topk_lsh``) first and run this inside
+    buckets.  Result values match the naive form (cosine rounded to 4dp
+    before thresholding, so cross-implementation float fold order cannot
+    flip membership).
     """
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
+    import pandas as pd
+
+    from ..session import ensure_executors_can_import
+
+    ensure_executors_can_import(embeddings.sparkSession)
+
+    blocks = (
+        embeddings.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+            F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).alias("item"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list("item").alias("items"))
     )
+    pairs = blocks.alias("x").join(
+        blocks.alias("y"), F.col("x.blk") <= F.col("y.blk")
+    ).select(
+        F.col("x.items").alias("items_a"),
+        F.col("y.items").alias("items_b"),
+        (F.col("x.blk") == F.col("y.blk")).alias("same_block"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def unpack(cell):
+            ids = np.array([r["id"] for r in cell], dtype=np.int64)
+            mat = np.array([r["vec"] for r in cell], dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0.0] = 1.0
+            return ids, mat / norms[:, None]
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a, mat_a = unpack(row["items_a"])
+                ids_b, mat_b = unpack(row["items_b"])
+                sims = np.round(mat_a @ mat_b.T, 4)
+                ia, ib = np.where(sims >= threshold)
+                id_a, id_b = ids_a[ia], ids_b[ib]
+                sim = sims[ia, ib]
+                if row["same_block"]:
+                    # diagonal block holds both orientations + self-pairs
+                    keep = id_a < id_b
+                    id_a, id_b, sim = id_a[keep], id_b[keep], sim[keep]
+                else:
+                    # off-diagonal blocks hold exactly one orientation: swap
+                    # into (lo, hi), never drop
+                    lo = np.minimum(id_a, id_b)
+                    id_b = np.maximum(id_a, id_b)
+                    id_a = lo
+                yield pd.DataFrame(
+                    {"id_a": id_a, "id_b": id_b, "cosine_sim": sim}
+                )
+
+    return pairs.mapInPandas(gram, out_schema)
 
 
 def tfidf_cosine_pairs(
