@@ -412,3 +412,59 @@ SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# batched external scoring (X3/X4) through the deterministic stub client —
+# the full mapInPandas chunking path, oracle-checked because the stub is a
+# pure function of the text (same lexicon-overlap semantics as skills_match)
+# ---------------------------------------------------------------------------
+
+
+def _q_llm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .driver_queries_corpus import LEXICON, RESUME_SKILLS
+    from .operators.enrichment import (
+        deterministic_stub_client_factory,
+        llm_match_scores,
+    )
+
+    docs = td.load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("summary")
+    )
+    enriched = llm_match_scores(
+        docs,
+        resume_text="spark join filter stream window hash",
+        client_factory=deterministic_stub_client_factory(LEXICON, RESUME_SKILLS),
+        batch_size=5,
+        token_budget=60_000,
+    )
+    return enriched.select(
+        "doc_id",
+        "match_percentage",
+        F.concat_ws(",", "matched_skills").alias("matched_skills"),
+        F.concat_ws(",", "missing_skills").alias("missing_skills"),
+    )
+
+
+def _llm_match_sql() -> str:
+    from .driver_queries_corpus import LEXICON, RESUME_SKILLS
+
+    lex = ", ".join(f"'{w}'" for w in sorted(LEXICON))
+    res = ", ".join(f"'{w}'" for w in sorted(RESUME_SKILLS))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_sort(list_intersect(list_distinct(list_transform(
+           string_split_regex(trim(text), '\\s+'), x -> lower(x))), [{lex}])) AS job_skills
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN len(job_skills) > 0
+            THEN round(len(list_intersect(job_skills, [{res}])) * 100.0 / len(job_skills), 2)
+            ELSE 0.0 END AS match_percentage,
+       COALESCE(array_to_string(list_sort(list_intersect(job_skills, [{res}])), ','), '') AS matched_skills,
+       COALESCE(array_to_string(list_sort(list_filter(job_skills, s -> s NOT IN ({res}))), ','), '') AS missing_skills
+FROM t
+"""
+
+
+_register("llm_match_scores", _q_llm_match, _llm_match_sql())
