@@ -220,3 +220,16 @@ def test_enrichment_batch_chunking(spark):
     out = llm_match_scores(stage, "resume", factory, batch_size=3)
     assert out.count() == 7
     assert all(r["match_percentage"] == 100.0 for r in out.collect())
+
+
+def test_csv_roundtrip_drops_blank_descriptions(spark, tmp_path):
+    from rss_feed_etl_spark.sources.csvio import read_descriptions_csv, write_csv
+
+    df = spark.createDataFrame(
+        [("1", "desc one"), ("2", ""), ("3", "nan"), ("4", "real text")],
+        "id string, description string",
+    )
+    path = str(tmp_path / "jobs_csv")
+    write_csv(df, path)
+    back = read_descriptions_csv(spark, path)
+    assert {r.id for r in back.collect()} == {"1", "4"}
