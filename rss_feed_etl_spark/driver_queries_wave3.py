@@ -468,3 +468,73 @@ FROM t
 
 
 _register("llm_match_scores", _q_llm_match, _llm_match_sql())
+
+
+# ---------------------------------------------------------------------------
+# JSON parse (F14/F15) and event-time tumbling windows (§2.9)
+# ---------------------------------------------------------------------------
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json on the props column (reference F15 parses LLM JSON output;
+    F14 re-encodes at the sink) — extract k, aggregate per event_type, and
+    re-encode a JSON summary string."""
+    ev = td.load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json(F.col("props"), "k INT").getField("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("k").alias("k_sum"),
+        F.count(F.col("k")).alias("k_n"),
+        F.to_json(F.struct(F.min("k").alias("lo"), F.max("k").alias("hi"))).alias(
+            "k_range_json"
+        ),
+    )
+
+
+_register(
+    "json_props_summary",
+    _q_json_props,
+    """
+SELECT event_type,
+       sum(CAST(json_extract(props, '$.k') AS INT)) AS k_sum,
+       count(json_extract(props, '$.k')) AS k_n,
+       '{"lo":' || min(CAST(json_extract(props, '$.k') AS INT))
+         || ',"hi":' || max(CAST(json_extract(props, '$.k') AS INT)) || '}'
+         AS k_range_json
+FROM events
+GROUP BY event_type
+""",
+)
+
+
+def _q_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation — the batch form of the
+    streaming windowed_event_counts (streaming/incremental.py); window()
+    here is exactly what the watermarked streaming aggregate runs."""
+    ev = td.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_register(
+    "daily_event_windows",
+    _q_daily_windows,
+    """
+SELECT date_trunc('day', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
