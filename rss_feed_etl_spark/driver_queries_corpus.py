@@ -69,8 +69,16 @@ def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(toks, 1, F.ceil(F.size(toks) * 0.8).cast("int"))
         ).alias("text"),
     )
-    return docs.select(F.col("doc_id"), "text").unionByName(trunc).withColumnRenamed(
-        "doc_id", "id"
+    # the parquet input is 1-2 files; the shingle/hash map work downstream
+    # is CPU-bound, so spread it across the session's parallelism (at real
+    # scale inputs arrive in thousands of partitions and this becomes a
+    # cheap no-op-ish rebalance of small id+text rows)
+    par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        docs.select(F.col("doc_id"), "text")
+        .unionByName(trunc)
+        .withColumnRenamed("doc_id", "id")
+        .repartition(par)
     )
 
 
@@ -410,11 +418,7 @@ HAVING round(sum(a.wn * b.wn), 4) >= 0.5
 
 # --- lexicon skills match (reference A4/X2) -------------------------------
 
-LEXICON = [
-    "spark", "table", "join", "merge", "filter", "query", "stream",
-    "batch", "window", "sort", "hash", "vector", "column", "agg",
-]
-RESUME_SKILLS = ["spark", "join", "filter", "stream", "window", "hash"]
+from .testdata import LEXICON, RESUME_SKILLS  # noqa: E402 (shared constants)
 
 
 def _q_skills(spark: SparkSession, sf_dir: str) -> DataFrame:

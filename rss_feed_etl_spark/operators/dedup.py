@@ -110,22 +110,32 @@ def ngram_jaccard_pairs(
     (id_a, id_b, jaccard) with id_a < id_b, rounded to 6dp for stable
     cross-engine comparison.
     """
+    # shingle-set sizes ride along with the exploded rows: joining a
+    # separate sizes frame back in would re-evaluate the (expensive)
+    # shingle subtree once per join — this plan evaluates it exactly twice
+    # (the two sides of the self-join), with sizes folded out of the
+    # group-by for free (they are constant per id)
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     )
-    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
-    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    exploded = sh.select(
+        "id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
     pairs = (
         exploded.alias("a")
         .join(exploded.alias("b"), on="shingle")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("common"))
+        .agg(
+            F.count("*").alias("common"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
     )
     return (
-        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(
                 F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6

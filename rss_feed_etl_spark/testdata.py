@@ -153,3 +153,11 @@ SELECT event_type AS job_title,
        ts
 FROM events
 """
+
+# shared skills-lexicon constants (used by both the expression-based
+# skills_match and the stub-client llm_match_scores driver queries)
+LEXICON = [
+    "spark", "table", "join", "merge", "filter", "query", "stream",
+    "batch", "window", "sort", "hash", "vector", "column", "agg",
+]
+RESUME_SKILLS = ["spark", "join", "filter", "stream", "window", "hash"]
