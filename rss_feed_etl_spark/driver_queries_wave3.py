@@ -538,3 +538,50 @@ FROM events
 GROUP BY 1, 2
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# HTML → text cleaning (X1/F5) through the Arrow-batched pandas UDF
+# ---------------------------------------------------------------------------
+
+
+def _q_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap each document in deterministic HTML (tags + a script block +
+    entities), clean it with the pandas UDF, and return the text — the
+    UDF is regex + entity replacement, so DuckDB replicates it exactly
+    (its RE2 lacks backreferences, so the oracle spells the script|style
+    alternation out; equivalent on non-nested input)."""
+    from .functions.text import html_to_text_udf
+
+    docs = td.load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit('<p>Job: <b>'),
+        F.col("text"),
+        F.lit('</b></p><script type="text/javascript">var x = 1;</script>&amp; more &lt;stuff&gt;'),
+    )
+    return docs.select("doc_id", html_to_text_udf()(raw).alias("text_clean"))
+
+
+_register(
+    "html_clean",
+    _q_html_clean,
+    r"""
+WITH h AS (
+  SELECT doc_id,
+         '<p>Job: <b>' || text ||
+         '</b></p><script type="text/javascript">var x = 1;</script>&amp; more &lt;stuff&gt;'
+           AS raw
+  FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(
+           regexp_replace(
+             regexp_replace(raw,
+               '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g'),
+             '<[^>]+>', ' ', 'g'),
+           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', chr(39)),
+         '\s+', ' ', 'g')) AS text_clean
+FROM h
+""",
+)
