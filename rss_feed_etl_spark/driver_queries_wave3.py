@@ -585,3 +585,30 @@ SELECT doc_id,
 FROM h
 """,
 )
+
+
+# ---------------------------------------------------------------------------
+# timezone conversion + formatting (F8/F9 — the reference's published-time
+# UTC → US/Central conversion, etl.py:129-133)
+# ---------------------------------------------------------------------------
+
+
+def _q_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = td.load_table(spark, sf_dir, "events")
+    central = F.from_utc_timestamp(F.col("ts"), "US/Central")
+    return ev.select(
+        "event_id",
+        F.date_format(central, "yyyy-MM-dd HH:mm:ss").alias("central_time"),
+    )
+
+
+_register(
+    "tz_convert_format",
+    _q_tz_convert,
+    """
+SELECT event_id,
+       strftime(timezone('US/Central', timezone('UTC', ts)), '%Y-%m-%d %H:%M:%S')
+         AS central_time
+FROM events
+""",
+)
