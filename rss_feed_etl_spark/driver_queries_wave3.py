@@ -612,3 +612,26 @@ SELECT event_id,
 FROM events
 """,
 )
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = multimodal.extract_audio_features(
+        _media_df(spark, sf_dir, "audio"), window_ms=1000
+    )
+    return feats.select("media_id", "n_windows", "rms")
+
+
+_register(
+    "audio_features",
+    _q_audio_features,
+    f"""
+WITH a AS (
+  SELECT doc_id, text,
+         CAST(greatest(((n_chars % 5000) + 500) // 1000, 1) AS INT) AS n
+  FROM documents)
+SELECT doc_id AS media_id, n AS n_windows,
+       list_transform(range(0, n),
+         i -> round({_hexbyte("md5(text || CAST(i AS VARCHAR))", 0)} / 255.0, 6)) AS rms
+FROM a
+""",
+)

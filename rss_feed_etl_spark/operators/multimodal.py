@@ -156,3 +156,51 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, strict: bool = False) 
         "media_id", "content", F.col("meta.duration_ms").alias("duration_ms")
     )
     return vids.mapInPandas(explode_frames, FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_windows", T.IntegerType()),
+        T.StructField("rms", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_audio_features(
+    media: DataFrame, window_ms: int = 1000, strict: bool = False
+) -> DataFrame:
+    """audio rows → (media_id, n_windows, per-window RMS-like features).
+
+    Production decodes with librosa/soundfile and computes per-window RMS;
+    the STUB derives one deterministic float per window from
+    md5(content || window_idx) so the windowing arithmetic, schema, and
+    batch shape are real and oracle-checkable without a codec.
+    """
+    import pandas as pd
+
+    from ..session import ensure_executors_can_import
+
+    ensure_executors_can_import(media.sparkSession)
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "audio decode requires librosa/soundfile; not available here"
+                )
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n = max(1, int((r.duration_ms or 0) // window_ms))
+                rms = []
+                for i in range(n):
+                    d = hashlib.md5((r.content or b"") + str(i).encode()).digest()
+                    rms.append(round(d[0] / 255.0, 6))
+                rows.append({"media_id": r.media_id, "n_windows": n, "rms": rms})
+            yield pd.DataFrame(rows, columns=["media_id", "n_windows", "rms"])
+
+    auds = media.filter(F.col("kind") == "audio").select(
+        "media_id", "content", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    auds = auds.repartition(F.pmod(F.xxhash64("media_id"), F.lit(32)))
+    return auds.mapInPandas(features, AUDIO_FEATURES_SCHEMA)
