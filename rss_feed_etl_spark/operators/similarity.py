@@ -148,6 +148,97 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is partitioned into
+    cells by nearest centroid; each query probes only its ``nprobe`` nearest
+    cells, then exact cosine re-ranks the candidates.
+
+    The coarse quantizer here is a deterministic sample (every
+    ``centroid_mod``-th vector) instead of trained k-means, so both engines
+    derive identical cells from the data alone — swap in k-means centroids
+    without changing the plan.  Scale shape: centroids broadcast (they are
+    tiny); cell assignment is a map-side cross-join + partial-agg ``max_by``
+    (no N×C shuffle — partial aggregation collapses each vector's C
+    candidate rows within the map task); the candidate join is an equi-join
+    on ``cell``, so a 100 TB corpus shuffles at most once, on a small int
+    key, and each query touches ~nprobe/n_cells of the data.
+    """
+    cents = F.broadcast(
+        embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+        )
+    )
+
+    def assign(df: DataFrame, side: str, n_cells: int) -> DataFrame:
+        scored = df.join(cents).select(
+            df[id_col].alias(f"{side}_id"),
+            df[vec_col].alias(f"{side}v"),
+            "cent_id",
+            cosine(df[vec_col], F.col("cv")).alias("csim"),
+        )
+        # argmax-by-struct: (sim desc, cent_id asc) ties deterministically;
+        # map-side combine keeps one row per (vector, cell rank)
+        ranked = scored.groupBy(f"{side}_id").agg(
+            F.max(
+                F.struct(
+                    F.col("csim").alias("s"), (-F.col("cent_id")).alias("negid")
+                )
+            ).alias("best"),
+            F.first(f"{side}v").alias(f"{side}v"),
+        )
+        if n_cells == 1:
+            return ranked.select(
+                f"{side}_id", f"{side}v", (-F.col("best.negid")).alias("cell")
+            )
+        # nprobe > 1: keep the top-n cells per query via sorted collect
+        topn = (
+            scored.groupBy(f"{side}_id")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct(-F.col("csim"), F.col("cent_id")))
+                    ),
+                    1,
+                    n_cells,
+                ).alias("cells"),
+                F.first(f"{side}v").alias(f"{side}v"),
+            )
+            .select(
+                f"{side}_id",
+                f"{side}v",
+                F.explode(F.transform(F.col("cells"), lambda s: s.cent_id)).alias("cell"),
+            )
+        )
+        return topn
+
+    corpus = assign(embeddings, "neighbor", 1)
+    probes = F.broadcast(assign(queries, "query", nprobe))
+    pairs = corpus.join(probes, on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("queryv"), F.col("neighborv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -41,6 +41,36 @@ def subword_estimate(col: Column | str) -> Column:
     return F.ceil(F.length(c) / F.lit(4.0)).cast("bigint")
 
 
+# GPT-2-style pre-tokenizer, simplified to a dialect shared by Java regex
+# and RE2: letter runs, digit runs, and single non-alnum glyphs each count
+# as one subword-ish token.  This is the "BPE-ish regex" pass a training
+# pipeline runs before the merge table; counts track real BPE within ~15%.
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting two ways (whitespace + BPE-ish regex) per document.
+
+    Pure Catalyst projection (``regexp_extract_all`` stays in codegen —
+    no UDF), so at 100 TB this is a map-only stage bounded by scan rate.
+    ``chars_per_tok`` is the compression-ratio quality signal (too low →
+    symbol soup, too high → run-on junk).
+    """
+    c = F.col(text_col)
+    n_ws = token_count(c)
+    n_bpe = F.size(F.regexp_extract_all(c, F.lit(BPE_REGEX), 0))
+    return df.select(
+        F.col(id_col),
+        n_ws.cast("bigint").alias("n_ws_tokens"),
+        n_bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.when(n_bpe > 0, F.round(F.length(c) / n_bpe.cast("double"), 4))
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_tok"),
+    )
+
+
 STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
 _PUNCT_CLASS = "[.!,?;:]"
 

