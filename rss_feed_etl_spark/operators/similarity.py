@@ -164,60 +164,52 @@ def cosine_topk_ivf(
     The coarse quantizer here is a deterministic sample (every
     ``centroid_mod``-th vector) instead of trained k-means, so both engines
     derive identical cells from the data alone — swap in k-means centroids
-    without changing the plan.  Scale shape: centroids broadcast (they are
-    tiny); cell assignment is a map-side cross-join + partial-agg ``max_by``
-    (no N×C shuffle — partial aggregation collapses each vector's C
-    candidate rows within the map task); the candidate join is an equi-join
-    on ``cell``, so a 100 TB corpus shuffles at most once, on a small int
-    key, and each query touches ~nprobe/n_cells of the data.
+    without changing the plan.  Scale shape: the centroid set collapses to
+    ONE broadcast row holding an array of (cent_id, vector) structs, and
+    cell assignment is a pure expression over it (``array_sort`` of
+    per-centroid cosine structs) — a map-only stage, no shuffle of the
+    corpus at all; the candidate join is ``corpus ⋈ broadcast(probes)`` on
+    the small int ``cell`` key, so a 100 TB corpus is scanned once and
+    never exchanged, and each query touches ~nprobe/n_cells of the data.
     """
-    cents = F.broadcast(
-        embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    cent_arr = F.broadcast(
+        embeddings.filter(F.col(id_col) % centroid_mod == 0)
+        .select(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
+                )
+            ).alias("cents")
         )
     )
 
     def assign(df: DataFrame, side: str, n_cells: int) -> DataFrame:
-        scored = df.join(cents).select(
-            df[id_col].alias(f"{side}_id"),
-            df[vec_col].alias(f"{side}v"),
-            "cent_id",
-            cosine(df[vec_col], F.col("cv")).alias("csim"),
-        )
-        # argmax-by-struct: (sim desc, cent_id asc) ties deterministically;
-        # map-side combine keeps one row per (vector, cell rank)
-        ranked = scored.groupBy(f"{side}_id").agg(
-            F.max(
-                F.struct(
-                    F.col("csim").alias("s"), (-F.col("cent_id")).alias("negid")
-                )
-            ).alias("best"),
-            F.first(f"{side}v").alias(f"{side}v"),
-        )
-        if n_cells == 1:
-            return ranked.select(
-                f"{side}_id", f"{side}v", (-F.col("best.negid")).alias("cell")
-            )
-        # nprobe > 1: keep the top-n cells per query via sorted collect
-        topn = (
-            scored.groupBy(f"{side}_id")
-            .agg(
-                F.slice(
-                    F.array_sort(
-                        F.collect_list(F.struct(-F.col("csim"), F.col("cent_id")))
+        # per-centroid (−sim, cent_id) structs; ascending sort = sim desc,
+        # cent_id asc — ties deterministic, same order the oracle ranks by
+        ranked = F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        (-cosine(F.col("__vec"), c["cv"])).alias("negs"),
+                        c["cent_id"].alias("cent_id"),
                     ),
-                    1,
-                    n_cells,
-                ).alias("cells"),
-                F.first(f"{side}v").alias(f"{side}v"),
+                )
+            ),
+            1,
+            n_cells,
+        )
+        return (
+            df.select(
+                F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias("__vec")
             )
+            .join(cent_arr)
             .select(
                 f"{side}_id",
-                f"{side}v",
-                F.explode(F.transform(F.col("cells"), lambda s: s.cent_id)).alias("cell"),
+                F.col("__vec").alias(f"{side}v"),
+                F.explode(ranked["cent_id"]).alias("cell"),
             )
         )
-        return topn
 
     corpus = assign(embeddings, "neighbor", 1)
     probes = F.broadcast(assign(queries, "query", nprobe))
