@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from . import testdata as td
 from .driver_queries import _register
 from .driver_queries_corpus import _cos_sql
-from .operators import similarity, textstats
+from .operators import similarity, sketches, textstats
 
 # --- token counting: whitespace + BPE-ish regex (training-data pipeline) --
 
@@ -94,5 +94,43 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
+""",
+)
+
+
+# --- cardinality / distribution profiles (exact = oracle baseline for the
+# --- HLL / GK-digest sketches in operators/sketches.py) -------------------
+
+
+def _q_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.distinct_daily(td.load_table(spark, sf_dir, "events"))
+
+
+_register(
+    "events_distinct_daily",
+    _q_distinct_daily,
+    """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY day ORDER BY day
+""",
+)
+
+
+def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.value_percentiles(td.load_table(spark, sf_dir, "events"))
+
+
+_register(
+    "value_percentiles",
+    _q_value_percentiles,
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       round(avg(value), 4) AS mean
+FROM events GROUP BY event_type ORDER BY event_type
 """,
 )

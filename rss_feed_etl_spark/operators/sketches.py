@@ -1,0 +1,100 @@
+"""Sketch / approximate aggregates for 100 TB-scale profiling.
+
+The reference has no aggregation tree at all (SURVEY.md §2.4 — whole-frame
+counts only, `src/rss_feed_etl/core/data_loader.py:203-207`), but a
+training-data pipeline lives on cardinality and distribution profiles:
+distinct users per day, p99 of a quality score, heavy-hitter sources.
+
+Exact forms (``count_distinct``, ``percentile``) are the oracle-checked
+baselines.  The scale path is the sketch pair:
+
+- ``approx_count_distinct`` — HyperLogLog++.  One shuffle of fixed-size
+  sketch buffers instead of the two-phase expand+dedup shuffle of exact
+  DISTINCT; error ~rsd regardless of cardinality.
+- ``percentile_approx`` — Greenwald-Khanna quantile digest.  Bounded
+  memory per group vs the exact form's full sorted collection, and the
+  digests merge associatively so partial aggregation stays map-side.
+
+Both sketches are mergeable, so at 1000 executors the combine tree moves
+kilobytes per group, not the column itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PCTS = [0.5, 0.9, 0.99]
+
+
+def distinct_daily(
+    events: DataFrame, ts_col: str = "ts", key_col: str = "user_id"
+) -> DataFrame:
+    """Exact distinct actors per day (the profile the sketches approximate).
+
+    Spark plans exact DISTINCT-agg as a two-phase shuffle (expand on
+    (day, user) then re-agg on day); correct but the expensive baseline.
+    """
+    return (
+        events.groupBy(F.date_format(ts_col, "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count_distinct(key_col).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+def approx_distinct_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """HLL++ variant of :func:`distinct_daily` — single-shuffle, fixed
+    memory, the form that survives a 100 TB event log."""
+    return (
+        events.groupBy(F.date_format(ts_col, "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.approx_count_distinct(key_col, rsd).alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+def value_percentiles(
+    events: DataFrame, group_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Exact interpolated p50/p90/p99 per group (≡ SQL ``quantile_cont``)."""
+    p = F.percentile(value_col, F.lit(PCTS))
+    return (
+        events.groupBy(group_col)
+        .agg(
+            F.round(p[0], 4).alias("p50"),
+            F.round(p[1], 4).alias("p90"),
+            F.round(p[2], 4).alias("p99"),
+            F.round(F.avg(value_col), 4).alias("mean"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def approx_value_percentiles(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """GK-digest variant of :func:`value_percentiles`: rank error ≤
+    1/accuracy with O(accuracy) memory per group, mergeable partials."""
+    p = F.percentile_approx(value_col, F.lit(PCTS), F.lit(accuracy))
+    return (
+        events.groupBy(group_col)
+        .agg(
+            F.round(p[0], 4).alias("p50"),
+            F.round(p[1], 4).alias("p90"),
+            F.round(p[2], 4).alias("p99"),
+        )
+        .orderBy(group_col)
+    )
