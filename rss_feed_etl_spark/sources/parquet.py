@@ -54,3 +54,32 @@ def write_partitioned(df: DataFrame, path: str, ts_col: str = "published") -> No
         .partitionBy("ingest_date")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str = "link",
+    buckets: int = 64,
+) -> None:
+    """Bucketed sink: pre-shuffle the table ONCE at write time so every
+    later equi-join / groupBy on ``key`` is exchange-free.
+
+    The reference re-reads and re-merges the whole history table on every
+    run (data_loader.py:353-430); its Spark analog probes history on the
+    primary key per batch.  Hash-bucketing the stored history by that key
+    (+ sorting within buckets) means those probes compile to a
+    SortMergeJoin with NO Exchange on the history side — at 100 TB the
+    history is written pre-partitioned and never moves again; only the
+    small batch side shuffles into the same bucketing.  ``path`` makes the
+    table external so storage location is explicit (no warehouse writes).
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
