@@ -238,6 +238,25 @@ def minhash_lsh_pairs(
     )
 
 
+def neardup_drop_list(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Turn near-dup pairs (``id_a < id_b``) into the pipeline's decision:
+    which documents to DROP, and which survivor each one maps to.
+
+    One-hop canonicalization — a doc that matched any smaller-id doc is
+    dropped in favor of its smallest match.  (Full transitive clustering
+    is iterated min-propagation; one hop is the standard first pass and
+    what bounded-candidate LSH output supports without iteration.)  A
+    single partial-agg ``min`` per dropped doc: the shuffle carries two
+    ints per pair, nothing document-sized.
+    """
+    return (
+        pairs.groupBy(F.col(id_b).alias("id"))
+        .agg(F.min(id_a).alias("canonical_id"))
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """Per-document SimHash over word tokens (near-dup fingerprint).
 

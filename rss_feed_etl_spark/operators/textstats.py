@@ -143,6 +143,64 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_punct_ratio: float = 0.08,
+    min_stopword_ratio: float = 0.05,
+    allowed_lang: str = "en",
+) -> DataFrame:
+    """C4/Gopher-style composed keep/drop gate: length, punctuation,
+    stopword-naturalness, and language rules evaluated in ONE map-only
+    projection (no self-join of the stats and lang-id passes), each failed
+    rule named in ``reasons``.
+
+    This is the decision layer a training-data pipeline runs over every
+    document; at 100 TB it is a single scan whose output feeds a
+    partition-pruned write of keep=true rows.  Rule comparisons use the
+    raw IEEE ratios (identical int inputs ⇒ identical doubles on any
+    engine), so the oracle replays the exact keep set.
+    """
+    c = F.col(text_col)
+    toks = _tokens(c)
+    n_tok = token_count(c)
+    n_chars = F.length(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, _PUNCT_CLASS, ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS_EN)))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok.cast("double")).otherwise(F.lit(0.0))
+
+    low = F.transform(toks, F.lower)
+    scores = {
+        lang: F.size(F.filter(low, (lambda ws: lambda t: t.isin(ws))(words)))
+        for lang, words in LANG_PROFILES.items()
+    }
+    langs = list(LANG_PROFILES)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+
+    reasons = F.concat_ws(
+        ";",
+        F.when(n_tok < min_tokens, F.lit("too_short")),
+        F.when(punct_ratio > max_punct_ratio, F.lit("too_much_punct")),
+        F.when(stop_ratio < min_stopword_ratio, F.lit("low_stopword")),
+        F.when(pred != allowed_lang, F.lit("bad_lang")),
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        pred.alias("pred_lang"),
+        reasons.alias("reasons"),
+        (reasons == "").alias("keep"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Rolling-hash document fingerprint over normalized tokens.
 

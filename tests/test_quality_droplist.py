@@ -1,0 +1,47 @@
+"""Decision-layer operators: quality gate splits the corpus meaningfully,
+drop list only ever drops toward a smaller canonical id."""
+
+import os
+
+from rss_feed_etl_spark import testdata as td
+from rss_feed_etl_spark.operators import dedup, textstats
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_quality_filter_splits_and_names_reasons(spark):
+    docs = td.load_table(spark, SF_DIR, "documents")
+    rows = textstats.quality_filter(docs).collect()
+    assert len(rows) == docs.count()
+    kept = [r for r in rows if r.keep]
+    dropped = [r for r in rows if not r.keep]
+    assert kept and dropped  # non-degenerate gate on the synthetic corpus
+    for r in kept:
+        assert r.reasons == ""
+    known = {"too_short", "too_much_punct", "low_stopword", "bad_lang"}
+    for r in dropped:
+        parts = r.reasons.split(";")
+        assert parts and set(parts) <= known, r.reasons
+        # non-English docs must carry the language reason
+        if r.pred_lang != "en":
+            assert "bad_lang" in parts
+
+
+def test_drop_list_points_to_smaller_survivor(spark):
+    docs = td.load_table(spark, SF_DIR, "documents").limit(200)
+    from pyspark.sql import functions as F
+
+    aug = docs.select(F.col("doc_id").alias("id"), "text").unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("id"), "text")
+    )
+    pairs = dedup.minhash_lsh_pairs(aug, id_col="id", text_col="text", n=3, threshold=0.25)
+    drops = dedup.neardup_drop_list(pairs).collect()
+    assert drops  # exact copies must be caught
+    ids = [r.id for r in drops]
+    assert len(ids) == len(set(ids))  # one verdict per dropped doc
+    for r in drops:
+        assert r.canonical_id < r.id
+    # every duplicated doc maps back to its original
+    orig_map = {r.id: r.canonical_id for r in drops}
+    hits = sum(1 for i, c in orig_map.items() if i >= 10000 and c == i - 10000)
+    assert hits >= 150  # minhash at threshold .25 catches identical text
