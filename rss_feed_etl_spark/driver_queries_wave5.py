@@ -92,3 +92,67 @@ SELECT id_b AS id, min(id_a) AS canonical_id
 FROM pairs GROUP BY id_b
 """,
 )
+
+
+# --- within-doc repetition (Gopher gate) ----------------------------------
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.repetition_ratio(td.load_table(spark, sf_dir, "documents"))
+
+
+_register(
+    "repetition_ratio",
+    _q_repetition,
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(w)-2, 1)+1),
+                        i -> array_to_string(w[i:i+2], ' ')) AS grams
+  FROM t)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_unique_grams,
+       round(CASE WHEN len(grams) > 0
+                  THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS repetition
+FROM g
+""",
+)
+
+
+# --- corpus-wide top terms ------------------------------------------------
+
+_TOPK_TERMS = 20
+_STOPLIST_SQL = _STOPLIST  # same lexicon both engines
+
+
+def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.top_terms(
+        td.load_table(spark, sf_dir, "documents"), k=_TOPK_TERMS
+    )
+
+
+_register(
+    "corpus_top_terms",
+    _q_top_terms,
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+                               t -> lower(t))) AS term
+  FROM documents),
+f AS (
+  SELECT doc_id, term FROM toks
+  WHERE length(term) >= 3 AND regexp_full_match(term, '[a-z]+')
+    AND term NOT IN ({_STOPLIST_SQL}))
+SELECT term,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM f GROUP BY term
+ORDER BY n_occurrences DESC, term ASC
+LIMIT {_TOPK_TERMS}
+""",
+)

@@ -201,6 +201,75 @@ def quality_filter(
     )
 
 
+def repetition_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Within-document repetition: fraction of word n-grams that are
+    duplicates (1 − distinct/total).  The Gopher-style repetition gate —
+    boilerplate, scraped menus and keyword-stuffed spam score high.
+
+    Pure array expressions over one scan (map-only at 100 TB); gram
+    construction is the same slice-based form as the dedup shingles so the
+    oracle replays it verbatim.
+    """
+    c = F.col(text_col)
+    toks = _tokens(c)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    n_grams = F.size(grams)
+    n_uniq = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        n_grams.cast("bigint").alias("n_grams"),
+        n_uniq.cast("bigint").alias("n_unique_grams"),
+        F.round(
+            F.when(
+                n_grams > 0,
+                F.lit(1.0) - n_uniq / n_grams.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("repetition"),
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_len: int = 3,
+) -> DataFrame:
+    """Corpus-wide top-k terms by total occurrences (alphabetic tokens of
+    ≥ ``min_len`` chars, stopwords removed), with document frequency.
+
+    explode → two-level aggregate: the shuffle carries (term, partial
+    counts) after map-side combine, never documents; the final top-k is a
+    global ``orderBy + limit`` which Spark plans as TakeOrderedAndProject
+    (per-partition heaps, no single-partition sort).  Ties break on the
+    term so the ranking is deterministic.
+    """
+    toks = F.transform(_tokens(F.col(text_col)), F.lower)
+    terms = df.select(
+        F.col(id_col), F.explode(toks).alias("term")
+    ).filter(
+        (F.length("term") >= min_len)
+        & F.col("term").rlike("^[a-z]+$")
+        & ~F.col("term").isin(STOPWORDS_EN)
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct(id_col).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Rolling-hash document fingerprint over normalized tokens.
 

@@ -27,6 +27,19 @@ def test_quality_filter_splits_and_names_reasons(spark):
             assert "bad_lang" in parts
 
 
+def test_repetition_ratio_flags_repeats(spark):
+    rows = [
+        (1, "buy now buy now buy now buy now buy now buy now"),
+        (2, "a genuinely varied sentence with no repeated trigram content here"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in textstats.repetition_ratio(df).collect()}
+    assert got[1].repetition > 0.7
+    assert got[2].repetition == 0.0
+    assert got[3].repetition == 0.0 and got[3].n_grams == 1  # blank → 1 empty gram
+
+
 def test_drop_list_points_to_smaller_survivor(spark):
     docs = td.load_table(spark, SF_DIR, "documents").limit(200)
     from pyspark.sql import functions as F
