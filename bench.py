@@ -23,6 +23,7 @@ from rss_feed_etl_spark import driver_queries  # noqa: E402
 from rss_feed_etl_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # reference-pipeline queries
     "filter_pipeline",
     "scd1_merge",
     "scd2_merge",
@@ -31,6 +32,11 @@ HEADLINE = [
     "union_dedup_keep_first",
     "pricing_summary",
     "topk_per_user",
+    # training-data corpus path
+    "minhash_lsh_neardup",
+    "corpus_quality_filter",
+    "ann_cosine_topk_ivf",
+    "token_counts",
 ]
 
 
