@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -164,51 +165,56 @@ def cosine_topk_ivf(
     The coarse quantizer here is a deterministic sample (every
     ``centroid_mod``-th vector) instead of trained k-means, so both engines
     derive identical cells from the data alone — swap in k-means centroids
-    without changing the plan.  Scale shape: the centroid set collapses to
-    ONE broadcast row holding an array of (cent_id, vector) structs, and
-    cell assignment is a pure expression over it (``array_sort`` of
-    per-centroid cosine structs) — a map-only stage, no shuffle of the
-    corpus at all; the candidate join is ``corpus ⋈ broadcast(probes)`` on
-    the small int ``cell`` key, so a 100 TB corpus is scanned once and
-    never exchanged, and each query touches ~nprobe/n_cells of the data.
+    without changing the plan.  Scale shape: centroids are config-sized, so
+    they collect once to the driver and ride into an Arrow-batched pandas
+    UDF closure; cell assignment is then ONE GEMM per batch
+    (``V_norm @ C_norm.T`` + stable argsort) — a map-only stage, no shuffle
+    of the corpus at all, and vectorized instead of per-element lambda math
+    (same rationale as ``embedding_neardup_pairs``: dense linear algebra
+    belongs in a GEMM, ~100× over interpreted folds).  The candidate join
+    is ``corpus ⋈ broadcast(probes)`` on the small int ``cell`` key, so a
+    100 TB corpus is scanned once and never exchanged, and each query
+    touches ~nprobe/n_cells of the data.  Exact candidate re-ranking stays
+    in Catalyst expressions (the pair set is tiny).
     """
-    cent_arr = F.broadcast(
-        embeddings.filter(F.col(id_col) % centroid_mod == 0)
-        .select(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
-                )
-            ).alias("cents")
-        )
+    from ..session import ensure_executors_can_import
+
+    ensure_executors_can_import(embeddings.sparkSession)
+
+    cent_rows = sorted(
+        (r[0], r[1])
+        for r in embeddings.filter(F.col(id_col) % centroid_mod == 0)
+        .select(id_col, vec_col)
+        .collect()
     )
 
     def assign(df: DataFrame, side: str, n_cells: int) -> DataFrame:
-        # per-centroid (−sim, cent_id) structs; ascending sort = sim desc,
-        # cent_id asc — ties deterministic, same order the oracle ranks by
-        ranked = F.slice(
-            F.array_sort(
-                F.transform(
-                    F.col("cents"),
-                    lambda c: F.struct(
-                        (-cosine(F.col("__vec"), c["cv"])).alias("negs"),
-                        c["cent_id"].alias("cent_id"),
-                    ),
-                )
-            ),
-            1,
-            n_cells,
-        )
-        return (
-            df.select(
-                F.col(id_col).alias(f"{side}_id"), F.col(vec_col).alias("__vec")
-            )
-            .join(cent_arr)
-            .select(
-                f"{side}_id",
-                F.col("__vec").alias(f"{side}v"),
-                F.explode(ranked["cent_id"]).alias("cell"),
-            )
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def cells(vecs: pd.Series) -> pd.Series:
+            import numpy as np
+
+            cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+            cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            cnorm[cnorm == 0.0] = 1.0
+            cn = cmat / cnorm[:, None]
+
+            vmat = np.stack(vecs.to_numpy()).astype(np.float64)
+            vnorm = np.linalg.norm(vmat, axis=1)
+            vnorm[vnorm == 0.0] = 1.0
+            sims = (vmat / vnorm[:, None]) @ cn.T
+            # HALF_UP 4dp to match the expression/oracle rounding, then
+            # stable argsort of -sims: columns are in ascending cent_id
+            # order, so ties resolve (sim desc, cent_id asc) exactly like
+            # the oracle's row_number ordering
+            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_cells]
+            return pd.Series(list(cids[order]))
+
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"{side}v"),
+            F.explode(cells(F.col(vec_col))).alias("cell"),
         )
 
     corpus = assign(embeddings, "neighbor", 1)
