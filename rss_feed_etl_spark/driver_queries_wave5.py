@@ -11,10 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from . import testdata as td
 from .driver_queries import ORACLES, _register
 from .driver_queries_corpus import _NTOK, _PRED, _SCORES, _STOPLIST, _aug_docs
-from .operators import dedup, textstats
+from .operators import dedup, joins, textstats
 
 # --- composed quality filter ---------------------------------------------
 
@@ -133,6 +135,47 @@ def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.top_terms(
         td.load_table(spark, sf_dir, "documents"), k=_TOPK_TERMS
     )
+
+
+# --- interval (range) join ------------------------------------------------
+
+_WINDOW_S = 1800  # purchases within 30 min after a click
+
+
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = td.load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    out = joins.interval_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        min_delta_s=0, max_delta_s=_WINDOW_S,
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        F.col("r_purchase_id").alias("purchase_id"),
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("ts"))).alias("delta_us"),
+    )
+
+
+_register(
+    "click_purchase_window",
+    _q_interval_join,
+    f"""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND epoch_us(p.ts) - epoch_us(c.ts) <= {_WINDOW_S} * 1000000
+""",
+)
 
 
 _register(

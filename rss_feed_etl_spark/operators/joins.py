@@ -186,3 +186,67 @@ def salted_join(
     )
     out = l.join(r, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    min_delta_s: float,
+    max_delta_s: float,
+) -> DataFrame:
+    """Range/interval join: pair rows with equal ``on`` keys where
+    ``right_ts − left_ts ∈ [min_delta_s, max_delta_s]`` (absent from the
+    reference — its only join shape is the single-key equi-join, SURVEY.md
+    §2.3; this is the Flink-style interval join Spark lacks natively).
+
+    Plan shape for scale: a naive formulation is an equi-join on the key
+    with a non-equi time predicate, which Spark executes by shipping every
+    key group to one reducer and filtering the full per-key cross product.
+    Here both sides are BINNED into time buckets of the window width: each
+    left row explodes to the 1-2 buckets its window overlaps, each right
+    row lands in exactly one, and the join key becomes (key, bucket) — the
+    cross product is bounded per bucket, the exchange carries a composite
+    int key, and the exact predicate filters within buckets.  Bucket ids
+    use pure integer arithmetic on epoch-micros (no float floor), so
+    bucketing is reproducible on any engine.
+
+    Left columns keep their names; right columns get a ``r_`` prefix.
+    """
+    w_us = int(round((max_delta_s - min_delta_s) * 1_000_000))
+    if w_us <= 0:
+        raise ValueError("max_delta_s must exceed min_delta_s")
+    lo_us = int(round(min_delta_s * 1_000_000))
+    hi_us = int(round(max_delta_s * 1_000_000))
+
+    def idiv(c, w: int):
+        # exact integer floor-division for non-negative longs: (c - c%w)/w
+        # is a representable integer, so the double division is exact
+        return ((c - F.pmod(c, F.lit(w))) / F.lit(w)).cast("long")
+
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(f"r_{right_ts}"))
+
+    lhs = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(idiv(l_us + lo_us, w_us), idiv(l_us + hi_us, w_us))
+            )
+        ),
+    )
+    rhs = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    ).withColumn("__bucket_r", idiv(r_us, w_us))
+
+    on_r = f"r_{on}"
+    return (
+        lhs.join(
+            rhs,
+            (F.col(on) == F.col(on_r)) & (F.col("__bucket") == F.col("__bucket_r")),
+        )
+        .filter((r_us >= l_us + lo_us) & (r_us <= l_us + hi_us))
+        .drop("__bucket", "__bucket_r", on_r)
+    )
