@@ -137,6 +137,58 @@ def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- returned-item revenue (TPC-H Q10 shape) ------------------------------
+
+
+def _q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-table join-agg: lineitem ⋈ orders shuffle on the fact key after
+    the returnflag filter pushes into the lineitem scan; customer and
+    nation are dimensions and broadcast (`F.broadcast` hints — at 100 TB
+    the only exchange is the orderkey co-shuffle + the final partial-agg
+    on custkey); top-20 via orderBy+limit = TakeOrderedAndProject."""
+    li = td.load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = td.load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = F.broadcast(
+        td.load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey"
+        )
+    )
+    nat = F.broadcast(
+        td.load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_register(
+    "returned_revenue_topk",
+    _q_returned_revenue,
+    """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+
+
 # --- interval (range) join ------------------------------------------------
 
 _WINDOW_S = 1800  # purchases within 30 min after a click
