@@ -188,13 +188,25 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, verified by
     estimated Jaccard (fraction of agreeing minhashes).
 
-    Scale path: documents never self-join on raw shingles; the join key is
-    the (band, band-hash) bucket — collisions are tunable, the exchange
-    carries 32 bigints per doc.  Returns (id_a, id_b, est_jaccard).
+    Scale path: documents never self-join on raw shingles — and never
+    self-join at all.  Each doc emits LSH_BANDS (bucket, id, sig) rows; one
+    groupBy collects each bucket's members and in-bucket pairs are generated
+    with nested array transforms, so the (expensive) signature subtree is
+    evaluated ONCE and the only exchange is the bucket groupBy carrying
+    32 bigints per (doc, band).  A two-sided self-join would evaluate the
+    signatures twice and shuffle the same bytes twice.
+
+    A bucket holds docs whose band signature agrees exactly, so bucket
+    sizes track true duplicate-cluster sizes.  For degenerate corpora
+    (millions of identical docs → one giant bucket → quadratic pair list
+    on a single task), ``max_bucket`` drops buckets larger than the cap —
+    the standard LSH guard; leave ``None`` for the exact, oracle-checked
+    semantics.  Returns (id_a, id_b, est_jaccard).
     """
     rows_per_band = N_MINHASH // LSH_BANDS
     sigs = minhash_signatures(df, id_col, text_col, n)
@@ -214,27 +226,43 @@ def minhash_lsh_pairs(
         F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("sig"),
         F.explode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias("bucket"),
     )
-    cand = (
-        bands_long.alias("a")
-        .join(bands_long.alias("b"), on="bucket")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    grouped = (
+        bands_long.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("members"))
+        .filter(F.size("members") >= 2)
     )
-    est = F.round(
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-        / F.lit(N_MINHASH),
-        6,
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("members") <= max_bucket)
+    # all i<j member pairs, est_jaccard computed in place (sort_array orders
+    # by id, so pairs come out id_a < id_b)
+    m = F.col("members")
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.greatest(F.size(m) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.round(
+                        F.size(
+                            F.filter(
+                                F.zip_with(x["sig"], y["sig"], lambda p, q: p == q),
+                                lambda v: v,
+                            )
+                        )
+                        / F.lit(N_MINHASH),
+                        6,
+                    ).alias("est_jaccard"),
+                ),
+            ),
+        )
     )
     return (
-        cand.withColumn("est_jaccard", est)
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.est_jaccard")
         .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
