@@ -285,6 +285,65 @@ def neardup_drop_list(
     )
 
 
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the pair
+    graph by iterative min-label propagation.  Returns (id, component_id)
+    for every doc that appears in a pair, where component_id is the
+    smallest doc id reachable through any chain of near-dup links — the
+    canonical survivor of the whole cluster (``neardup_drop_list`` is the
+    one-hop approximation of this).
+
+    Iterative algorithm on Spark: each sweep is join(edges, labels) →
+    min-per-dst → merge, i.e. two key exchanges over the PAIR LIST — never
+    the corpus, and the pair list is duplicate-rate-sized.  Lineage is cut
+    with ``localCheckpoint`` every sweep (on a cluster, set a checkpoint
+    dir and use ``checkpoint`` for fault tolerance); sweeps needed =
+    cluster diameter, which for dedup graphs is tiny — convergence is
+    detected and the loop exits early.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionAll(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["a"] == labels["id"])
+            .groupBy(F.col("b").alias("nid"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("lab").alias("component_id"))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """Per-document SimHash over word tokens (near-dup fingerprint).
 

@@ -58,3 +58,47 @@ def test_drop_list_points_to_smaller_survivor(spark):
     orig_map = {r.id: r.canonical_id for r in drops}
     hits = sum(1 for i, c in orig_map.items() if i >= 10000 and c == i - 10000)
     assert hits >= 150  # minhash at threshold .25 catches identical text
+
+
+def test_components_transitive_chain(spark):
+    """A chain a-b, b-c, c-d must collapse to one component labeled by the
+    smallest id — one-hop drop lists cannot see d's link to a."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (11, 12)],
+        ["id_a", "id_b"],
+    )
+    comp = {r.id: r.component_id for r in dedup.neardup_components(pairs).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_components_match_pair_reachability(spark):
+    docs = td.load_table(spark, SF_DIR, "documents").limit(120)
+    from pyspark.sql import functions as F
+
+    aug = docs.select(F.col("doc_id").alias("id"), "text").unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("id"), "text")
+    )
+    pairs_df = dedup.minhash_lsh_pairs(aug, id_col="id", text_col="text", n=3, threshold=0.25)
+    pairs = [(r.id_a, r.id_b) for r in pairs_df.collect()]
+    comp = {r.id: r.component_id for r in dedup.neardup_components(pairs_df).collect()}
+
+    # reference union-find over the same pairs
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    assert comp == expected
