@@ -101,6 +101,27 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+# PII scrubbing — patterns restricted to syntax that Java regex (Spark) and
+# RE2 (DuckDB oracle) interpret identically: no lookaround, no backrefs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"(\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Mask emails, phone numbers, and SSN-shaped ids with typed tokens.
+
+    Order matters: SSNs are masked before phones (a bare ddd-dd-dddd must
+    not half-match the phone pattern), emails last since their local part
+    can contain digits.  Three sequential ``regexp_replace`` — one codegen
+    stage, no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_SSN, "[SSN]")
+    c = F.regexp_replace(c, PII_PHONE, "[PHONE]")
+    return F.regexp_replace(c, PII_EMAIL, "[EMAIL]")
+
+
 _TAG = re.compile(r"<[^>]+>")
 _SCRIPT = re.compile(r"(?is)<(script|style)[^>]*>.*?</\1>")
 _ENTITIES = {

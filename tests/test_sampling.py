@@ -1,0 +1,79 @@
+"""Sampling/splitting invariants: content-addressed assignment must be
+stable under corpus growth and repartitioning — the property randomSplit
+lacks."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from rss_feed_etl_spark import testdata as td  # noqa: E402
+from rss_feed_etl_spark.functions.text import redact_pii  # noqa: E402
+from rss_feed_etl_spark.operators import sampling  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_split_stable_under_growth_and_partitioning(spark):
+    docs = td.load_table(spark, SF_DIR, "documents").select("doc_id")
+    small = {
+        r.doc_id: r.split
+        for r in sampling.deterministic_split(docs.limit(40)).collect()
+    }
+    full = {
+        r.doc_id: r.split
+        for r in sampling.deterministic_split(docs.repartition(7)).collect()
+    }
+    for doc_id, split in small.items():
+        assert full[doc_id] == split  # growth/partitioning moved a doc!
+
+
+def test_split_weights_roughly_hold(spark):
+    docs = td.load_table(spark, SF_DIR, "documents").select("doc_id")
+    counts = {
+        r.split: r.n
+        for r in sampling.deterministic_split(docs)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / n > 0.6  # 80% ± hash noise on a small table
+
+
+def test_split_rejects_bad_weights(spark):
+    docs = td.load_table(spark, SF_DIR, "documents")
+    try:
+        sampling.deterministic_split(docs, weights={"a": 50, "b": 40})
+    except ValueError:
+        return
+    raise AssertionError("weights not summing to 100 must be rejected")
+
+
+def test_quota_caps_every_group_deterministically(spark):
+    docs = td.load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    out1 = sampling.quota_per_group(docs, "lang", quota=10)
+    out2 = sampling.quota_per_group(docs.repartition(5), "lang", quota=10)
+    sizes = {r.lang: r.n for r in out1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes and all(n <= 10 for n in sizes.values())
+    assert sorted((r.doc_id, r.lang) for r in out1.collect()) == sorted(
+        (r.doc_id, r.lang) for r in out2.collect()
+    )
+
+
+def test_redact_pii_masks_all_three_kinds(spark):
+    rows = [
+        (1, "mail me at alice.smith+x@sub.example.org please"),
+        (2, "call +1 (415) 555-0134 or 415-555-0134 today"),
+        (3, "ssn is 078-05-1120 ok"),
+        (4, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {r.id: r.out for r in df.select("id", redact_pii("t").alias("out")).collect()}
+    assert got[1] == "mail me at [EMAIL] please"
+    assert got[2] == "call [PHONE] or [PHONE] today"
+    assert got[3] == "ssn is [SSN] ok"
+    assert got[4] == "clean text with no pii at all"
