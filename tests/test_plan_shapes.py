@@ -1,0 +1,59 @@
+"""Physical-plan regression tests: the scale properties the engine is
+designed around (broadcast dimension joins, TakeOrderedAndProject top-k,
+partial aggregation, column pruning, no cartesian products) must survive
+refactors.  Assertions target plan SHAPE, not sizes, so they hold on any
+input volume."""
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _queries():
+    from rss_feed_etl_spark import driver_queries
+
+    return driver_queries.queries()
+
+
+def test_topk_join_agg_plan(spark):
+    s = _plan(_queries()["returned_revenue_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in s  # top-20 never globally sorts
+    assert "CartesianProduct" not in s
+    assert s.count("BroadcastHashJoin") >= 2  # customer+nation are broadcast
+    # the fact scan reads only the 4 columns the query touches
+    li_schema = next(l for l in s.splitlines() if "ReadSchema" in l and "l_orderkey" in l)
+    for unused in ("l_quantity", "l_tax", "l_shipdate", "l_partkey"):
+        assert unused not in li_schema, f"column {unused} not pruned from scan"
+
+
+def test_pricing_summary_partial_agg(spark):
+    s = _plan(_queries()["pricing_summary"](spark, SF_DIR))
+    # map-side partial + final aggregate around one exchange
+    assert s.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in s
+
+
+def test_scd1_merge_never_shuffle_joins_history(spark):
+    s = _plan(_queries()["scd1_merge"](spark, SF_DIR))
+    assert "SortMergeJoin" not in s  # history side joins via broadcast only
+    assert "CartesianProduct" not in s
+
+
+def test_minhash_single_groupby_no_join(spark):
+    s = _plan(_queries()["minhash_lsh_neardup"](spark, SF_DIR))
+    # the LSH rewrite replaced the banded self-join with one groupBy:
+    # any join reappearing here means the signature subtree runs twice
+    assert "Join" not in s
+    assert "CartesianProduct" not in s
