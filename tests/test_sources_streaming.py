@@ -233,3 +233,48 @@ def test_csv_roundtrip_drops_blank_descriptions(spark, tmp_path):
     write_csv(df, path)
     back = read_descriptions_csv(spark, path)
     assert {r.id for r in back.collect()} == {"1", "4"}
+
+
+def test_jsonl_roundtrip_quarantines_corrupt_lines(spark, tmp_path):
+    import os
+
+    from pyspark.sql import types as T
+
+    from rss_feed_etl_spark.sources.jsonio import (
+        CORRUPT_COL,
+        jsonl_to_parquet,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, "alpha", 0.5), (2, "beta", 1.5)], schema)
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, path, compression=None)
+
+    # drop a corrupt line into the directory as its own file (appending to
+    # an existing part-file would invalidate its Hadoop .crc sidecar)
+    with open(os.path.join(path, "part-corrupt.json"), "w") as fh:
+        fh.write('{"id": 3, "text": "gamma", "score": NOT_JSON}\n')
+
+    clean = read_jsonl(spark, path, schema)
+    assert {r.id for r in clean.collect()} == {1, 2}
+    assert CORRUPT_COL not in clean.columns
+
+    kept = read_jsonl(spark, path, schema, keep_corrupt=True)
+    bad = kept.filter(kept[CORRUPT_COL].isNotNull()).collect()
+    assert len(bad) == 1 and "NOT_JSON" in bad[0][CORRUPT_COL]
+
+    dest = str(tmp_path / "docs_parquet")
+    jsonl_to_parquet(spark, path, dest, schema)
+    back = spark.read.parquet(dest)
+    assert sorted((r.id, r.text, r.score) for r in back.collect()) == [
+        (1, "alpha", 0.5),
+        (2, "beta", 1.5),
+    ]
