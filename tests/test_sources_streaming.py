@@ -278,3 +278,64 @@ def test_jsonl_roundtrip_quarantines_corrupt_lines(spark, tmp_path):
         (1, "alpha", 0.5),
         (2, "beta", 1.5),
     ]
+
+
+def test_streaming_watermark_drops_late_rows_across_restart(spark, tmp_path):
+    """Append-mode windowed counts with a 1h watermark: a row arriving
+    below the checkpointed watermark in a later run must NOT reopen its
+    (already finalized) window."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from rss_feed_etl_spark.streaming.incremental import windowed_event_counts
+
+    schema = T.StructType(
+        [
+            T.StructField("published", T.TimestampType()),
+            T.StructField("feed_title", T.StringType()),
+        ]
+    )
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch(rows, batch_name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        stream = spark.readStream.format("parquet").schema(schema).load(landing)
+        q = (
+            windowed_event_counts(stream, ts_col="published", watermark="1 hour",
+                                  window_len="1 hour", group_col="feed_title")
+            .select("window.start", "n_entries")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    d = datetime
+    # batch 1: two rows in the 10:00 window; 12:30 pushes watermark to 11:30
+    run_batch(
+        [
+            (d(2024, 1, 1, 10, 0), "f"),
+            (d(2024, 1, 1, 10, 30), "f"),
+            (d(2024, 1, 1, 12, 30), "f"),
+        ],
+        "b1",
+    )
+    # batch 2: 10:15 is below the checkpointed watermark (late → dropped);
+    # 14:30 moves the watermark to 13:30, past the 12:00 window's end, so
+    # that window finalizes
+    run_batch([(d(2024, 1, 1, 10, 15), "f"), (d(2024, 1, 1, 14, 30), "f")], "b2")
+
+    got = {
+        (r.start.hour, r.n_entries) for r in spark.read.parquet(out).collect()
+    }
+    assert (10, 2) in got          # finalized with only the on-time rows
+    assert (10, 3) not in got      # the late row must not be counted
+    assert (12, 1) in got          # later window finalized by batch 2
