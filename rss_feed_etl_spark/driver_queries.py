@@ -607,6 +607,7 @@ from . import driver_queries_wave4  # noqa: E402, F401  (registers wave-4 querie
 from . import driver_queries_wave5  # noqa: E402, F401  (registers wave-5 queries)
 from . import driver_queries_wave6  # noqa: E402, F401  (registers wave-6 queries)
 from . import driver_queries_wave7  # noqa: E402, F401  (registers wave-7 queries)
+from . import driver_queries_wave8  # noqa: E402, F401  (registers wave-8 queries)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
