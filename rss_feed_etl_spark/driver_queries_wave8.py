@@ -97,3 +97,40 @@ FROM events WHERE value > 0
 GROUP BY event_type
 """,
 )
+
+
+# --- nearest-centroid classification over labeled embeddings --------------
+
+
+def _q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import nearest_centroid_confusion
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    return nearest_centroid_confusion(emb)
+
+
+def _centroid_sql() -> str:
+    from .driver_queries_corpus import _cos_sql
+
+    return f"""
+WITH comp AS (
+  SELECT label AS c_label, i - 1 AS pos,
+         round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+  GROUP BY label, i),
+cent AS (
+  SELECT c_label, list(cv ORDER BY pos) AS cvec FROM comp GROUP BY c_label),
+scored AS (
+  SELECT e.vec_id AS id, e.label AS true_label, c.c_label,
+         {_cos_sql("e.embedding", "c.cvec")} AS cos
+  FROM embeddings e CROSS JOIN cent c),
+assigned AS (
+  SELECT id, true_label, c_label AS predicted_label,
+         row_number() OVER (PARTITION BY id ORDER BY cos DESC, c_label ASC) AS rn
+  FROM scored)
+SELECT true_label, predicted_label, count(*) AS n
+FROM assigned WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+_register("label_centroid_confusion", _q_centroid_confusion, _centroid_sql())

@@ -237,6 +237,54 @@ def cosine_topk_ivf(
     )
 
 
+def nearest_centroid_confusion(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    decimals: int = 6,
+) -> DataFrame:
+    """Nearest-centroid classification self-test: per-label mean vector →
+    assign every vector to its most-cosine-similar centroid → confusion
+    counts (true_label, predicted_label, n).
+
+    Plan shape: centroids come from ONE posexplode + two-level aggregate
+    over the corpus (shuffle key = (label, position), then label — both
+    tiny); the assignment is ``corpus ⋈ broadcast(centroids)`` so the
+    corpus is scanned once and never exchanged, and the per-vector argmax
+    is a window over exactly n_labels rows.  Centroid components are
+    rounded (``decimals``) to pin cross-engine float-mean differences
+    before any cosine is taken.
+    """
+    comp = embeddings.select(
+        F.col(label_col).alias("c_label"), F.posexplode(vec_col).alias("pos", "v")
+    )
+    centroids = (
+        comp.groupBy("c_label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), decimals).alias("cv"))
+        .groupBy("c_label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+            ).alias("cvec")
+        )
+    )
+    scored = embeddings.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("true_label"), F.col(vec_col).alias("vec")
+    ).join(F.broadcast(centroids))
+    w = Window.partitionBy("id").orderBy(
+        cosine(F.col("vec"), F.col("cvec")).desc(), F.col("c_label").asc()
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("true_label", F.col("c_label").alias("predicted_label"))
+    )
+    return assigned.groupBy("true_label", "predicted_label").agg(
+        F.count("*").alias("n")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
