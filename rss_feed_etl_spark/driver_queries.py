@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import testdata as td
-from .operators import dedup, filters, joins, merges, similarity, textstats
+from .operators import dedup, filters, joins, merges
 from .plans.filter_pipeline import run_filter_pipeline
 from .session import tune_session
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MOD, md5_bucket, token_code
+from ..functions.hashing import MOD, token_code
 from ..functions.text import norm_text, word_shingles
 
 
