@@ -54,19 +54,35 @@ def quota_per_group(
     quota: int,
     key_col: str = "doc_id",
     salt: str = "quota-v1",
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """Keep at most ``quota`` rows per group, chosen uniformly-at-random
     but deterministically: rank by md5(salt:key) within the group and keep
     the first ``quota``.  This is the data-mixing primitive (cap each
-    language/source at N docs) — one hash exchange on the group key; at
-    scale a hot group is still a single partition's window, so for
-    pathological group skew pre-aggregate with a salted two-phase top-k.
+    language/source at N docs) — one hash exchange on the group key.
+
+    ``salt_partitions`` turns on the two-phase skew-safe plan: phase 1
+    ranks within ``(group, key_hash % S)`` — a hot group spreads over S
+    reducers and at most ``S × quota`` rows survive per group; phase 2
+    runs the exact window on that tiny remainder.  Identical output to the
+    one-phase plan (each per-salt top-``quota`` is a superset of the
+    group's true top-``quota`` members that hash to it), so the choice is
+    purely physical.
     """
-    w = Window.partitionBy(group_col).orderBy(
-        split_bucket(key_col, salt, 1_000_000_007).asc(), F.col(key_col).asc()
-    )
+    rank_key = split_bucket(key_col, salt, 1_000_000_007)
+    w = Window.partitionBy(group_col).orderBy(rank_key.asc(), F.col(key_col).asc())
+    ranked = df
+    if salt_partitions:
+        w1 = Window.partitionBy(
+            group_col, rank_key % salt_partitions
+        ).orderBy(rank_key.asc(), F.col(key_col).asc())
+        ranked = (
+            ranked.withColumn("__rk1", F.row_number().over(w1))
+            .filter(F.col("__rk1") <= quota)
+            .drop("__rk1")
+        )
     return (
-        df.withColumn("__rk", F.row_number().over(w))
+        ranked.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= quota)
         .drop("__rk")
     )

@@ -77,3 +77,12 @@ def test_redact_pii_masks_all_three_kinds(spark):
     assert got[2] == "call [PHONE] or [PHONE] today"
     assert got[3] == "ssn is [SSN] ok"
     assert got[4] == "clean text with no pii at all"
+
+
+def test_quota_salted_two_phase_identical_output(spark):
+    docs = td.load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    plain = sampling.quota_per_group(docs, "lang", quota=12)
+    salted = sampling.quota_per_group(docs, "lang", quota=12, salt_partitions=8)
+    assert sorted((r.doc_id, r.lang) for r in plain.collect()) == sorted(
+        (r.doc_id, r.lang) for r in salted.collect()
+    )
