@@ -115,3 +115,33 @@ SELECT doc_id,
 FROM documents
 """,
 )
+
+
+# --- mixture sampling by source --------------------------------------------
+
+_MIX_SALT = "mix-v1"
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.05
+_MIX_PREC = 1_000_000
+
+
+def _q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = td.load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.mixture_sample(
+        docs, group_col="source", rates=_MIX_RATES, key_col="doc_id",
+        salt=_MIX_SALT, default_rate=_MIX_DEFAULT, precision=_MIX_PREC,
+    )
+
+
+_MIX_BUCKET = _hexfold(f"('{_MIX_SALT}:' || CAST(doc_id AS VARCHAR))") + f" % {_MIX_PREC}"
+_MIX_CASE = "CASE " + " ".join(
+    f"WHEN source = '{g}' THEN {int(r * _MIX_PREC)}" for g, r in _MIX_RATES.items()
+) + f" ELSE {int(_MIX_DEFAULT * _MIX_PREC)} END"
+_register(
+    "source_mixture_sample",
+    _q_mixture,
+    f"""
+SELECT doc_id, source FROM documents
+WHERE {_MIX_BUCKET} < {_MIX_CASE}
+""",
+)

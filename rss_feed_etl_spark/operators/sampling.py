@@ -48,6 +48,32 @@ def deterministic_split(
     return df.withColumn("split", expr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+    default_rate: float = 0.0,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Down-sample each group to its mixture rate (data mixing by source:
+    keep 100% of curated text, 10% of web crawl, …).  A row survives iff
+    md5(salt:key) mod ``precision`` < rate × precision — per-row expression
+    work only, no shuffle, no state, and the kept set is stable under
+    corpus growth/repartitioning and is a strict subset relation across
+    rates (raising a group's rate only ADDS documents, never swaps them —
+    what incremental corpus rebuilds need).  Groups absent from ``rates``
+    get ``default_rate``."""
+    bucket = split_bucket(key_col, salt, precision)
+    expr: Column = F.lit(int(default_rate * precision))
+    for group, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {group!r} must be in [0, 1], got {rate}")
+        expr = F.when(F.col(group_col) == group, F.lit(int(rate * precision))).otherwise(expr)
+    return df.filter(bucket < expr)
+
+
 def quota_per_group(
     df: DataFrame,
     group_col: str,

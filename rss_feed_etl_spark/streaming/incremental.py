@@ -75,6 +75,26 @@ def incremental_scd1(
     return writer.start()
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key: str = "link",
+    ts_col: str = "published",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming re-delivery suppression: drop rows whose key was already
+    seen within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    This is the reference's at-ingest dedup (A2) as a true streaming
+    operator: the dedup state is bounded — keys older than the watermark
+    are evicted — so it runs forever on unbounded input, unlike a plain
+    ``dropDuplicates`` whose state grows without bound.  Which row of a
+    duplicate set survives is arrival-order-dependent (first delivery
+    wins); the SCD1 merge downstream stays idempotent either way, this
+    just stops duplicate work earlier.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
+
+
 def windowed_event_counts(
     stream: DataFrame,
     ts_col: str = "published",

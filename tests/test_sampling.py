@@ -86,3 +86,12 @@ def test_quota_salted_two_phase_identical_output(spark):
     assert sorted((r.doc_id, r.lang) for r in plain.collect()) == sorted(
         (r.doc_id, r.lang) for r in salted.collect()
     )
+
+
+def test_mixture_rate_increase_only_adds_documents(spark):
+    docs = td.load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    low = sampling.mixture_sample(docs, "source", {"src0": 0.2}, default_rate=0.1)
+    high = sampling.mixture_sample(docs, "source", {"src0": 0.6}, default_rate=0.1)
+    kept_low = {r.doc_id for r in low.collect()}
+    kept_high = {r.doc_id for r in high.collect()}
+    assert kept_low < kept_high  # strict subset: nothing swapped out

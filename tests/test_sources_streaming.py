@@ -339,3 +339,53 @@ def test_streaming_watermark_drops_late_rows_across_restart(spark, tmp_path):
     assert (10, 2) in got          # finalized with only the on-time rows
     assert (10, 3) not in got      # the late row must not be counted
     assert (12, 1) in got          # later window finalized by batch 2
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered keys inside the watermark horizon are suppressed,
+    including across micro-batch runs sharing a checkpoint."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from rss_feed_etl_spark.streaming.incremental import dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("link", T.StringType()),
+            T.StructField("published", T.TimestampType()),
+        ]
+    )
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        stream = spark.readStream.format("parquet").schema(schema).load(landing)
+        q = (
+            dedup_stream(stream, key="link", ts_col="published", watermark="1 hour")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    d = datetime
+    run_batch(
+        [
+            ("L1", d(2024, 1, 1, 10, 0)),
+            ("L1", d(2024, 1, 1, 10, 20)),  # dup within batch → dropped
+            ("L2", d(2024, 1, 1, 10, 30)),
+        ]
+    )
+    # L1 re-delivered within the horizon in a LATER run → still dropped
+    run_batch([("L1", d(2024, 1, 1, 10, 40)), ("L3", d(2024, 1, 1, 10, 50))])
+
+    got = sorted(r.link for r in spark.read.parquet(out).collect())
+    assert got == ["L1", "L2", "L3"]
