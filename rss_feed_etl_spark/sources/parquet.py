@@ -56,6 +56,51 @@ def write_partitioned(df: DataFrame, path: str, ts_col: str = "published") -> No
     )
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = "ingest_date",
+) -> int:
+    """Small-file compaction for a streaming-sink table.
+
+    Micro-batch sinks accrete one file per (batch × task) — after a day of
+    15-minute triggers a partition holds hundreds of KB-sized files, and
+    every later scan pays per-file open/footer costs (the #1 operational
+    pathology of streaming parquet sinks).  Rewrite the table with each
+    output file sized toward ``target_file_bytes`` using per-partition
+    ``repartition`` on the partition column (falls back to a single
+    size-based coalesce for unpartitioned tables).  Returns the number of
+    files after compaction.
+
+    The rewrite is read-all-then-overwrite, so run it OFFLINE relative to
+    writers (on a lakehouse table format this is OPTIMIZE/compaction with
+    snapshot isolation; plain Parquet directories have no atomic swap).
+    """
+    import math
+    import pathlib
+    import shutil
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        f.stat().st_size for f in pathlib.Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    if partition_col and partition_col in df.columns:
+        out = df.repartition(n_files, F.col(partition_col))
+        writer = out.write.mode("overwrite").partitionBy(partition_col)
+    else:
+        out = df.repartition(n_files)
+        writer = out.write.mode("overwrite")
+    # stage to a sibling dir then swap: plain-parquet best effort at
+    # not destroying the table if the rewrite dies mid-flight
+    staged = path.rstrip("/") + "__compacting"
+    writer.parquet(staged)
+    shutil.rmtree(path)
+    shutil.move(staged, path)
+    return sum(1 for _ in pathlib.Path(path).rglob("*.parquet"))
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

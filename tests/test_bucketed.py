@@ -49,3 +49,25 @@ def test_bucketed_agg_and_join_have_no_history_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS hist_bucketed")
         spark.sql("DROP TABLE IF EXISTS batch_bucketed")
+
+
+def test_compact_partitions_reduces_file_count(spark, tmp_path):
+    from rss_feed_etl_spark.sources.parquet import compact_partitions
+
+    path = str(tmp_path / "frag")
+    # simulate a fragmented streaming sink: 20 tiny appends
+    for i in range(20):
+        spark.range(i * 10, i * 10 + 10).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS ingest_date"
+        ).coalesce(1).write.mode("append").partitionBy("ingest_date").parquet(path)
+
+    import pathlib
+
+    before = sum(1 for _ in pathlib.Path(path).rglob("*.parquet"))
+    assert before >= 20
+    rows_before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    after = compact_partitions(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert after < before
+    rows_after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert rows_after == rows_before  # compaction moves bytes, never data
