@@ -98,3 +98,53 @@ def approx_value_percentiles(
         )
         .orderBy(group_col)
     )
+
+
+def heavy_hitters_topk(
+    terms: DataFrame,
+    term_col: str = "term",
+    k: int = 20,
+    width: int = 1000,
+) -> DataFrame:
+    """Exact top-k terms via Misra-Gries candidate pruning — the 100 TB
+    form of a frequency top-k.
+
+    A plain ``groupBy(term).count()`` shuffles the ENTIRE vocabulary
+    (billions of long-tail terms at corpus scale) to count the handful
+    that matter.  Here each Arrow batch emits only its locally heavy terms
+    (local count × width > batch size); by pigeonhole, any term with
+    global frequency > N/width is locally heavy in at least one batch, so
+    the union of candidates provably contains every global heavy hitter.
+    The exact recount then runs with a broadcast semi-join filter BEFORE
+    the shuffle — the exchange carries candidate terms only.
+
+    Output equals the exact top-k whenever the k-th frequency exceeds
+    N/width (size ``width`` generously: it only grows the candidate set).
+    Candidates depend on physical batching, but any superset of the heavy
+    set yields the same final answer, so the result is partitioning-
+    independent under that condition.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    col = term_col
+
+    def local_heavy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            counts = b[col].value_counts()
+            heavy = counts[counts * width > len(b)]
+            yield pd.DataFrame({col: heavy.index})
+
+    candidates = (
+        terms.select(col)
+        .mapInPandas(local_heavy, f"{col} string")
+        .distinct()
+    )
+    return (
+        terms.join(F.broadcast(candidates), on=col, how="left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col(col).asc())
+        .limit(k)
+    )

@@ -67,3 +67,35 @@ def test_exact_percentile_matches_python(spark):
             lo, hi = math.floor(idx), math.ceil(idx)
             want = vals[lo] + (vals[hi] - vals[lo]) * (idx - lo)
             assert abs(got[g][fld] - want) < 1e-3, (g, fld)
+
+
+def test_heavy_hitters_equal_exact_topk(spark):
+    from pyspark.sql import functions as F
+
+    from rss_feed_etl_spark import testdata as td
+    from rss_feed_etl_spark.operators.sketches import heavy_hitters_topk
+    from rss_feed_etl_spark.operators.textstats import STOPWORDS_EN, _tokens
+
+    docs = td.load_table(spark, SF_DIR, "documents")
+    toks = F.transform(_tokens(F.col("text")), F.lower)
+    terms = docs.select(F.explode(toks).alias("term")).filter(
+        (F.length("term") >= 3)
+        & F.col("term").rlike("^[a-z]+$")
+        & ~F.col("term").isin(STOPWORDS_EN)
+    )
+    exact = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .limit(10)
+        .collect()
+    )
+    pruned = heavy_hitters_topk(terms, k=10, width=1000).collect()
+    assert [(r.term, r.n_occurrences) for r in pruned] == [
+        (r.term, r.n_occurrences) for r in exact
+    ]
+    # spread the input differently: answer must not move
+    pruned2 = heavy_hitters_topk(terms.repartition(13), k=10, width=1000).collect()
+    assert [(r.term, r.n_occurrences) for r in pruned2] == [
+        (r.term, r.n_occurrences) for r in exact
+    ]
