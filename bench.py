@@ -37,6 +37,8 @@ HEADLINE = [
     "corpus_quality_filter",
     "ann_cosine_topk_ivf",
     "token_counts",
+    "bm25_search",
+    "decontaminate_splits",
 ]
 
 

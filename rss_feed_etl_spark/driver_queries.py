@@ -608,6 +608,7 @@ from . import driver_queries_wave5  # noqa: E402, F401  (registers wave-5 querie
 from . import driver_queries_wave6  # noqa: E402, F401  (registers wave-6 queries)
 from . import driver_queries_wave7  # noqa: E402, F401  (registers wave-7 queries)
 from . import driver_queries_wave8  # noqa: E402, F401  (registers wave-8 queries)
+from . import driver_queries_wave9  # noqa: E402, F401  (registers wave-9 queries)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,120 @@
+"""Keyword retrieval over the document corpus: inverted-index postings and
+BM25 ranking.
+
+These generalize the reference's keyword machinery (P6 keyword filters,
+run_job_filter.py:206-237, and the TF-IDF scorer, src/utils/ats_matcher.py:
+20-37) into the corpus-scale retrieval operators a training-data pipeline
+needs: given 100 TB of documents, find / rank the ones matching a term set
+without ever materializing a dense doc-term matrix.
+
+Scale shape:
+- Tokenization, term filtering, and per-document term frequencies are pure
+  Catalyst expressions; documents that contain no query term are dropped
+  BEFORE the explode (``F.filter`` on the token array), so the exploded /
+  shuffled row count is proportional to matches, not corpus size.
+- Document-frequency and corpus statistics are tiny aggregates (bytes per
+  term); they reach the score join as broadcasts.
+- The only corpus-wide exchange in ``inverted_index`` is the groupBy(term)
+  over DISTINCT (doc, term) pairs — exactly the postings being built.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_postings: int = 10,
+) -> DataFrame:
+    """Build inverted-index postings: term → document frequency + the first
+    ``max_postings`` doc ids (ascending).
+
+    Postings are truncated per term (the standard impact-ordered-index
+    guard) so a stopword-like term cannot produce an unbounded row; the
+    full df count is still exact.  ``min_df`` drops hapax/near-hapax terms,
+    which at corpus scale are the vast majority of the vocabulary.
+    Postings are emitted as a comma-joined string — a stable, engine-
+    neutral sink encoding (ArrayType stays internal).
+    """
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    )
+    return (
+        ex.groupBy("term")
+        .agg(
+            F.count("*").alias("dfreq"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings), ","
+            ).alias("postings"),
+        )
+        .filter(F.col("dfreq") >= min_df)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = 20,
+) -> DataFrame:
+    """Rank documents against a bag of query terms with BM25
+    (idf = ln(1 + (N - df + ½)/(df + ½)), Robertson/Sparck-Jones).
+
+    Two passes over the corpus: one tiny aggregate for (N, avgdl), one
+    tokenize+filter scan for term frequencies.  Only rows for documents
+    that contain ≥1 query term survive to the shuffle, and the per-term
+    idf/stat frames are broadcast — the plan's cost is O(matching docs),
+    never O(corpus) past the scans.  Scores are rounded to 6dp BEFORE the
+    top-k ordering so the ranking is discrete and reproducible across
+    engines/summation orders; ties break by doc id.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+
+    q = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        toks.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.filter("toks", lambda t: F.array_contains(q, t)).alias("hits"),
+        )
+        .filter(F.size("hits") > 0)
+        .select("doc_id", "dl", F.explode("hits").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("dfreq"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (F.lit(k1) + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(topk)
+    )

@@ -112,3 +112,81 @@ def quota_per_group(
         .filter(F.col("__rk") <= quota)
         .drop("__rk")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (sequential
+    Poisson / Ohlsson): priority = uniform(key) / weight, keep the ``k``
+    smallest priorities — inclusion probability grows with weight, and the
+    draw is a pure function of (salt, key, weight).
+
+    Cross-engine determinism is structural: the uniform is an exact md5
+    integer and the priority is ONE IEEE division of exact integers
+    (correctly rounded everywhere) — no ln/pow, whose last-ulp behavior is
+    libm-dependent.  Ties break by key.  The top-k compiles to
+    TakeOrderedAndProject: per-partition heaps of size k, no sort, no
+    single-partition window.
+    """
+    u = md5_bucket(
+        F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string"))
+    )
+    pri = u / F.col(weight_col)
+    return (
+        df.withColumn("__pri", pri)
+        .orderBy(F.col("__pri").asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__pri")
+    )
+
+
+def cross_split_contamination(
+    split_docs: DataFrame,
+    holdout_label: str = "test",
+    train_label: str = "train",
+    id_col: str = "id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 3,
+    broadcast_holdout: bool = False,
+) -> DataFrame:
+    """Train/holdout decontamination: find training documents that share
+    ≥ ``min_shared`` word n-gram shingles with any held-out document —
+    the standard benchmark-leakage check run before LLM training.
+
+    Plan: shingle both sides of an already-split corpus (one scan — the
+    split column partitions the exploded stream), equi-join train shingles
+    to holdout shingles, count shared shingles per (train, holdout) pair.
+    ``word_shingles`` emits distinct shingles, so ``count(*)`` IS the
+    shared-shingle count.  The join shuffles on the shingle value whose
+    cardinality is corpus-sized but uniform; when the holdout is
+    benchmark-sized (the usual case: a few thousand eval documents vs a
+    100 TB corpus), ``broadcast_holdout=True`` removes the corpus-side
+    exchange entirely.
+    """
+    from ..functions.text import word_shingles
+
+    sh = split_docs.select(
+        F.col(id_col).alias("id"),
+        "split",
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    train = sh.filter(F.col("split") == train_label).select(
+        F.col("id").alias("train_id"), "shingle"
+    )
+    holdout = sh.filter(F.col("split") == holdout_label).select(
+        F.col("id").alias("holdout_id"), "shingle"
+    )
+    if broadcast_holdout:
+        holdout = F.broadcast(holdout)
+    return (
+        train.join(holdout, "shingle")
+        .groupBy("train_id", "holdout_id")
+        .agg(F.count("*").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_shared)
+    )

@@ -1,0 +1,55 @@
+"""Time-series spine generation and gap filling (hypertable-rollup-style).
+
+The reference's only time-series notion is the lookback window filter
+(run_job_filter.py:112-152); a real analytics engine also needs the
+inverse: a *dense* per-key daily series even when the raw events are
+sparse, so downstream rollups / charts / features see every day.
+
+Scale shape: the day spine is generated per key from that key's own
+[min, max] range with ``sequence`` + ``explode`` — no driver-side date
+loop, no global calendar table, and a key's spine length is bounded by
+its own span.  The LOCF sweep is one window per key ordered by day;
+partitions are per-key so the window never globalizes.  Everything is
+Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gapfill_locf(
+    daily: DataFrame,
+    key_col: str = "event_type",
+    day_col: str = "day",
+    value_col: str = "total",
+) -> DataFrame:
+    """Densify a per-key daily series and fill gaps by carrying the last
+    observation forward.
+
+    ``daily`` has one row per (key, day) for *observed* days.  Output has
+    one row per (key, every day in that key's [min, max] span) with:
+    - ``<value_col>``: the observed value, NULL on gap days;
+    - ``filled_<value_col>``: LOCF value (never NULL — the spine starts at
+      each key's first observed day);
+    - ``is_gap``: whether the day was absent from the input.
+    """
+    spine = (
+        daily.groupBy(key_col)
+        .agg(F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1"))
+        .select(
+            key_col,
+            F.explode(F.sequence("_d0", "_d1", F.expr("INTERVAL 1 DAY"))).alias(day_col),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, [key_col, day_col], "left")
+        .withColumn(f"filled_{value_col}", F.last(value_col, ignorenulls=True).over(w))
+        .withColumn("is_gap", F.col(value_col).isNull())
+    )
