@@ -609,6 +609,7 @@ from . import driver_queries_wave6  # noqa: E402, F401  (registers wave-6 querie
 from . import driver_queries_wave7  # noqa: E402, F401  (registers wave-7 queries)
 from . import driver_queries_wave8  # noqa: E402, F401  (registers wave-8 queries)
 from . import driver_queries_wave9  # noqa: E402, F401  (registers wave-9 queries)
+from . import driver_queries_wave10  # noqa: E402, F401  (registers wave-10 queries)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

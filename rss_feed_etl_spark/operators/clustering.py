@@ -1,0 +1,107 @@
+"""Distributed k-means (Lloyd) over an embedding column — the iterative-
+algorithm surface of the engine.
+
+The reference has no clustering; this generalizes its TF-IDF similarity
+scoring (src/utils/ats_matcher.py:20-37) to the corpus-curation use: topic
+bucketing / diversity sampling / IVF centroid training over billions of
+vectors.
+
+Scale shape per Lloyd iteration:
+- **Assignment is a pure expression.** Centroids are config-sized (k × dim
+  doubles), so they are collected to the driver and bound as literal
+  arrays; the per-vector argmin runs inside whole-stage codegen with ZERO
+  corpus exchange — same pattern as the IVF cell assignment
+  (similarity.cosine_topk_ivf).
+- **The update is a partial aggregate.** posexplode(vec) → groupBy
+  (cluster, position) with map-side combine: each task emits at most
+  k × dim partial sums, so the shuffle is O(partitions × k × dim) bytes
+  regardless of corpus size.
+- Centroid components are rounded each iteration, which pins cross-engine
+  float-mean drift AND makes every iteration's state exactly replayable.
+
+Tie-breaks (equidistant centroids → smallest cluster id) and the
+sequential left-fold distance make the whole trajectory deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sqdist(vec: Column, lit_vec: list[float]) -> Column:
+    c = F.array(*[F.lit(float(v)) for v in lit_vec])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(vec: Column, centroids: dict[int, list[float]]) -> Column:
+    """cluster id of the nearest centroid (squared L2, ties → smallest id)."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist(vec, cvec).alias("dist"), F.lit(cid).alias("cid")
+                )
+                for cid, cvec in sorted(centroids.items())
+            ]
+        )
+    )
+    return best
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations from a deterministic seed (the ``k``
+    smallest-id vectors) and return per-cluster stats of the final
+    assignment: (cluster_id, n_members, mean_sqdist).
+
+    Empty clusters drop out of the update (standard Lloyd); rounding the
+    mean distance keeps the output hash-stable across summation orders.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda v: v.cast("double")).alias("vec"),
+    )
+    # seed rounding happens IN the engine (F.round = SQL half-up), not via
+    # Python round (banker's) — the oracle replays the identical trajectory
+    centroids: dict[int, list[float]] = {
+        r["id"]: list(r["cvec"])
+        for r in emb.filter(F.col("id") < k)
+        .select("id", F.transform("vec", lambda v: F.round(v, decimals)).alias("cvec"))
+        .collect()
+    }
+    for _ in range(iters):
+        assigned = emb.withColumn("cid", _assign(F.col("vec"), centroids)["cid"])
+        new = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("v"), decimals).alias("cv"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        centroids = {r["cid"]: list(r["cvec"]) for r in new}
+    final = emb.withColumn("best", _assign(F.col("vec"), centroids))
+    return (
+        final.select(F.col("best")["cid"].alias("cluster_id"), F.col("best")["dist"].alias("dist"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("dist"), decimals).alias("mean_sqdist"),
+        )
+    )

@@ -345,3 +345,58 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """
     toks = _tokens(norm_text(text_col))
     return df.select(F.col(id_col), rolling_hash(toks).alias("fingerprint"))
+
+
+def pmi_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 10,
+    min_pair: int = 5,
+    top: int = 50,
+) -> DataFrame:
+    """Top term-pair associations by document-level PMI:
+    ln(P(a,b) / (P(a)·P(b))) with P = document frequency / N.
+
+    Collocation mining over the corpus — the signal behind phrase
+    detection and topic vocabulary curation.  Co-occurrence is at document
+    grain over DISTINCT terms, so a repeated word adds nothing.
+
+    Scale shape: terms below ``min_df`` are pruned BEFORE the pair join
+    (they are the long tail of the vocabulary), so the per-document pair
+    explosion is bounded by the surviving vocabulary, and the document-
+    frequency side joins broadcast-side.  PMI is rounded before the top-k
+    ordering (discrete, engine-stable ranking; ties break on the pair).
+    """
+    ex = df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("term"))
+    dfreq = ex.groupBy("term").agg(F.count("*").alias("dfreq")).filter(
+        F.col("dfreq") >= min_df
+    )
+    kept = ex.join(F.broadcast(dfreq), "term")
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("term_a"),
+            F.col("b.term").alias("term_b"),
+            F.col("a.dfreq").alias("df_a"),
+            F.col("b.dfreq").alias("df_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair)
+    )
+    return (
+        pairs.join(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(
+                F.log(F.col("n_ab") * F.col("n_docs") / (F.col("df_a") * F.col("df_b"))), 6
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
+        .limit(top)
+    )
