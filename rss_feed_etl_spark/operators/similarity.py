@@ -448,3 +448,47 @@ def skills_match(
         F.concat_ws(",", missing).alias("missing_skills"),
         pct.alias("match_percentage"),
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training data mining: for each query vector, the ``k``
+    most-cosine-similar corpus vectors with a DIFFERENT label — the
+    "hard negatives" that sit closest to the decision boundary.
+
+    Same plan shape as ``cosine_topk`` (broadcast queries, one corpus
+    scan, per-query top-k window); the label-mismatch predicate rides the
+    broadcast join so same-label rows never leave the map side.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("qlabel"),
+        )
+    )
+    pairs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ev"),
+        F.col(label_col).alias("nlabel"),
+    ).join(q, F.col("nlabel") != F.col("qlabel"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.col("nlabel").alias("neighbor_label"),
+        cosine(F.col("qv"), F.col("ev")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine_sim", "rank")
+    )

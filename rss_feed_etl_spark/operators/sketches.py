@@ -148,3 +148,48 @@ def heavy_hitters_topk(
         .orderBy(F.col("n_occurrences").desc(), F.col(col).asc())
         .limit(k)
     )
+
+
+MAD_SCALE = 1.4826  # Φ⁻¹(0.75) normalization: MAD → σ under normality
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    z_cut: float = 3.5,
+    decimals: int = 4,
+) -> DataFrame:
+    """Robust per-group outlier flagging via median absolute deviation:
+    z = (x - median) / (MAD_SCALE · MAD); keep rows with |z| > ``z_cut``.
+
+    Median/MAD (exact percentiles) resist the very outliers being hunted,
+    unlike mean/stddev.  Two grouped exact-percentile aggregates over the
+    group key, then a broadcast join back — the fact stream is scanned
+    twice but never shuffled (per-group stats are dimension-sized).
+    Exact percentile keeps the oracle comparable; at 100 TB swap in
+    ``approx_percentile`` (same plan, sketch-mergeable) when the group's
+    value list no longer fits the aggregation buffer.
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, 0.5).alias("__med")
+    )
+    mad = (
+        df.join(F.broadcast(med), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.percentile(F.abs(F.col(value_col) - F.col("__med")), 0.5).alias("__mad"),
+            F.first("__med").alias("__med"),
+        )
+    )
+    # nullif guards the all-identical group (MAD = 0): ANSI mode would
+    # raise DIVIDE_BY_ZERO; NULL z is never an outlier, the right call
+    z = (F.col(value_col) - F.col("__med")) / F.nullif(
+        F.lit(MAD_SCALE) * F.col("__mad"), F.lit(0.0)
+    )
+    return (
+        df.join(F.broadcast(mad), group_col)
+        .withColumn("robust_z", F.round(z, decimals))
+        .filter(F.abs("robust_z") > z_cut)
+        .drop("__med", "__mad")
+    )
