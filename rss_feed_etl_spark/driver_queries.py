@@ -611,6 +611,7 @@ from . import driver_queries_wave8  # noqa: E402, F401  (registers wave-8 querie
 from . import driver_queries_wave9  # noqa: E402, F401  (registers wave-9 queries)
 from . import driver_queries_wave10  # noqa: E402, F401  (registers wave-10 queries)
 from . import driver_queries_wave11  # noqa: E402, F401  (registers wave-11 queries)
+from . import driver_queries_wave12  # noqa: E402, F401  (registers wave-12 queries)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

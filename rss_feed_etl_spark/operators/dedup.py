@@ -182,6 +182,76 @@ def minhash_signatures(
     return codes.select("id", *sig_cols)
 
 
+def _bands_long(sigs: DataFrame) -> DataFrame:
+    """(id, sig array, exploded band bucket) from wide minhash signatures."""
+    rows_per_band = N_MINHASH // LSH_BANDS
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)],
+            )
+        ).alias(f"band{b}")
+        for b in range(LSH_BANDS)
+    ]
+    banded = sigs.select("id", *[F.col(f"mh{i}") for i in range(N_MINHASH)], *band_cols)
+    return banded.select(
+        "id",
+        F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("sig"),
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias("bucket"),
+    )
+
+
+def _est_jaccard(sig_a, sig_b):
+    return F.round(
+        F.size(F.filter(F.zip_with(sig_a, sig_b, lambda p, q: p == q), lambda v: v))
+        / F.lit(N_MINHASH),
+        6,
+    )
+
+
+def incremental_minhash_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Near-dup pairs between an incoming BATCH and the existing CORPUS —
+    the incremental form of ``minhash_lsh_pairs`` a streaming corpus needs:
+    dedup each arriving batch against 100 TB of history WITHOUT ever
+    re-pairing the history with itself.
+
+    The corpus side is signed and banded exactly once per document (in
+    production the (id, sig, bucket) rows live in a bucketed signature
+    table, maintained incrementally by the same expressions); the batch's
+    banded signatures broadcast, so the corpus scan is exchange-free and
+    history cost is O(corpus) scan, not O(corpus²) pairing.  Returns
+    (batch_id, corpus_id, est_jaccard).
+    """
+    c = _bands_long(minhash_signatures(corpus, id_col, text_col, n)).select(
+        F.col("id").alias("corpus_id"), F.col("sig").alias("sig_c"), "bucket"
+    )
+    b = _bands_long(minhash_signatures(batch, id_col, text_col, n)).select(
+        F.col("id").alias("batch_id"), F.col("sig").alias("sig_b"), "bucket"
+    )
+    if broadcast_batch:
+        b = F.broadcast(b)
+    return (
+        c.join(b, "bucket")
+        .select(
+            "batch_id",
+            "corpus_id",
+            _est_jaccard(F.col("sig_b"), F.col("sig_c")).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -208,24 +278,7 @@ def minhash_lsh_pairs(
     the standard LSH guard; leave ``None`` for the exact, oracle-checked
     semantics.  Returns (id_a, id_b, est_jaccard).
     """
-    rows_per_band = N_MINHASH // LSH_BANDS
-    sigs = minhash_signatures(df, id_col, text_col, n)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.lit(str(b)),
-                *[F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)],
-            )
-        ).alias(f"band{b}")
-        for b in range(LSH_BANDS)
-    ]
-    banded = sigs.select("id", *[F.col(f"mh{i}") for i in range(N_MINHASH)], *band_cols)
-    bands_long = banded.select(
-        "id",
-        F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("sig"),
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias("bucket"),
-    )
+    bands_long = _bands_long(minhash_signatures(df, id_col, text_col, n))
     grouped = (
         bands_long.groupBy("bucket")
         .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("members"))
@@ -244,16 +297,7 @@ def minhash_lsh_pairs(
                 lambda y: F.struct(
                     x["id"].alias("id_a"),
                     y["id"].alias("id_b"),
-                    F.round(
-                        F.size(
-                            F.filter(
-                                F.zip_with(x["sig"], y["sig"], lambda p, q: p == q),
-                                lambda v: v,
-                            )
-                        )
-                        / F.lit(N_MINHASH),
-                        6,
-                    ).alias("est_jaccard"),
+                    _est_jaccard(x["sig"], y["sig"]).alias("est_jaccard"),
                 ),
             ),
         )

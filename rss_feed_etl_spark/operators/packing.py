@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_bucket
+from ..functions.text import tokens
 
 
 def pack_sequences(
@@ -70,4 +71,47 @@ def pack_sequences(
             F.floor(start / seq_len).alias("seq_id"),
             (start % seq_len).alias("seq_offset"),
         )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+    stride: int = 12,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (RAG-style
+    chunking: window ``chunk_tokens`` wide, advancing by ``stride``, so
+    consecutive chunks overlap by ``chunk_tokens - stride``).
+
+    The final window is pulled back to end exactly at the last token, so
+    every token is covered and no chunk except a short document's only
+    chunk is narrower than the window.  All pure expressions: tokenize →
+    compute start positions with ``sequence``+``transform`` → posexplode →
+    ``slice``.  The explode multiplies rows by ~n_tokens/stride, which is
+    the output's actual size — nothing is amplified beyond what is
+    emitted.  Chunk content is emitted as (n_tokens, md5) — the engine-
+    neutral content stamp; join back to the corpus for the text itself.
+    """
+    w, s = chunk_tokens, stride
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_extra = F.ceil(F.greatest(n - w, F.lit(0)) / s).cast("int")
+    starts = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_extra),
+            lambda i: F.least(i * s + 1, F.greatest(n - w + 1, F.lit(1))),
+        )
+    )
+    chunked = df.select(
+        F.col(id_col), toks.alias("__toks"), F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    chunk = F.slice("__toks", F.col("start"), w)
+    return chunked.select(
+        id_col,
+        "chunk_idx",
+        "start",
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
