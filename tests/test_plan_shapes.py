@@ -57,3 +57,33 @@ def test_minhash_single_groupby_no_join(spark):
     # any join reappearing here means the signature subtree runs twice
     assert "Join" not in s
     assert "CartesianProduct" not in s
+
+
+def test_incremental_neardup_broadcasts_batch(spark):
+    s = _plan(_queries()["incremental_neardup"](spark, SF_DIR))
+    # the batch side broadcasts: the corpus signature stream is never
+    # exchanged for the bucket join
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_packing_no_corpus_wide_window(spark):
+    s = _plan(_queries()["sequence_packing"](spark, SF_DIR))
+    # bucket offsets join back broadcast-side; the only unpartitioned
+    # window runs over the n_buckets-row totals frame
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_weighted_sample_is_takeordered(spark):
+    s = _plan(_queries()["weighted_doc_sample"](spark, SF_DIR))
+    # top-k by priority compiles to per-partition heaps, not a global sort
+    assert "TakeOrderedAndProject" in s
+
+
+def test_bm25_broadcasts_term_stats(spark):
+    s = _plan(_queries()["bm25_search"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "TakeOrderedAndProject" in s
