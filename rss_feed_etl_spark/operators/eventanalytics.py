@@ -1,0 +1,137 @@
+"""Event analytics over the events stream: ordered funnels, retention
+cohorts, histograms, per-group quantile binning.
+
+These generalize the reference's lookback-window counting (its only
+event-style analysis, run_job_filter.py:112-152) into the standard
+product-analytics operator set — and every one is a single-pass,
+partition-friendly DataFrame program.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ordered funnel: how many users completed stage k only counting
+    events that occur AFTER their previous-stage completion (strict event
+    order by (ts, id), so simultaneous timestamps resolve
+    deterministically).
+
+    One shuffle total: a single per-user window sorted once; each stage's
+    "reached" flag is a running max chained on the previous stage's flag.
+    Output: (stage_idx, stage, n_users), n_users non-increasing.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = events
+    prev_flag = None
+    flags = []
+    for i, stage in enumerate(stages):
+        hit = F.col(type_col) == stage
+        if prev_flag is not None:
+            hit = hit & (F.col(prev_flag) == 1)
+        flag = f"__s{i}"
+        df = df.withColumn(flag, F.max(F.when(hit, 1).otherwise(0)).over(w))
+        prev_flag = flag
+        flags.append(flag)
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(f).alias(f) for f in flags]
+    )
+    counts = per_user.agg(
+        *[F.sum(f).alias(f"n{i}") for i, f in enumerate(flags)]
+    )
+    stage_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    return counts.select(F.explode(stage_rows).alias("r")).select(
+        "r.stage_idx", "r.stage", "r.n_users"
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; for each
+    (cohort day, day offset), how many of that cohort were active.
+
+    Two aggregates sharing the user-key partitioning (distinct active days,
+    then first day) and one final (cohort, offset) rollup — the cohort
+    dimension is bounded by the calendar, never by users.
+    """
+    days = events.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    firsts = days.groupBy("u").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(firsts, "u")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("offset_days"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def value_histogram(
+    events: DataFrame,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram via ``width_bucket`` — one partial-aggregated
+    pass; bucket 0 / n_bins+1 catch underflow/overflow."""
+    return (
+        events.groupBy(
+            F.width_bucket(value_col, F.lit(lo), F.lit(hi), F.lit(n_bins)).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(value_col), 2).alias("total"),
+        )
+    )
+
+
+def group_deciles(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n: int = 10,
+) -> DataFrame:
+    """Per-group quantile binning (``ntile``) with (value, id) ordering so
+    ties split deterministically; emits per-bin count and value range —
+    the feature-bucketization primitive."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        events.withColumn("decile", F.ntile(n).over(w))
+        .groupBy(group_col, "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min(value_col), 2).alias("lo"),
+            F.round(F.max(value_col), 2).alias("hi"),
+        )
+    )
