@@ -135,3 +135,55 @@ def group_deciles(
             F.round(F.max(value_col), 2).alias("hi"),
         )
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    source_types: list[str],
+    conversion_type: str = "purchase",
+    max_age_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Attribute each conversion to the user's most recent prior source
+    event (last-touch) within ``max_age_days``; conversions with no
+    fresh-enough source attribute to 'direct'.
+
+    The as-of pattern without a range join: one per-user window sorted by
+    (ts, id) carries the last non-null source type/timestamp forward
+    (``last(..., ignorenulls)``), so the plan is a single shuffle + sort —
+    no per-conversion probe, no time-bucket explosion.  Output:
+    (source, n_conversions, total_value).
+    """
+    src = F.when(F.col(type_col).isin(source_types), F.col(type_col))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = events.withColumn(
+        "__src", F.last(src, ignorenulls=True).over(w)
+    ).withColumn(
+        "__src_ts",
+        F.last(F.when(src.isNotNull(), F.col(ts_col)), ignorenulls=True).over(w),
+    )
+    fresh = F.col("__src_ts") >= F.col(ts_col) - F.expr(
+        f"INTERVAL {max_age_days} DAYS"
+    )
+    return (
+        flagged.filter(F.col(type_col) == conversion_type)
+        .select(
+            F.when(F.col("__src").isNotNull() & fresh, F.col("__src"))
+            .otherwise(F.lit("direct"))
+            .alias("source"),
+            F.col(value_col),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+    )

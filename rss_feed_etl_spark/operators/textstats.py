@@ -400,3 +400,31 @@ def pmi_pairs(
         .orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b"))
         .limit(top)
     )
+
+
+def top_bigrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top: int = 30,
+) -> DataFrame:
+    """Most frequent ADJACENT token pairs across the corpus — the count
+    step of one BPE merge iteration (and the occurrence-grain complement
+    of ``pmi_pairs``, which is document-grain over distinct terms).
+
+    Pairs are built with one ``arrays_zip`` of the token array against its
+    own tail — no self-join, no explode-then-rejoin; the only exchange is
+    the (pair) count groupBy.  Ranking is (count desc, pair asc).
+    """
+    toks = _tokens(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("a"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term_a"), F.asc("term_b"))
+        .limit(top)
+    )

@@ -67,3 +67,21 @@ def test_deciles_partition_evenly(spark):
     assert all(r["n"] == 10 for r in out)
     d1 = [r for r in out if r["decile"] == 1][0]
     assert d1["lo"] == 0.0 and d1["hi"] == 9.0
+
+
+def test_last_touch_attribution_rules(spark):
+    events = spark.createDataFrame(
+        [
+            # u1: click then purchase → attributed to click
+            _ev(1, 1, 0, "click"), _ev(2, 1, 1, "purchase", 10.0),
+            # u2: view then (later) click then purchase → LAST touch = click
+            _ev(3, 2, 0, "view"), _ev(4, 2, 1, "click"), _ev(5, 2, 2, "purchase", 20.0),
+            # u3: purchase with no prior source → direct
+            _ev(6, 3, 0, "purchase", 5.0),
+            # u4: view 10 days before purchase → stale → direct
+            _ev(7, 4, 0, "view"), _ev(8, 4, 24 * 10, "purchase", 7.0),
+        ]
+    )
+    out = {r["source"]: (r["n_conversions"], r["total_value"]) for r in
+           ea.last_touch_attribution(events, ["view", "click"], max_age_days=7).collect()}
+    assert out == {"click": (2, 30.0), "direct": (2, 12.0)}

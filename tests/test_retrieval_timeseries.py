@@ -104,3 +104,17 @@ def test_decontamination_finds_planted_overlap(spark):
 def test_bm25_plan_broadcasts_stats(spark):
     plan = retrieval.bm25_topk(_docs(spark), ["spark"], topk=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_top_bigrams_counts_adjacent_only(spark):
+    from pyspark.sql import Row
+    from rss_feed_etl_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b c"), Row(doc_id=2, text="a b")]
+    )
+    out = {(r["term_a"], r["term_b"]): r["n"] for r in textstats.top_bigrams(df, top=10).collect()}
+    # 'a b' occurs 3 times (twice in doc1, once in doc2); 'a c' never (not adjacent)
+    assert out[("a", "b")] == 3
+    assert out[("b", "a")] == 1 and out[("b", "c")] == 1
+    assert ("a", "c") not in out
