@@ -39,6 +39,9 @@ HEADLINE = [
     "token_counts",
     "bm25_search",
     "decontaminate_splits",
+    # decision-support path (wave 15)
+    "large_order_customers",
+    "sole_late_suppliers",
 ]
 
 

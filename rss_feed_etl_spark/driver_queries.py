@@ -614,6 +614,7 @@ from . import driver_queries_wave11  # noqa: E402, F401  (registers wave-11 quer
 from . import driver_queries_wave12  # noqa: E402, F401  (registers wave-12 queries)
 from . import driver_queries_wave13  # noqa: E402, F401  (registers wave-13 queries)
 from . import driver_queries_wave14  # noqa: E402, F401  (registers wave-14 queries)
+from . import driver_queries_wave15  # noqa: E402, F401  (registers wave-15 queries)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

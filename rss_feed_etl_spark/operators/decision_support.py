@@ -1,0 +1,354 @@
+"""Decision-support query shapes (TPC-H Q4/Q13/Q15/Q16/Q17/Q18/Q19/Q21/Q22
+adapted to the testdata star schema).
+
+The reference has no GROUP BY tree, subqueries, or non-key joins (SURVEY.md
+section 2.4 "absent in reference"); these are the Spark-native bonus shapes
+that exercise the optimizer paths a 100 TB warehouse lives on: semi/anti
+joins instead of EXISTS self-joins, broadcast of filtered dimensions and
+1-row scalar aggregates, partial aggregation before wide joins, and
+distinct-aggregate planning.
+
+Schema adaptations (testdata lacks some TPC-H columns):
+- no l_commitdate/l_receiptdate -> "late" means shipped > N days after
+  o_orderdate;
+- no partsupp -> the (part, supplier) relation is derived from lineitem;
+- no c_phone -> Q22 groups by nation instead of phone prefix.
+
+Every function returns an un-collected DataFrame and rounds float
+aggregates to 2dp before any ordering that selects rows (cross-engine
+float-parity rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def order_priority_late(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str,
+    end: str,
+    late_days: int = 30,
+) -> DataFrame:
+    """Q4 shape: per order-priority, how many orders in [start, end) had at
+    least one lineitem shipped more than ``late_days`` after the order date.
+
+    The EXISTS is a left-semi join keyed on the orderkey with the lateness
+    predicate folded into the join condition, so each order is emitted at
+    most once and no dedup pass is needed.  At scale both sides are large:
+    the date filter prunes orders at the scan, and the semi join shuffles
+    only (orderkey, shipdate) off the lineitem side thanks to column
+    pruning.
+    """
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    )
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Q13 shape: distribution of customers by how many orders they placed
+    (including zero).
+
+    Two aggregation levels: the first groupBy shuffles on custkey (same key
+    as the left join, so AQE coalesces into one exchange); the second input
+    is tiny (one row per distinct order count).  Counting ``o_orderkey``
+    rather than ``*`` makes left-join null rows count as zero orders.
+    """
+    per_cust = (
+        customer.select("c_custkey")
+        .join(orders.select("o_custkey", "o_orderkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str,
+    frac: float = 0.5,
+) -> DataFrame:
+    """Q17 shape: average yearly revenue lost if small orders (quantity
+    below ``frac`` x the part's average) of one brand were not filled.
+
+    The brand-filtered part dimension is broadcast; per-part average
+    quantity is computed on the already-pruned lineitem subset and
+    broadcast back (two small broadcasts instead of a windowed shuffle of
+    the full fact table).
+    """
+    p = F.broadcast(part.filter(F.col("p_brand") == brand).select("p_partkey"))
+    li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        p, F.col("l_partkey") == F.col("p_partkey"), "inner"
+    )
+    avgs = F.broadcast(
+        li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+        .withColumnRenamed("l_partkey", "ap_partkey")
+    )
+    return (
+        li.join(avgs, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < frac * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def large_order_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 150.0,
+    top: int = 100,
+) -> DataFrame:
+    """Q18 shape: customers who placed orders totalling more than
+    ``min_qty`` units, largest orders first.
+
+    The partial aggregate (sum of quantity per orderkey) runs map-side
+    before its shuffle; the HAVING filter then shrinks it to a sliver,
+    which is broadcast into the orders join so the big fact table is never
+    shuffled.  Customer lookup hash-joins on the already-tiny result.
+    """
+    big = F.broadcast(
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_qty)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(top)
+    )
+
+
+def disjunctive_brand_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    clauses: list[tuple[str, float, float, int, int]],
+) -> DataFrame:
+    """Q19 shape: revenue from an OR of brand/quantity/size clauses, each
+    ``(brand, qty_lo, qty_hi, size_lo, size_hi)``.
+
+    One broadcast hash join with the disjunction evaluated post-join; the
+    overall quantity envelope (min lo .. max hi) is ANDed in separately so
+    it pushes down to the lineitem parquet scan even though the OR itself
+    cannot.
+    """
+    qty_lo = min(c[1] for c in clauses)
+    qty_hi = max(c[2] for c in clauses)
+    ors = None
+    for brand, qlo, qhi, slo, shi in clauses:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("l_quantity").between(qlo, qhi)
+            & F.col("p_size").between(slo, shi)
+        )
+        ors = c if ors is None else (ors | c)
+    return (
+        lineitem.filter(F.col("l_quantity").between(qty_lo, qty_hi))
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .filter(ors)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def top_supplier_quarter(
+    supplier: DataFrame, lineitem: DataFrame, start: str, end: str
+) -> DataFrame:
+    """Q15 shape: the supplier(s) with maximum revenue over one quarter.
+
+    Revenue is rounded to 2dp BEFORE the max-compare so the row selection
+    is identical across engines despite float sum-order differences.  The
+    1-row max aggregate is broadcast (a cross join of a singleton), never
+    recomputed per row; supplier lookup joins on the tiny winners set.
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = F.broadcast(rev.agg(F.max("total_revenue").alias("max_revenue")))
+    return (
+        rev.join(mx, F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def brand_supplier_counts(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    exclude_brand: str,
+    top: int = 40,
+) -> DataFrame:
+    """Q16 shape: how many distinct suppliers ship each (brand, type, size)
+    combination, excluding one brand and below-average-balance suppliers.
+
+    The (part, supplier) relation is derived from lineitem (no partsupp
+    table).  Supplier exclusion is an anti join against a broadcast of the
+    filtered supplier keys; the distinct aggregate runs on (brand, type,
+    size, suppkey) pairs AFTER dropping duplicates map-side via the
+    distinct, so the final shuffle carries unique pairs only.
+    """
+    avg_bal = supplier.agg(F.avg("s_acctbal").alias("a"))
+    weak = F.broadcast(
+        supplier.join(F.broadcast(avg_bal), F.col("s_acctbal") < F.col("a"))
+        .select("s_suppkey")
+    )
+    p = F.broadcast(
+        part.filter(F.col("p_brand") != exclude_brand)
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(weak, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count("*").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+        .limit(top)
+    )
+
+
+def sole_late_suppliers(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 60,
+    top: int = 20,
+) -> DataFrame:
+    """Q21 shape: suppliers who were the ONLY late shipper on a finished
+    multi-supplier order.
+
+    The classic formulation is two correlated EXISTS self-joins of
+    lineitem; here one groupBy per order computes (distinct suppliers,
+    distinct late suppliers, the single late supplier key) in a single
+    shuffle, then filters to n_supp > 1 and n_late == 1 — three scans and
+    two shuffles become one of each.  Late = shipped more than
+    ``late_days`` after the order date.
+    """
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    culprits = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    )
+    return (
+        culprits.join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+                      F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(top)
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, nation: DataFrame,
+    since: str = "1999-01-01",
+) -> DataFrame:
+    """Q22 shape: per nation, count and total balance of customers with
+    above-average (positive) account balance and no order since ``since``
+    (dormant accounts worth a sales call).
+
+    The scalar average is a 1-row broadcast cross join; "no recent order"
+    is a left-anti join on custkey against the date-pruned orders scan;
+    the nation dimension is broadcast.  No EXISTS, no correlated probe.
+    """
+    avg_bal = F.broadcast(
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.join(avg_bal, F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+def decile_rank_orders(orders: DataFrame) -> DataFrame:
+    """Bonus analytic shape: each order's revenue decile within its
+    priority class plus the running share of class revenue it completes —
+    two frame-spec windows over one (priority, price) sort, demonstrating
+    window reuse (one shuffle feeds both functions).
+    """
+    w_rank = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("o_orderpriority")
+    # Exact integer cents make the prefix sums order-independent, so the
+    # share is one IEEE division -- bit-identical across engines.
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(10).over(w_rank).alias("price_decile"),
+        F.round(
+            F.sum(cents).over(w_run) / F.sum(cents).over(w_all), 6
+        ).alias("running_share"),
+    )
