@@ -59,6 +59,11 @@ NANOS_TS_COLS: dict[str, list[str]] = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Driver parquet stores naive timestamps (isAdjustedToUTC=false).  With
+    # NTZ inference on (Spark 4 default) those read as TIMESTAMP_NTZ, which
+    # breaks unix_micros()/literal comparisons; read them as plain TIMESTAMP
+    # UTC instants instead — same semantics DuckDB applies to the same file.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANOS_TS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
