@@ -392,7 +392,11 @@ WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.99
 
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = td.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return similarity.tfidf_cosine_pairs(docs, min_sim=0.5)
+    # n_docs passed precomputed (call-site knows the corpus); max_df_frac
+    # guard active by default — the registered query runs the scale-safe form
+    return similarity.tfidf_cosine_pairs(
+        docs, min_sim=0.5, n_docs=docs.count(), max_df_frac=0.1
+    )
 
 
 _register(
@@ -404,7 +408,8 @@ toks AS (SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\\s+
 tf AS (SELECT id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
 n AS (SELECT count(*) AS n_docs FROM d),
 idf AS (SELECT term, ln((1.0 + (SELECT n_docs FROM n)) / (1.0 + count(DISTINCT id))) + 1.0 AS idf
-        FROM tf GROUP BY term),
+        FROM tf GROUP BY term
+        HAVING count(DISTINCT id) <= 0.1 * (SELECT n_docs FROM n)),
 w AS (SELECT tf.id, tf.term, tf.tf * idf.idf AS w FROM tf JOIN idf ON tf.term = idf.term),
 nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
 wn AS (SELECT w.id, w.term, w.w / nrm.nrm AS wn FROM w JOIN nrm ON w.id = nrm.id)

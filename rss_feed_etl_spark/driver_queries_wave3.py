@@ -199,9 +199,9 @@ WITH g AS (
            AS gap_us
   FROM events)
 SELECT event_id, user_id,
-       sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
 FROM g
 """,
 )
@@ -497,7 +497,7 @@ _register(
     _q_json_props,
     """
 SELECT event_type,
-       sum(CAST(json_extract(props, '$.k') AS INT)) AS k_sum,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
        count(json_extract(props, '$.k')) AS k_n,
        '{"lo":' || min(CAST(json_extract(props, '$.k') AS INT))
          || ',"hi":' || max(CAST(json_extract(props, '$.k') AS INT)) || '}'

@@ -378,6 +378,8 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_sim: float = 0.5,
+    n_docs: int | None = None,
+    max_df_frac: float | None = 0.1,
 ) -> DataFrame:
     """TF-IDF cosine similarity between documents (reference A5/X5,
     src/utils/ats_matcher.py:20-37 — sklearn TfidfVectorizer + cosine),
@@ -391,13 +393,31 @@ def tfidf_cosine_pairs(
 
     Spark ML's HashingTF/IDF gives the same shape with feature hashing; the
     exact-vocabulary form here avoids hash collisions and external models.
+
+    ``max_df_frac`` is the scale guard: terms appearing in more than that
+    fraction of documents are dropped from the vocabulary BEFORE the
+    postings self-join (sklearn's ``max_df`` / the reference's
+    ``stop_words='english'``, ats_matcher.py:22).  Without it a
+    stopword-frequency term ("the") turns the term join into a near-cross-
+    join on a real corpus.  The cap changes idf/norms consistently (term is
+    removed from the vocabulary, not just the join), so results equal a
+    TfidfVectorizer fitted on the capped vocabulary.  Pass ``None`` to
+    disable (exact baseline, test-only at scale).
+
+    ``n_docs`` should be passed precomputed when the caller already knows
+    the corpus size; counting here costs one extra Spark action.
     """
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
     tf = toks.groupBy("id", "term").agg(F.count("*").cast("double").alias("tf"))
-    n_docs = df.count()  # small scalar; at scale pass it in precomputed
+    if n_docs is None:
+        n_docs = df.count()
     dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    if max_df_frac is not None:
+        # pre-join document-frequency cap: the inner joins below propagate
+        # the drop to weights, norms, and the pair join alike
+        dfreq = dfreq.filter(F.col("df") <= F.lit(float(max_df_frac)) * F.lit(n_docs))
     idf = dfreq.select(
         "term",
         (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)).alias("idf"),

@@ -40,6 +40,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     return builder.getOrCreate()
 
@@ -94,4 +96,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # Timestamp read semantics for the driver's parquet (naive INT64 nanos):
+    # read as plain UTC TIMESTAMP (not NTZ) and surface nanos as longs for the
+    # explicit nanos→micros conversion in testdata.load_table.  Kept here so
+    # EVERY session and read path (not just load_table) agrees — DuckDB
+    # applies the same semantics to the same files, so oracle parity holds.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark

@@ -58,11 +58,11 @@ NANOS_TS_COLS: dict[str, list[str]] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Parquet timestamp read semantics (nanosAsLong, no NTZ inference) live in
+    # session.get_spark/tune_session so every read path agrees; re-assert here
+    # for robustness on sessions that bypassed both (e.g. a bare driver
+    # session handed straight to a query callable).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Driver parquet stores naive timestamps (isAdjustedToUTC=false).  With
-    # NTZ inference on (Spark 4 default) those read as TIMESTAMP_NTZ, which
-    # breaks unix_micros()/literal comparisons; read them as plain TIMESTAMP
-    # UTC instants instead — same semantics DuckDB applies to the same file.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANOS_TS_COLS.get(name, []):
