@@ -369,19 +369,52 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_neardup_pairs(
+    # The registered query runs the banded-LSH scale path (guards active);
+    # the exact all-pairs embedding_neardup_pairs stays the test baseline.
+    return similarity.embedding_neardup_pairs_lsh(
         _aug_embeddings(spark, sf_dir), threshold=0.99
     )
 
+
+def _band_sig_sql(b: int, rows: int = 8) -> str:
+    # mirrors similarity._lsh_signature(start=b*rows, n=rows): bit r set iff
+    # the projection onto hyperplane h=b*rows+r is positive; sign(h, j) is
+    # the splitmix-style hash of n = h*1024 + j + 1 (DuckDB range is
+    # 1-based, so n = h*1024 + i)
+    bits = []
+    for r in range(rows):
+        base = (b * rows + r) * 1024
+        proj = (
+            "list_reduce(list_transform(range(1, 65), "
+            "i -> CAST(embedding[i] AS DOUBLE) * "
+            f"(CASE WHEN ((xor(({base}+i)*2654435761, (({base}+i)*2654435761) >> 21) % 2097152)"
+            f" * 2246822519 >> 20) % 2 = 0 THEN 1.0 ELSE -1.0 END)), "
+            "(x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN CAST({2**r} AS BIGINT) ELSE 0 END)")
+    return " + ".join(bits)
+
+
+_EMB_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT vec_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM aug_emb"
+    for b in range(6)
+)
 
 _register(
     "embedding_cosine_neardup",
     _q_neardup_embedding,
     f"""
-WITH {_AUG_EMB_SQL}
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+WITH {_AUG_EMB_SQL},
+bands AS ({_EMB_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id)
+SELECT c.id_a, c.id_b,
        {_cos_sql("a.embedding", "b.embedding")} AS cosine_sim
-FROM aug_emb a JOIN aug_emb b ON a.vec_id < b.vec_id
+FROM cand c
+JOIN aug_emb a ON a.vec_id = c.id_a
+JOIN aug_emb b ON b.vec_id = c.id_b
 WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.99
 """,
 )

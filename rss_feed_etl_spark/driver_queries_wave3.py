@@ -376,34 +376,50 @@ _NRM = (
 
 
 def _proj_sql(h: int) -> str:
-    # mirrors similarity._lsh_signature: sign(h, j) by parity of an integer
-    # mix of (h, j); DuckDB's range is 1-based so j = i-1
-    c = h * 40503 + 7
+    # mirrors similarity._lsh_signature: sign(h, j) by the splitmix-style
+    # hash of n = h*1024 + j + 1; DuckDB's range is 1-based so n = h*1024 + i
+    base = h * 1024
     return (
         "list_reduce(list_transform(range(1, 65), "
         f"i -> CAST(embedding[i] AS DOUBLE) * "
-        f"(CASE WHEN (((i-1)*2654435761 + {c}) % 97) % 2 = 0 THEN 1.0 ELSE -1.0 END)), "
+        f"(CASE WHEN ((xor(({base}+i)*2654435761, (({base}+i)*2654435761) >> 21) % 2097152)"
+        f" * 2246822519 >> 20) % 2 = 0 THEN 1.0 ELSE -1.0 END)), "
         "(x, y) -> x + y)"
     )
 
 
-_SIG_SQL = " + ".join(
-    f"(CASE WHEN {_proj_sql(h)} > 0 THEN CAST({2**h} AS BIGINT) ELSE 0 END)"
-    for h in range(12)
+def _ann_band_sig_sql(b: int, rows: int = 8) -> str:
+    # per-band signature: bit r ← hyperplane h = b*rows + r (mirrors
+    # similarity._lsh_signature(start=b*rows, n=rows))
+    return " + ".join(
+        f"(CASE WHEN {_proj_sql(b * rows + r)} > 0 THEN CAST({2**r} AS BIGINT) ELSE 0 END)"
+        for r in range(rows)
+    )
+
+
+_ANN_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT vec_id, embedding, {b} AS band, {_ann_band_sig_sql(b)} AS sig FROM embeddings"
+    for b in range(4)
 )
 
 _register(
     "ann_cosine_topk_lsh",
     _q_ann_lsh,
     f"""
-WITH sig AS (SELECT vec_id, embedding, {_SIG_SQL} AS sig FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv, sig FROM sig WHERE vec_id < 10),
+WITH bands AS ({_ANN_BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
+  FROM bands e JOIN bands q
+    ON e.band = q.band AND e.sig = q.sig
+   AND q.vec_id < 10 AND e.vec_id <> q.vec_id),
 scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         round({_DOT.format(a='q.qv', b='e.embedding')} /
-               ({_NRM.format(a='q.qv')} * {_NRM.format(a='e.embedding')}), 4)
+  SELECT c.query_id, c.neighbor_id,
+         round({_DOT.format(a='q.embedding', b='e.embedding')} /
+               ({_NRM.format(a='q.embedding')} * {_NRM.format(a='e.embedding')}), 4)
            AS cosine_sim
-  FROM sig e JOIN q ON e.sig = q.sig AND e.vec_id <> q.query_id),
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank

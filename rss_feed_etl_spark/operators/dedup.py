@@ -97,6 +97,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by word n-gram Jaccard similarity.
 
@@ -104,25 +105,47 @@ def ngram_jaccard_pairs(
     join key; Catalyst uses a shuffled hash join on the shingle hash) →
     count shared shingles per pair → Jaccard = |∩| / (|A|+|B|-|∩|).
 
-    This is the exact-answer baseline; it is quadratic in documents that
-    share a hot shingle, which is why `minhash_lsh_pairs` (banded buckets,
-    tunable collision probability) is the 100 TB path.  Returns
-    (id_a, id_b, jaccard) with id_a < id_b, rounded to 6dp for stable
-    cross-engine comparison.
+    ``max_df`` is the hot-shingle guard, ON by default: shingles appearing
+    in more than ``max_df`` documents are removed from every shingle set
+    before the self-join (reduced-set Jaccard — the shingle analog of
+    TF-IDF stopword removal).  A boilerplate shingle shared by millions of
+    documents otherwise turns the equi-join into a near-cross-join; with
+    the cap, join fan-out per shingle is ≤ max_df².  The guard costs two
+    extra shuffles (shingle-df aggregate + per-doc size recount), which is
+    the price of an exact answer at scale; `minhash_lsh_pairs` (banded
+    buckets, tunable collision probability) stays the cheaper 100 TB path.
+    Pass ``None`` for the unreduced exact baseline (test-only at scale).
+    Returns (id_a, id_b, jaccard) with id_a < id_b, rounded to 6dp for
+    stable cross-engine comparison.
     """
-    # shingle-set sizes ride along with the exploded rows: joining a
-    # separate sizes frame back in would re-evaluate the (expensive)
-    # shingle subtree once per join — this plan evaluates it exactly twice
-    # (the two sides of the self-join), with sizes folded out of the
-    # group-by for free (they are constant per id)
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     )
-    exploded = sh.select(
-        "id",
-        F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("shingle"),
-    )
+    if max_df is not None:
+        exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+        # hot-shingle list is tiny by construction (only shingles in >max_df
+        # docs); broadcast the anti-join so the exploded side never shuffles
+        # for the filter, then recount per-doc sizes on the reduced sets
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        kept = exploded.join(F.broadcast(hot), on="shingle", how="left_anti")
+        sizes = kept.groupBy("id").agg(F.count("*").alias("n_sh"))
+        exploded = kept.join(sizes, on="id")
+    else:
+        # shingle-set sizes ride along with the exploded rows: joining a
+        # separate sizes frame back in would re-evaluate the (expensive)
+        # shingle subtree once per join — this plan evaluates it exactly
+        # twice (the two sides of the self-join), with sizes folded out of
+        # the group-by for free (they are constant per id)
+        exploded = sh.select(
+            "id",
+            F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("shingle"),
+        )
     pairs = (
         exploded.alias("a")
         .join(exploded.alias("b"), on="shingle")
@@ -258,7 +281,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, verified by
     estimated Jaccard (fraction of agreeing minhashes).
@@ -275,8 +298,11 @@ def minhash_lsh_pairs(
     sizes track true duplicate-cluster sizes.  For degenerate corpora
     (millions of identical docs → one giant bucket → quadratic pair list
     on a single task), ``max_bucket`` drops buckets larger than the cap —
-    the standard LSH guard; leave ``None`` for the exact, oracle-checked
-    semantics.  Returns (id_a, id_b, est_jaccard).
+    the standard LSH guard, ON by default (a 10k-member bucket means 50M
+    pairs on one task; buckets that big are exact-duplicate clusters that
+    the cheaper hash-based ``dedup_exact`` should absorb first).
+    Pass ``None`` for the unguarded exact semantics (test-only at scale).
+    Returns (id_a, id_b, est_jaccard).
     """
     bands_long = _bands_long(minhash_signatures(df, id_col, text_col, n))
     grouped = (
