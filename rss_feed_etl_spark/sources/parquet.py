@@ -56,6 +56,51 @@ def write_partitioned(df: DataFrame, path: str, ts_col: str = "published") -> No
     )
 
 
+def write_partitioned_incremental(
+    merged: DataFrame,
+    batch: DataFrame,
+    history: DataFrame,
+    path: str,
+    key: str = "link",
+    ts_col: str = "published",
+) -> list:
+    """Incremental merge sink: dynamic-partition-overwrite ONLY the ingest
+    dates the batch touched, never the whole history (the fix for the
+    reference's clear-and-rewrite, data_loader.py:426-428).
+
+    Touched dates = dates of the batch rows ∪ dates of the HISTORY versions
+    of keys present in the batch — the second term matters because an
+    update can move a row to a new date, and the stale version must vanish
+    from its old partition.  The date list is driver-sized (days, not
+    rows); the write scans `merged` once with a partition filter, and
+    untouched partition directories are not rewritten.  Returns the list of
+    touched dates (for observability/testing).
+    """
+    spark = merged.sparkSession
+    batch_keys = batch.select(key).distinct()
+    touched = (
+        batch.select(F.to_date(F.col(ts_col)).alias("d"))
+        .unionByName(
+            history.join(batch_keys, key, "left_semi").select(
+                F.to_date(F.col(ts_col)).alias("d")
+            )
+        )
+        .distinct()
+    )
+    dates = sorted(r["d"] for r in touched.collect() if r["d"] is not None)
+    if not dates:  # empty batch → nothing to rewrite
+        return dates
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        merged.withColumn("ingest_date", F.to_date(F.col(ts_col)))
+        .filter(F.col("ingest_date").isin(dates))
+        .write.mode("overwrite")
+        .partitionBy("ingest_date")
+        .parquet(path)
+    )
+    return dates
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

@@ -136,6 +136,15 @@ def default_fetcher(url: str) -> str:
         return resp.read().decode("utf-8", errors="replace")
 
 
+def file_fetcher(url: str) -> str:
+    """Offline fetcher: ``file://`` URLs (or plain paths) read from local
+    disk — the landing-dir pattern for air-gapped runs and the CLI's
+    default when a config's feed URLs point at pre-fetched XML."""
+    path = url[len("file://"):] if url.startswith("file://") else url
+    with open(path, encoding="utf-8") as fh:
+        return fh.read()
+
+
 RAW_ENTRY_SCHEMA = T.StructType(
     [
         T.StructField("job_title", T.StringType()),
