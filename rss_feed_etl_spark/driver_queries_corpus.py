@@ -124,7 +124,7 @@ _register(
     _q_ngram_jaccard,
     f"""
 WITH {_AUG_SQL},
-sh AS (SELECT id, {_SHINGLES.format(w=_W)} AS s FROM aug),
+sh AS (SELECT id, list_transform({_SHINGLES.format(w=_W)}, x -> {_code("x")}) AS s FROM aug),
 sz AS (SELECT id, len(s) AS n FROM sh),
 ex AS (SELECT id, unnest(s) AS shingle FROM sh),
 p AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
@@ -377,18 +377,19 @@ def _q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _band_sig_sql(b: int, rows: int = 8) -> str:
-    # mirrors similarity._lsh_signature(start=b*rows, n=rows): bit r set iff
-    # the projection onto hyperplane h=b*rows+r is positive; sign(h, j) is
-    # the splitmix-style hash of n = h*1024 + j + 1 (DuckDB range is
-    # 1-based, so n = h*1024 + i)
+    # mirrors similarity.banded_signatures(bands, rows): bit r set iff the
+    # projection onto hyperplane h=b*rows+r is positive; sign(h, j) is the
+    # splitmix-style hash of n = h*1024 + j + 1 (DuckDB range is 1-based,
+    # so n = h*1024 + i); components integer-quantized (floor(v*2^20) —
+    # *2^20 is exact in fp, so the bigint sum matches numpy's int64 GEMM)
     bits = []
     for r in range(rows):
         base = (b * rows + r) * 1024
         proj = (
             "list_reduce(list_transform(range(1, 65), "
-            "i -> CAST(embedding[i] AS DOUBLE) * "
+            "i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) * "
             f"(CASE WHEN ((xor(({base}+i)*2654435761, (({base}+i)*2654435761) >> 21) % 2097152)"
-            f" * 2246822519 >> 20) % 2 = 0 THEN 1.0 ELSE -1.0 END)), "
+            f" * 2246822519 >> 20) % 2 = 0 THEN 1 ELSE -1 END)), "
             "(x, y) -> x + y)"
         )
         bits.append(f"(CASE WHEN {proj} > 0 THEN CAST({2**r} AS BIGINT) ELSE 0 END)")

@@ -376,21 +376,23 @@ _NRM = (
 
 
 def _proj_sql(h: int) -> str:
-    # mirrors similarity._lsh_signature: sign(h, j) by the splitmix-style
-    # hash of n = h*1024 + j + 1; DuckDB's range is 1-based so n = h*1024 + i
+    # mirrors similarity.banded_signatures: sign(h, j) by the splitmix-style
+    # hash of n = h*1024 + j + 1 (DuckDB's range is 1-based so n = h*1024+i);
+    # components are integer-quantized (floor(v*2^20) — *2^20 is exact in
+    # fp, so the bigint sum matches numpy's int64 GEMM bit-for-bit)
     base = h * 1024
     return (
         "list_reduce(list_transform(range(1, 65), "
-        f"i -> CAST(embedding[i] AS DOUBLE) * "
+        f"i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) * "
         f"(CASE WHEN ((xor(({base}+i)*2654435761, (({base}+i)*2654435761) >> 21) % 2097152)"
-        f" * 2246822519 >> 20) % 2 = 0 THEN 1.0 ELSE -1.0 END)), "
+        f" * 2246822519 >> 20) % 2 = 0 THEN 1 ELSE -1 END)), "
         "(x, y) -> x + y)"
     )
 
 
 def _ann_band_sig_sql(b: int, rows: int = 8) -> str:
     # per-band signature: bit r ← hyperplane h = b*rows + r (mirrors
-    # similarity._lsh_signature(start=b*rows, n=rows))
+    # similarity.banded_signatures band b of `rows` bits)
     return " + ".join(
         f"(CASE WHEN {_proj_sql(b * rows + r)} > 0 THEN CAST({2**r} AS BIGINT) ELSE 0 END)"
         for r in range(rows)

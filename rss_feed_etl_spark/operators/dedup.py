@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.hashing import MOD, token_code
 from ..functions.text import norm_text, word_shingles
@@ -101,64 +102,67 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by word n-gram Jaccard similarity.
 
-    Plan: explode distinct shingles → self-equi-join on shingle (the ONLY
-    join key; Catalyst uses a shuffled hash join on the shingle hash) →
-    count shared shingles per pair → Jaccard = |∩| / (|A|+|B|-|∩|).
+    Plan: explode distinct shingles → group ids per shingle → expand
+    in-bucket pairs → count shared shingles per pair →
+    Jaccard = |∩| / (|A|+|B|-|∩|).
 
-    ``max_df`` is the hot-shingle guard, ON by default: shingles appearing
-    in more than ``max_df`` documents are removed from every shingle set
-    before the self-join (reduced-set Jaccard — the shingle analog of
-    TF-IDF stopword removal).  A boilerplate shingle shared by millions of
-    documents otherwise turns the equi-join into a near-cross-join; with
-    the cap, join fan-out per shingle is ≤ max_df².  The guard costs two
-    extra shuffles (shingle-df aggregate + per-doc size recount), which is
-    the price of an exact answer at scale; `minhash_lsh_pairs` (banded
-    buckets, tunable collision probability) stays the cheaper 100 TB path.
+    ``max_df`` is the hot-shingle guard, ON by default: shingle buckets
+    holding more than ``max_df`` documents are dropped before pair
+    expansion, removing those shingles from every shingle set (reduced-set
+    Jaccard — the shingle analog of TF-IDF stopword removal).  A
+    boilerplate shingle shared by millions of documents otherwise produces
+    a quadratic pair list; with the cap, fan-out per shingle is ≤ max_df².
+    `minhash_lsh_pairs` (banded buckets, tunable collision probability)
+    stays the cheaper 100 TB path for this exact-answer baseline.
     Pass ``None`` for the unreduced exact baseline (test-only at scale).
     Returns (id_a, id_b, jaccard) with id_a < id_b, rounded to 6dp for
     stable cross-engine comparison.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
+    # Shingles are carried as engine-independent numeric codes (md5 prefix
+    # mod 1e9+7) so every downstream exchange moves 8-byte bigints, not
+    # ~25-byte n-gram strings.  The pair generation is ONE-SIDED (the
+    # minhash-bucket shape): group ids per shingle, expand in-bucket pairs
+    # with array transforms.  A two-sided self-join on shingle evaluates
+    # the (expensive) shingle+md5 subtree once per join side and per
+    # consumer — the measured plan recomputed it 6×; here the exploded
+    # rows shuffle into the bucket groupBy once, and both consumers of
+    # `buckets` (per-doc sizes, in-bucket pairs) read the SAME exchange
+    # (ReusedExchange), so the text is scanned and hashed exactly once.
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(word_shingles(text_col, n), token_code)).alias("shingle"),
     )
+    buckets = ex.groupBy("shingle").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     if max_df is not None:
-        exploded = sh.select("id", F.explode("shingles").alias("shingle"))
-        # hot-shingle list is tiny by construction (only shingles in >max_df
-        # docs); broadcast the anti-join so the exploded side never shuffles
-        # for the filter, then recount per-doc sizes on the reduced sets
-        hot = (
-            exploded.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shingle")
-        )
-        kept = exploded.join(F.broadcast(hot), on="shingle", how="left_anti")
-        sizes = kept.groupBy("id").agg(F.count("*").alias("n_sh"))
-        exploded = kept.join(sizes, on="id")
-    else:
-        # shingle-set sizes ride along with the exploded rows: joining a
-        # separate sizes frame back in would re-evaluate the (expensive)
-        # shingle subtree once per join — this plan evaluates it exactly
-        # twice (the two sides of the self-join), with sizes folded out of
-        # the group-by for free (they are constant per id)
-        exploded = sh.select(
-            "id",
-            F.size("shingles").alias("n_sh"),
-            F.explode("shingles").alias("shingle"),
-        )
-    pairs = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), on="shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count("*").alias("common"),
-            F.first("a.n_sh").alias("n_a"),
-            F.first("b.n_sh").alias("n_b"),
+        buckets = buckets.filter(F.size("ids") <= max_df)
+    # n_sh counts the doc's surviving shingles — singleton buckets count
+    # toward the union size even though they can never produce a pair
+    sizes = (
+        buckets.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    m = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.greatest(F.size(m) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
     )
+    pairs = (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    j = pairs.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
+    ).join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
     return (
-        pairs.withColumn(
+        j.withColumn(
             "jaccard",
             F.round(
                 F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
@@ -173,57 +177,63 @@ N_MINHASH = 32
 LSH_BANDS = 8  # 8 bands × 4 rows: P(collide) = 1-(1-j^4)^8 ≈ .5 at j≈.55
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+def banded_minhash(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """MinHash signatures over word-shingle sets, as pure expressions.
+    """(id, sig, bucket) banded minhash rows: 32-permutation MinHash
+    signatures over word-shingle sets, exploded into LSH band buckets.
 
-    Permutation i is the universal hash ``(a_i*code + b_i) mod p`` over the
-    engine-independent shingle code (md5-derived, functions/hashing.py), so
-    signatures are deterministic AND oracle-checkable.  The per-row cost is
-    N_MINHASH × |shingles| multiply-mods inside whole-stage codegen — no
-    Python, no shuffle until the band join.
+    Shingle codes stay expression-side (md5 is JVM whole-stage codegen);
+    the 32 permutation-min reductions move into one Arrow ``mapInPandas``
+    numpy pass — pure int64 ``(a·code + b) mod p`` arithmetic, so results
+    are bit-identical to the expression form and the DuckDB oracle
+    (expression-side `array_min`/`transform` are interpreted higher-order
+    functions; the numpy pass benches ~3× faster at sf0.1).  Band buckets
+    are the same md5-of-joined-values strings the expression form emits.
     """
-    # Fixed pseudo-random but deterministic coefficients (seeded linear
-    # congruence over i) — identical constants in the DuckDB oracle SQL.
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..session import ensure_executors_can_import
+
+    ensure_executors_can_import(df.sparkSession)
     coeffs = [((2 * i + 1) * 2654435761 % MOD, (i * i + i + 41) % MOD) for i in range(N_MINHASH)]
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
-    )
-    codes = sh.withColumn("codes", F.transform("shingles", token_code)).drop("shingles")
-
-    # NB: constants must be bound via a closure factory, NOT lambda default
-    # args — PySpark counts default params as lambda arity and would pass the
-    # array index into them.
-    def perm(a: int, b: int):
-        return lambda c: (c * F.lit(a) + F.lit(b)) % F.lit(MOD)
-
-    sig_cols = [
-        F.array_min(F.transform("codes", perm(a, b))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    return codes.select("id", *sig_cols)
-
-
-def _bands_long(sigs: DataFrame) -> DataFrame:
-    """(id, sig array, exploded band bucket) from wide minhash signatures."""
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
     rows_per_band = N_MINHASH // LSH_BANDS
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.lit(str(b)),
-                *[F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)],
-            )
-        ).alias(f"band{b}")
-        for b in range(LSH_BANDS)
-    ]
-    banded = sigs.select("id", *[F.col(f"mh{i}") for i in range(N_MINHASH)], *band_cols)
-    return banded.select(
-        "id",
-        F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("sig"),
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(LSH_BANDS)])).alias("bucket"),
+
+    codes_df = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(word_shingles(text_col, n), token_code).alias("codes"),
     )
+    id_type = codes_df.schema["id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+            T.StructField("bucket", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sigs, buckets = [], [], []
+            for id_, codes in zip(pdf["id"], pdf["codes"]):
+                c = np.asarray(codes, dtype=np.int64)
+                if c.size == 0:  # word_shingles never yields an empty set
+                    continue
+                mh = ((A * c[None, :] + B) % MOD).min(axis=1)
+                for b in range(LSH_BANDS):
+                    seg = mh[b * rows_per_band : (b + 1) * rows_per_band]
+                    key = ",".join([str(b)] + [str(int(v)) for v in seg])
+                    ids.append(id_)
+                    sigs.append(mh)
+                    buckets.append(hashlib.md5(key.encode()).hexdigest())
+            yield pd.DataFrame({"id": ids, "sig": sigs, "bucket": buckets})
+
+    return codes_df.mapInPandas(gen, out_schema)
 
 
 def _est_jaccard(sig_a, sig_b):
@@ -255,10 +265,10 @@ def incremental_minhash_pairs(
     history cost is O(corpus) scan, not O(corpus²) pairing.  Returns
     (batch_id, corpus_id, est_jaccard).
     """
-    c = _bands_long(minhash_signatures(corpus, id_col, text_col, n)).select(
+    c = banded_minhash(corpus, id_col, text_col, n).select(
         F.col("id").alias("corpus_id"), F.col("sig").alias("sig_c"), "bucket"
     )
-    b = _bands_long(minhash_signatures(batch, id_col, text_col, n)).select(
+    b = banded_minhash(batch, id_col, text_col, n).select(
         F.col("id").alias("batch_id"), F.col("sig").alias("sig_b"), "bucket"
     )
     if broadcast_batch:
@@ -304,7 +314,7 @@ def minhash_lsh_pairs(
     Pass ``None`` for the unguarded exact semantics (test-only at scale).
     Returns (id_a, id_b, est_jaccard).
     """
-    bands_long = _bands_long(minhash_signatures(df, id_col, text_col, n))
+    bands_long = banded_minhash(df, id_col, text_col, n)
     grouped = (
         bands_long.groupBy("bucket")
         .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("members"))

@@ -80,45 +80,75 @@ def cosine_topk(
 
 
 N_HYPERPLANES = 12
+SIGN_QUANT = 1 << 20  # integer quantization scale for sign projections
 
 
-def _lsh_signature(
-    vec: Column, dim: int = 64, start: int = 0, n: int = N_HYPERPLANES
-) -> Column:
-    """Random-hyperplane sign signature as a deterministic expression.
+def _sign_bit(h: int, j: int) -> int:
+    """Hyperplane h's component-j sign bit: a splitmix-style integer hash
+    of h·1024+j+1 (multiply, xor-fold, multiply, middle bit) — no stored
+    model, identical in Python, Spark SQL, and DuckDB.  The two multiplies
+    are the load-bearing part: a single affine mix makes consecutive
+    hyperplanes constant-shifts of each other (correlation ≈ 0.5, which
+    halves banded recall); this mix measures |corr| ≈ 0.1 and simulated
+    banded recall within 0.03% of true gaussian hyperplanes."""
+    xx = (j + h * 1024 + 1) * 2654435761
+    y = (xx ^ (xx >> 21)) % 2097152
+    return ((y * 2246822519) >> 20) % 2
 
-    Hyperplane h's component j is ±1 by a splitmix-style integer hash of
-    n = h·1024+j+1 (multiply, xor-fold, multiply, middle bit) — no stored
-    model, identical on every engine/executor.  The two multiplies are the
-    load-bearing part: a single affine mix makes consecutive hyperplanes
-    constant-shifts of each other (correlation ≈ 0.5, which halves banded
-    recall); this mix measures |corr| ≈ 0.1 and simulated banded recall
-    within 0.03% of true gaussian hyperplanes.  All intermediates stay
-    < 2^53, so ANSI-mode bigint arithmetic cannot overflow.
-    ``start``/``n`` select a hyperplane range so banded schemes can derive
-    independent per-band signatures from the same fixed hyperplane family.
+
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    bands: int = 4,
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """(id, vec, band, sig) rows: ``bands`` independent random-hyperplane
+    sign signatures of ``rows_per_band`` bits per vector.
+
+    Projections are computed over INTEGER-quantized components
+    (``floor(v·2^20)``, exact for |v| < 2^32) so each sign is a sum of
+    bigints — order-independent exact arithmetic — which lets the heavy
+    lifting run as ONE int64 GEMM per Arrow batch (vectorized pandas UDF)
+    while the DuckDB oracle's sequential ``list_reduce`` provably lands on
+    the identical bit.  The expression-tree alternative (48
+    ``aggregate``/``zip_with`` folds per row) is interpreted per element —
+    Spark does not codegen higher-order functions — and benches ~5× slower
+    at sf0.1.
     """
-    def signed(hh: int):
-        # closure factory: zip_with introspects the lambda arity, so the
-        # hyperplane index must be captured in an enclosing scope, not a
-        # default argument
-        def f(x: Column, j: Column) -> Column:
-            xx = (j.cast("bigint") + F.lit(hh * 1024 + 1)) * F.lit(2654435761)
-            y = xx.bitwiseXOR(F.shiftright(xx, 21)) % F.lit(2097152)
-            bit = F.shiftright(y * F.lit(2246822519), 20) % 2
-            return x.cast("double") * F.when(bit == 0, 1.0).otherwise(-1.0)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-        return f
+    from ..session import ensure_executors_can_import
 
-    sig = F.lit(0).cast("bigint")
-    for bit, h in enumerate(range(start, start + n)):
-        proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), signed(h)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    ensure_executors_can_import(df.sparkSession)
+    n_planes = bands * rows_per_band
+    S = np.array(
+        [[1 if _sign_bit(h, j) == 0 else -1 for j in range(dim)] for h in range(n_planes)],
+        dtype=np.int64,
+    )
+    W = 2 ** np.arange(rows_per_band, dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(col.to_numpy()).astype(np.float64)
+        Q = np.floor(V * float(SIGN_QUANT)).astype(np.int64)
+        bits = (Q @ S.T > 0).astype(np.int64)  # (n, planes) — exact int math
+        per_band = np.stack(
+            [bits[:, b * rows_per_band : (b + 1) * rows_per_band] @ W for b in range(bands)],
+            axis=1,
         )
-        sig = sig + F.when(proj > 0, F.lit(2**bit).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    return sig
+        return pd.Series(list(per_band))
+
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(sigs(F.col(vec_col))).alias("band", "sig"),
+    )
 
 
 def cosine_topk_lsh(
@@ -143,34 +173,24 @@ def cosine_topk_lsh(
     sharpens buckets (cheaper, lower recall); raising bands is multi-probe
     (more candidates, higher recall) without changing the plan shape.
     """
-    def banded(df: DataFrame, idc: str, vecc: str) -> DataFrame:
-        bs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    _lsh_signature(
-                        F.col(vecc), dim, start=b * rows_per_band, n=rows_per_band
-                    ).alias("sig"),
-                )
-                for b in range(bands)
-            ]
-        )
-        return df.select(
-            F.col(idc), F.col(vecc), F.explode(bs).alias("bs")
-        ).select(idc, vecc, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-
-    e = banded(
+    e = banded_signatures(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev")
         ),
         "neighbor_id",
         "ev",
+        dim,
+        bands,
+        rows_per_band,
     )
     q = F.broadcast(
-        banded(
+        banded_signatures(
             queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
             "query_id",
             "qv",
+            dim,
+            bands,
+            rows_per_band,
         )
     )
     pairs = (
@@ -441,14 +461,14 @@ def embedding_neardup_pairs_lsh(
     default 6×8 — and exact cosine re-scores every candidate, so the only
     approximation is missed candidates, never false positives.
 
-    Plan shape (the part that must survive 100 TB): one signature pass over
-    the corpus (48 hyperplane folds, whole-stage codegen), one groupBy on
-    (band, sig) whose shuffle carries (id, vec) once per band, then one
-    GEMM per bucket inside Arrow ``mapInPandas`` — work is
-    Σ_buckets |bucket|², never the |corpus|² of the exact form.
-    ``max_bucket`` drops degenerate buckets (a bucket of 20k identical
-    embeddings would put a 200M-element gram on one task); buckets that
-    large mean exact duplicates, which the cheaper hash-based
+    Plan shape (the part that must survive 100 TB): one vectorized
+    signature pass over the corpus (one int64 GEMM per Arrow batch,
+    ``banded_signatures``), one groupBy on (band, sig) whose shuffle
+    carries (id, vec) once per band, then one GEMM per bucket inside Arrow
+    ``mapInPandas`` — work is Σ_buckets |bucket|², never the |corpus|² of
+    the exact form.  ``max_bucket`` drops degenerate buckets (a bucket of
+    20k identical embeddings would put a 200M-element gram on one task);
+    buckets that large mean exact duplicates, which the cheaper hash-based
     ``dedup_exact`` should have removed first.
     """
     import pandas as pd
@@ -457,22 +477,14 @@ def embedding_neardup_pairs_lsh(
 
     ensure_executors_can_import(embeddings.sparkSession)
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                _lsh_signature(
-                    F.col(vec_col), dim, start=b * rows_per_band, n=rows_per_band
-                ).alias("sig"),
-            )
-            for b in range(bands)
-        ]
+    banded = banded_signatures(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        "id",
+        "vec",
+        dim,
+        bands,
+        rows_per_band,
     )
-    banded = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(band_structs).alias("bs"),
-    ).select("id", "vec", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
     grouped = (
         banded.groupBy("band", "sig")

@@ -389,3 +389,51 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
 
     got = sorted(r.link for r in spark.read.parquet(out).collect())
     assert got == ["L1", "L2", "L3"]
+
+
+def test_streaming_three_microbatches_equals_batch_fold(spark, tmp_path):
+    """VERDICT r1 #9: ≥3 micro-batches through the foreachBatch SCD1 sink
+    must land exactly where the batch merge_scd1 fold lands — closing the
+    loop between §2.9 streaming and the oracle-checked batch merge."""
+    from rss_feed_etl_spark.operators.dedup import dedup_by_key
+    from rss_feed_etl_spark.operators.merges import merge_scd1
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    batches = [
+        # batch 1: two keys, duplicate L1 within the batch (keep-last wins)
+        [("Eng", "L1", "t1-a", dt.datetime(2024, 5, 1, 9), "f", "r", "w", "s1a", ""),
+         ("Eng", "L1", "t1-b", dt.datetime(2024, 5, 1, 10), "f", "r", "w", "s1b", "note-1"),
+         ("Eng", "L2", "t2", dt.datetime(2024, 5, 1, 11), "f", "r", "w", "s2", "")],
+        # batch 2: L2 updated with blank notes, L3 new
+        [("Eng", "L2", "t2-v2", dt.datetime(2024, 5, 2, 9), "f", "r", "w", "s2b", ""),
+         ("Eng", "L3", "t3", dt.datetime(2024, 5, 2, 10), "f", "r", "w", "s3", "n3")],
+        # batch 3: L1 updated (blank notes → history notes preserved),
+        # L3 updated with new notes (new wins), L4 new
+        [("Eng", "L1", "t1-v2", dt.datetime(2024, 5, 3, 9), "f", "r", "w", "s1c", ""),
+         ("Eng", "L3", "t3-v2", dt.datetime(2024, 5, 3, 10), "f", "r", "w", "s3b", "n3-v2"),
+         ("Eng", "L4", "t4", dt.datetime(2024, 5, 3, 11), "f", "r", "w", "s4", "")],
+    ]
+
+    for rows in batches:
+        spark.createDataFrame(rows, STAGE_SCHEMA).write.mode("append").parquet(landing)
+        q = incremental_scd1(read_stage_stream(spark, landing, STAGE_SCHEMA), target, ckpt)
+        q.awaitTermination(120)
+
+    streamed = spark.read.parquet(target)
+
+    fold = None
+    for rows in batches:
+        b = dedup_by_key(
+            spark.createDataFrame(rows, STAGE_SCHEMA), "link", ["published"], keep="last"
+        )
+        fold = b if fold is None else merge_scd1(b, fold, key="link")
+
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, fold.collect()))
+    got = {r["link"]: r.asDict() for r in streamed.collect()}
+    assert got["L1"]["entry_title"] == "t1-v2"
+    assert got["L1"]["notes"] == "note-1"  # preserved through TWO updates
+    assert got["L3"]["notes"] == "n3-v2"  # new notes win over history
+    assert set(got) == {"L1", "L2", "L3", "L4"}
