@@ -615,6 +615,7 @@ from . import driver_queries_wave12  # noqa: E402, F401  (registers wave-12 quer
 from . import driver_queries_wave13  # noqa: E402, F401  (registers wave-13 queries)
 from . import driver_queries_wave14  # noqa: E402, F401  (registers wave-14 queries)
 from . import driver_queries_wave15  # noqa: E402, F401  (registers wave-15 queries)
+from . import driver_queries_wave16  # noqa: E402, F401  (registers wave-16 queries)
 
 
 # Names with a green CORRECTNESS_r01 row (48/50 checked in round 1; the

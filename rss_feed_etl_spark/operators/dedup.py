@@ -450,3 +450,76 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
         )
         fp = bit if fp is None else (fp + bit)
     return with_votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    The classic Manku/Jain/Das Sarma trick: split the ``bits``-bit
+    fingerprint into ``max_hamming + 1`` bands — two fingerprints within
+    Hamming distance k MUST agree exactly on at least one band (pigeonhole),
+    so candidates meet in (band, band_value) buckets and the only exchange
+    is the bucket groupBy carrying (id, fingerprint).  Exact
+    ``bit_count(xor)`` verification re-scores every candidate, so banding
+    never admits a false positive; unlike minhash/hyperplane LSH it also
+    never MISSES a pair — the result is exactly all pairs at distance ≤ k.
+    ``max_bucket`` is the usual degenerate-corpus guard.  Returns
+    (id_a, id_b, hamming).
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    fps = simhash(df, id_col, text_col, bits)
+    bands = fps.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "simhash", F.col("bs.band").alias("band"), F.col("bs.val").alias("val"))
+    grouped = (
+        bands.groupBy("band", "val")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("members") <= max_bucket)
+    m = F.col("members")
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.greatest(F.size(m) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                    .cast("bigint")
+                    .alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
