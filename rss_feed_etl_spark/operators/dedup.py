@@ -124,10 +124,11 @@ def ngram_jaccard_pairs(
     # minhash-bucket shape): group ids per shingle, expand in-bucket pairs
     # with array transforms.  A two-sided self-join on shingle evaluates
     # the (expensive) shingle+md5 subtree once per join side and per
-    # consumer — the measured plan recomputed it 6×; here the exploded
-    # rows shuffle into the bucket groupBy once, and both consumers of
-    # `buckets` (per-doc sizes, in-bucket pairs) read the SAME exchange
-    # (ReusedExchange), so the text is scanned and hashed exactly once.
+    # consumer — the measured plan recomputed it 6×; this shape evaluates
+    # it 3× (pair expansion + two size joins; Catalyst does not reuse the
+    # bucket exchange across consumers, and materializing it with
+    # localCheckpoint measured 3× SLOWER than recomputing — the collected
+    # id arrays serialize worse than the map-side shingle work re-runs).
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.transform(word_shingles(text_col, n), token_code)).alias("shingle"),

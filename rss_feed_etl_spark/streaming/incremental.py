@@ -27,7 +27,11 @@ from pyspark.sql import types as T
 
 from ..operators.dedup import dedup_by_key
 from ..operators.merges import merge_scd1
-from ..sources.parquet import read_or_empty, write_overwrite
+from ..sources.parquet import (
+    read_or_empty,
+    write_overwrite,
+    write_partitioned_incremental,
+)
 
 
 def read_stage_stream(
@@ -43,12 +47,18 @@ def incremental_scd1(
     key: str = "link",
     order_cols: list[str] | None = None,
     available_now: bool = True,
+    partitioned: bool = False,
+    ts_col: str = "published",
 ):
     """foreachBatch SCD1 merge: state = the target table.
 
     Each micro-batch is deduped keep-last (A2) then merged (M1) into the
     current target snapshot; re-delivered rows are idempotent by key.
-    Returns the started StreamingQuery.
+    ``partitioned=True`` is the scale sink: the target is stored
+    partitioned by ingest date and each micro-batch dynamic-overwrites
+    ONLY the dates it touched (write_partitioned_incremental) — per-batch
+    write cost tracks the batch, not the history.  Returns the started
+    StreamingQuery.
     """
     spark = stream.sparkSession
     schema = stream.schema
@@ -59,11 +69,18 @@ def incremental_scd1(
             return
         deduped = dedup_by_key(batch_df, key, order_cols, keep="last")
         history = read_or_empty(spark, target_path, schema)
+        if "ingest_date" in history.columns:
+            history = history.drop("ingest_date")
         merged = merge_scd1(deduped, history, key=key)
-        # read fully materializes before the overwrite below (toLocalIterator
-        # would race the rewrite); merge output is one snapshot
+        # materialize fully before the overwrite below (reading the target
+        # while rewriting it would race); merge output is one snapshot
         merged_cached = merged.localCheckpoint(eager=True)
-        write_overwrite(merged_cached, target_path)
+        if partitioned:
+            write_partitioned_incremental(
+                merged_cached, deduped, history, target_path, key=key, ts_col=ts_col
+            )
+        else:
+            write_overwrite(merged_cached, target_path)
 
     writer = stream.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint_dir

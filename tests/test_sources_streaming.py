@@ -437,3 +437,42 @@ def test_streaming_three_microbatches_equals_batch_fold(spark, tmp_path):
     assert got["L1"]["notes"] == "note-1"  # preserved through TWO updates
     assert got["L3"]["notes"] == "n3-v2"  # new notes win over history
     assert set(got) == {"L1", "L2", "L3", "L4"}
+
+
+def test_streaming_partitioned_sink_touches_only_batch_dates(spark, tmp_path):
+    """partitioned=True foreachBatch sink: a micro-batch rewrites only the
+    ingest-date partitions it touches, never the whole history."""
+    landing = str(tmp_path / "landing")
+    target = tmp_path / "target"
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [("Eng", "L1", "t1", dt.datetime(2024, 5, 1, 9), "f", "r", "w", "s1", ""),
+         ("Eng", "L2", "t2", dt.datetime(2024, 5, 2, 9), "f", "r", "w", "s2", "")],
+        STAGE_SCHEMA,
+    )
+    b1.write.mode("append").parquet(landing)
+    q = incremental_scd1(
+        read_stage_stream(spark, landing, STAGE_SCHEMA), str(target), ckpt,
+        partitioned=True,
+    )
+    q.awaitTermination(120)
+    day1 = target / "ingest_date=2024-05-01"
+    before = {f.name: f.stat().st_mtime_ns for f in day1.glob("*.parquet")}
+
+    # batch 2: new key on a new date only
+    b2 = spark.createDataFrame(
+        [("Eng", "L3", "t3", dt.datetime(2024, 5, 3, 9), "f", "r", "w", "s3", "")],
+        STAGE_SCHEMA,
+    )
+    b2.write.mode("append").parquet(landing)
+    q2 = incremental_scd1(
+        read_stage_stream(spark, landing, STAGE_SCHEMA), str(target), ckpt,
+        partitioned=True,
+    )
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(str(target))
+    assert {r.link for r in out.collect()} == {"L1", "L2", "L3"}
+    after = {f.name: f.stat().st_mtime_ns for f in day1.glob("*.parquet")}
+    assert after == before  # untouched partition not rewritten
