@@ -87,3 +87,35 @@ def test_bm25_broadcasts_term_stats(spark):
     assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s
     assert "SortMergeJoin" not in s
     assert "TakeOrderedAndProject" in s
+
+
+def test_embedding_lsh_neardup_no_join_single_groupby(spark):
+    s = _plan(_queries()["embedding_cosine_neardup"](spark, SF_DIR))
+    # banded LSH near-dup: signature pass → ONE (band, sig) groupBy →
+    # in-bucket GEMM; any join here means the corpus is pairing with itself
+    assert "Join" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_ann_lsh_broadcasts_queries(spark):
+    s = _plan(_queries()["ann_cosine_topk_lsh"](spark, SF_DIR))
+    # the banded query side broadcasts; the corpus is never exchanged for
+    # the candidate join
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_simhash_neardup_no_join(spark):
+    s = _plan(_queries()["simhash_neardup"](spark, SF_DIR))
+    assert "Join" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_url_dedup_single_aggregate(spark):
+    s = _plan(_queries()["url_canonical_dedup"](spark, SF_DIR))
+    # canonicalization is map-side expressions; the only exchange is the
+    # canonical-url groupBy (partial + final aggregate around it)
+    assert s.count("+- Exchange") == 1  # tree section: exactly one exchange
+    assert s.count("HashAggregate") >= 2
+    assert "Join" not in s
