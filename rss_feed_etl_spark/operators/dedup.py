@@ -2,10 +2,11 @@
 
 Reference semantics (A2/A3): pandas ``drop_duplicates(keep="last"/"first")``
 depends on physical row order, which Spark does not guarantee — so every
-dedup here is an explicit ``row_number`` over a deterministic (order_cols)
-window (SURVEY §7.3).  The window partitions by the dedup key, so the only
-shuffle is the hash exchange on the key — the same exchange a groupBy would
-need; AQE coalesces the post-shuffle partitions.
+keyed dedup here picks its survivor by an explicit deterministic
+(order_cols) ordering (SURVEY §7.3), realized as ``max_by``/``min_by``
+aggregations: unlike a ``row_number`` window, aggregates get map-side
+partial combine, so duplicate-heavy input collapses BEFORE the key
+exchange instead of shuffling every row.
 
 Beyond the reference, this module carries the large-scale training-data
 dedup suite: exact (hash), n-gram Jaccard, MinHash+LSH, SimHash.
@@ -13,7 +14,7 @@ dedup suite: exact (hash), n-gram Jaccard, MinHash+LSH, SimHash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -32,17 +33,16 @@ def dedup_by_key(
     keep-last on arrival order); ``keep="first"`` keeps the least.
     """
     order_cols = order_cols or ["event_id"]
-    ordering = (
-        [F.col(c).desc() for c in order_cols]
-        if keep == "last"
-        else [F.col(c).asc() for c in order_cols]
-    )
-    w = Window.partitionBy(key).orderBy(*ordering)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    # max_by/min_by aggregation, not a row_number window: aggregates get
+    # MAP-SIDE partial combine, so with duplicate-heavy input the exchange
+    # carries ~one row per (map partition, key) instead of every row —
+    # windows always shuffle the full input.  Ordering is the lexicographic
+    # struct of order_cols (all-desc for keep=last ≡ max_by, all-asc for
+    # keep=first ≡ min_by), same row the window form selected.
+    row = F.struct(*[F.col(c) for c in df.columns])
+    ordk = F.struct(*[F.col(c) for c in order_cols])
+    pick = F.max_by(row, ordk) if keep == "last" else F.min_by(row, ordk)
+    return df.groupBy(F.col(key).alias("__k")).agg(pick.alias("__r")).select("__r.*")
 
 
 def union_dedup_keep_first(
@@ -62,13 +62,15 @@ def union_dedup_keep_first(
     n = new.withColumn("__prio", F.lit(0))
     e = existing.withColumn("__prio", F.lit(1))
     u = n.unionByName(e, allowMissingColumns=True)
-    w = Window.partitionBy(key).orderBy(
-        F.col("__prio").asc(), *[F.col(c).asc() for c in tiebreak_cols]
-    )
+    # min_by aggregation instead of a row_number window — map-side partial
+    # combine collapses duplicate keys before the exchange (see dedup_by_key)
+    out_cols = [c for c in u.columns if c != "__prio"]
+    row = F.struct(*[F.col(c) for c in out_cols])
+    ordk = F.struct(F.col("__prio"), *[F.col(c) for c in tiebreak_cols])
     return (
-        u.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__prio")
+        u.groupBy(F.col(key).alias("__k"))
+        .agg(F.min_by(row, ordk).alias("__r"))
+        .select("__r.*")
     )
 
 
@@ -79,16 +81,19 @@ def union_dedup_keep_first(
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact near-identity dedup: group by md5 of normalized text, keep the
-    smallest id per group.  The shuffle key is the 128-bit digest, not the
-    document body — at 100 TB the exchange moves 16-byte keys + ids, never
-    full documents."""
+    smallest id per group.  min/min_by aggregation (not a window): map-side
+    partial combine collapses duplicates before the exchange, so on a
+    dup-heavy corpus the shuffle carries ~one surviving (digest, id, text)
+    row per map partition per group rather than every input row."""
     fp = F.md5(norm_text(text_col)).alias("__fp")
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
     return (
         df.select(F.col(id_col), fp, F.col(text_col))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__fp")
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min_by(text_col, id_col).alias(text_col),
+        )
+        .select(id_col, text_col)
     )
 
 
