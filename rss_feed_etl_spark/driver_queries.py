@@ -616,6 +616,7 @@ from . import driver_queries_wave13  # noqa: E402, F401  (registers wave-13 quer
 from . import driver_queries_wave14  # noqa: E402, F401  (registers wave-14 queries)
 from . import driver_queries_wave15  # noqa: E402, F401  (registers wave-15 queries)
 from . import driver_queries_wave16  # noqa: E402, F401  (registers wave-16 queries)
+from . import driver_queries_wave17  # noqa: E402, F401  (registers wave-17 queries)
 
 
 # Names with a green CORRECTNESS_r01 row (48/50 checked in round 1; the
@@ -642,10 +643,19 @@ _GREEN_R01 = {
 }
 
 
+# checked-and-fixed or newly added queries that must land inside the
+# driver's per-round check window ahead of the long never-checked tail
+_PRIORITY = [
+    "sessionize", "json_props_summary", "simhash_neardup",
+    "url_canonical_dedup", "unigram_logppl", "incremental_dedup_exact",
+]
+
+
 def _rotated(names: list[str]) -> list[str]:
-    pending = [n for n in names if n not in _GREEN_R01]
+    prio = [n for n in _PRIORITY if n in names]
+    pending = [n for n in names if n not in _GREEN_R01 and n not in prio]
     green = [n for n in names if n in _GREEN_R01]
-    return pending + green
+    return prio + pending + green
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

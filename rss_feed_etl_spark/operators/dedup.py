@@ -529,3 +529,33 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def incremental_dedup_exact(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of an arriving BATCH against the existing CORPUS —
+    the streaming-ingest complement of ``dedup_exact`` (as
+    ``incremental_minhash_pairs`` is to ``minhash_lsh_pairs``).
+
+    Survivors = batch rows that are (a) the smallest-id copy of their
+    digest within the batch and (b) whose digest does not already exist
+    in the corpus.  The corpus contributes ONLY distinct 16-byte digests
+    (in production, a maintained digest table): one map-side-combined
+    aggregate over history and an anti-join whose key is the digest —
+    history text never moves, and re-delivered batches are idempotent.
+    """
+    fp = F.md5(norm_text(text_col)).alias("__fp")
+    batch_best = (
+        batch.select(F.col(id_col), fp, F.col(text_col))
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min_by(text_col, id_col).alias(text_col),
+        )
+    )
+    corpus_fps = corpus.select(fp).distinct()
+    return batch_best.join(corpus_fps, "__fp", "left_anti").select(id_col, text_col)

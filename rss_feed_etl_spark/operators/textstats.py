@@ -428,3 +428,48 @@ def top_bigrams(
         .orderBy(F.desc("n"), F.asc("term_a"), F.asc("term_b"))
         .limit(top)
     )
+
+
+def unigram_logppl(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document log-perplexity under a corpus-trained unigram LM —
+    the self-contained form of CCNet-style LM quality filtering (docs
+    whose token distribution diverges from the corpus score high).
+
+    Model: add-one-smoothed unigram probabilities over lowercase
+    whitespace tokens, p(t) = (count(t)+1) / (total+V); score =
+    -mean(ln p(t)) over the document's tokens.  Two aggregation passes
+    (corpus counts; per-doc score) plus one equi-join on the token — the
+    token-count side is vocabulary-sized, and the join key is the token
+    string, so the plan is two shuffles over token-grain rows and never
+    materializes a dense vocabulary anywhere.  Both scalar model constants
+    (total, V) ride in as a cross-joined 1-row aggregate, keeping the
+    whole computation one lazy plan.  ln terms are rounded before the
+    per-doc mean so cross-engine float fold order cannot move the result.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("total"), F.count("*").alias("vocab")
+    )
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            F.round(
+                -F.log((F.col("n") + 1.0) / (F.col("total") + F.col("vocab"))), 9
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("nll"), decimals).alias("logppl"),
+    )

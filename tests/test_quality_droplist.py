@@ -102,3 +102,30 @@ def test_components_match_pair_reachability(spark):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {x: find(x) for x in parent}
     assert comp == expected
+
+
+def test_unigram_logppl_ranks_odd_docs_higher(spark):
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, common) for i in range(9)] + [(9, "zxqv wvut kjhg plmn qrst")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in textstats.unigram_logppl(df).collect()}
+    # the out-of-distribution doc scores strictly higher than the common ones
+    assert all(got[9].logppl > got[i].logppl for i in range(9))
+    assert got[0].n_tokens == 12
+
+
+def test_incremental_dedup_exact_drops_known_digests(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha  beta"),   # whitespace-variant of known doc → drop
+            (11, "ALPHA BETA"),    # case-variant of known doc → drop
+            (12, "epsilon zeta"),  # new → keep
+            (13, "epsilon zeta"),  # in-batch dup of 12 → drop (keep min id)
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.incremental_dedup_exact(corpus, batch)
+    assert [(r.doc_id, r.text) for r in out.collect()] == [(12, "epsilon zeta")]
