@@ -617,6 +617,7 @@ from . import driver_queries_wave14  # noqa: E402, F401  (registers wave-14 quer
 from . import driver_queries_wave15  # noqa: E402, F401  (registers wave-15 queries)
 from . import driver_queries_wave16  # noqa: E402, F401  (registers wave-16 queries)
 from . import driver_queries_wave17  # noqa: E402, F401  (registers wave-17 queries)
+from . import driver_queries_wave18  # noqa: E402, F401  (registers wave-18 queries)
 
 
 # Names with a green CORRECTNESS_r01 row (48/50 checked in round 1; the
@@ -648,6 +649,7 @@ _GREEN_R01 = {
 _PRIORITY = [
     "sessionize", "json_props_summary", "simhash_neardup",
     "url_canonical_dedup", "unigram_logppl", "incremental_dedup_exact",
+    "deterministic_shuffle", "snapshot_diff",
 ]
 
 

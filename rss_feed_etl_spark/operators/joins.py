@@ -250,3 +250,43 @@ def interval_join(
         .filter((r_us >= l_us + lo_us) & (r_us <= l_us + hi_us))
         .drop("__bucket", "__bucket_r", on_r)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "link",
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """(status, n) summary of two table snapshots: added / removed /
+    changed / unchanged keys — the read-only diagnostic form of the merge
+    probes (J1-J4), answering "what would this batch do?" before running
+    it (the reference's dry-run counts, run_etl.py:181-185, computed
+    relationally).
+
+    Change detection uses the merge operators' stringified-compare
+    semantics (''/'nan' are null-ish) so the diff agrees with what
+    merge_scd1/merge_upsert would actually overwrite.  One full-outer key
+    join + one tiny aggregate; neither snapshot is assumed small.
+    """
+    from .merges import _changed
+
+    compare_cols = compare_cols or [
+        c for c in new.columns if c != key and c in old.columns
+    ]
+    j = new.alias("n").join(
+        old.alias("o"), F.col(f"n.{key}") == F.col(f"o.{key}"), "full_outer"
+    )
+    n_in = F.col(f"n.{key}").isNotNull()
+    o_in = F.col(f"o.{key}").isNotNull()
+    status = (
+        F.when(n_in & ~o_in, F.lit("added"))
+        .when(~n_in & o_in, F.lit("removed"))
+        .when(_changed("n", "o", compare_cols), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

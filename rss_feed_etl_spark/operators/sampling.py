@@ -190,3 +190,33 @@ def cross_split_contamination(
         .agg(F.count("*").alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= min_shared)
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Content-addressed pseudorandom shuffle + sharding for training
+    export: (id, shard, pos) where shard and within-shard order are pure
+    functions of (salt, id).
+
+    Training loaders want data in random order but REPRODUCIBLE across
+    re-runs and unaffected by how the corpus was partitioned on disk —
+    Spark's ``orderBy(rand())`` is neither.  Shard assignment and the
+    ordering priority use independent salts, so co-sharded docs are not
+    adjacent in priority; the only global structure is one row_number per
+    shard (n_shards parallel sort groups, no corpus-wide window).  Change
+    the salt to get a fresh epoch permutation.
+    """
+    pri = F.md5(F.concat(F.lit(f"{salt}:ord:"), F.col(id_col).cast("string")))
+    shard = md5_bucket(
+        F.concat(F.lit(f"{salt}:shard:"), F.col(id_col).cast("string"))
+    ) % F.lit(n_shards)
+    w = Window.partitionBy("shard").orderBy("pri", id_col)
+    return (
+        df.select(F.col(id_col), shard.alias("shard"), pri.alias("pri"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(id_col, "shard", "pos")
+    )

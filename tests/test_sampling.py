@@ -95,3 +95,35 @@ def test_mixture_rate_increase_only_adds_documents(spark):
     kept_low = {r.doc_id for r in low.collect()}
     kept_high = {r.doc_id for r in high.collect()}
     assert kept_low < kept_high  # strict subset: nothing swapped out
+
+
+def test_deterministic_shuffle_reproducible_and_partition_invariant(spark):
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = sampling.deterministic_shuffle(docs, salt="e1").collect()
+    b = sampling.deterministic_shuffle(docs.repartition(7), salt="e1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # layout-invariant
+    # per-shard positions are dense 1..n
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for r in a:
+        by_shard[r.shard].append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different salt yields a different permutation
+    c = sampling.deterministic_shuffle(docs, salt="e2").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_snapshot_diff_statuses(spark):
+    from rss_feed_etl_spark.operators.joins import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("k1", "v1", ""), ("k2", "v2", ""), ("k3", "v3", "")],
+        ["link", "summary", "notes"],
+    )
+    new = spark.createDataFrame(
+        [("k1", "v1", ""), ("k2", "v2-new", ""), ("k4", "v4", "")],
+        ["link", "summary", "notes"],
+    )
+    got = {r.status: r.n for r in snapshot_diff(old, new).collect()}
+    assert got == {"unchanged": 1, "changed": 1, "added": 1, "removed": 1}
