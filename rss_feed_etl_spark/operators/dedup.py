@@ -130,10 +130,11 @@ def ngram_jaccard_pairs(
     # with array transforms.  A two-sided self-join on shingle evaluates
     # the (expensive) shingle+md5 subtree once per join side and per
     # consumer — the measured plan recomputed it 6×; this shape evaluates
-    # it 3× (pair expansion + two size joins; Catalyst does not reuse the
-    # bucket exchange across consumers, and materializing it with
-    # localCheckpoint measured 3× SLOWER than recomputing — the collected
-    # id arrays serialize worse than the map-side shingle work re-runs).
+    # it 3× (pair expansion + two size joins).  Both alternatives measured
+    # SLOWER than the 3× recompute: pinning buckets with localCheckpoint
+    # (collected id arrays serialize badly) and moving the shingling into
+    # an Arrow pass (per-shingle row building in Python costs more than
+    # the JVM expression, ×3 consumers) — so the expression form stays.
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.transform(word_shingles(text_col, n), token_code)).alias("shingle"),
@@ -183,19 +184,39 @@ N_MINHASH = 32
 LSH_BANDS = 8  # 8 bands × 4 rows: P(collide) = 1-(1-j^4)^8 ≈ .5 at j≈.55
 
 
+def _py_shingle_codes(text: str | None, n: int = 3) -> list[int]:
+    """Python replica of ``word_shingles`` + ``token_code``: distinct word
+    n-grams of whitespace-split trimmed text (short docs → the whole text
+    as one shingle; slice-past-end truncates), each coded as the first 15
+    hex digits of its md5, mod 1e9+7.  Matches the Catalyst expressions
+    and the DuckDB oracle SQL symbol-for-symbol — verified by the green
+    hash checks on every shingle-consuming query."""
+    import hashlib
+    import re
+
+    toks = re.split(r"\s+", (text or "").strip())
+    upper = max(len(toks) - n + 1, 1)
+    grams = dict.fromkeys(" ".join(toks[i : i + n]) for i in range(upper))
+    return [
+        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % MOD for g in grams
+    ]
+
+
 def banded_minhash(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """(id, sig, bucket) banded minhash rows: 32-permutation MinHash
     signatures over word-shingle sets, exploded into LSH band buckets.
 
-    Shingle codes stay expression-side (md5 is JVM whole-stage codegen);
-    the 32 permutation-min reductions move into one Arrow ``mapInPandas``
-    numpy pass — pure int64 ``(a·code + b) mod p`` arithmetic, so results
-    are bit-identical to the expression form and the DuckDB oracle
-    (expression-side `array_min`/`transform` are interpreted higher-order
-    functions; the numpy pass benches ~3× faster at sf0.1).  Band buckets
-    are the same md5-of-joined-values strings the expression form emits.
+    The whole per-document chain — shingling, md5 coding, the 32
+    permutation-min reductions — runs in ONE Arrow ``mapInPandas`` pass:
+    plain int64 ``(a·code + b) mod p`` arithmetic, so results are
+    bit-identical to the expression form and the DuckDB oracle.  The
+    expression alternative (`transform`/`array_min`/`array_distinct`
+    chains) is interpreted per element — Spark does not codegen
+    higher-order functions — and measured ~2.7 s of the 5.7 s sf0.1 query
+    before the move.  Band buckets are the same md5-of-joined-values
+    strings the expression form emits.
     """
     import hashlib
 
@@ -210,11 +231,8 @@ def banded_minhash(
     B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
     rows_per_band = N_MINHASH // LSH_BANDS
 
-    codes_df = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(word_shingles(text_col, n), token_code).alias("codes"),
-    )
-    id_type = codes_df.schema["id"].dataType
+    in_df = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    id_type = in_df.schema["id"].dataType
     out_schema = T.StructType(
         [
             T.StructField("id", id_type),
@@ -226,10 +244,8 @@ def banded_minhash(
     def gen(batches):
         for pdf in batches:
             ids, sigs, buckets = [], [], []
-            for id_, codes in zip(pdf["id"], pdf["codes"]):
-                c = np.asarray(codes, dtype=np.int64)
-                if c.size == 0:  # word_shingles never yields an empty set
-                    continue
+            for id_, text in zip(pdf["id"], pdf["text"]):
+                c = np.asarray(_py_shingle_codes(text, n), dtype=np.int64)
                 mh = ((A * c[None, :] + B) % MOD).min(axis=1)
                 for b in range(LSH_BANDS):
                     seg = mh[b * rows_per_band : (b + 1) * rows_per_band]
@@ -239,7 +255,7 @@ def banded_minhash(
                     buckets.append(hashlib.md5(key.encode()).hexdigest())
             yield pd.DataFrame({"id": ids, "sig": sigs, "bucket": buckets})
 
-    return codes_df.mapInPandas(gen, out_schema)
+    return in_df.mapInPandas(gen, out_schema)
 
 
 def _est_jaccard(sig_a, sig_b):
