@@ -649,7 +649,7 @@ _GREEN_R01 = {
 _PRIORITY = [
     "sessionize", "json_props_summary", "simhash_neardup",
     "url_canonical_dedup", "unigram_logppl", "incremental_dedup_exact",
-    "deterministic_shuffle", "snapshot_diff",
+    "deterministic_shuffle", "snapshot_diff", "image_resize_meta",
 ]
 
 

@@ -300,6 +300,32 @@ FROM m
 )
 
 
+def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resized = multimodal.resize_images(_media_df(spark, sf_dir, "image"), max_side=512)
+    return resized.select("media_id", "width", "height")
+
+
+_register(
+    "image_resize_meta",
+    _q_image_resize,
+    f"""
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+dims AS (
+  SELECT media_id,
+         ({_W16} % 1920) + 1 AS w,
+         ({_H16} % 1080) + 1 AS h2
+  FROM m),
+scaled AS (
+  SELECT media_id, least(1.0, 512.0 / CAST(greatest(w, h2) AS DOUBLE)) AS s, w, h2
+  FROM dims)
+SELECT media_id,
+       greatest(CAST(floor(w * s) AS INT), 1) AS width,
+       greatest(CAST(floor(h2 * s) AS INT), 1) AS height
+FROM scaled
+""",
+)
+
+
 def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = multimodal.sample_frames(_media_df(spark, sf_dir, "video"), every_ms=1000)
     return frames.select("media_id", "frame_idx")

@@ -158,6 +158,59 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, strict: bool = False) 
     return vids.mapInPandas(explode_frames, FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 512, strict: bool = False) -> DataFrame:
+    """image rows → aspect-preserving resize so max(w, h) == ``max_side``
+    (no-op when already smaller) via mapInPandas.
+
+    Production: ``PIL.Image.open(...).thumbnail((max_side, max_side))`` +
+    re-encode.  Stub: target dims computed from the deterministic fake
+    decode; resized payload is an md5-derived fake so downstream stages
+    (dedup, feature extraction, export) see realistic (media_id, w, h,
+    bytes) rows.  Same salt-repartition as decode so oversized assets
+    spread across tasks.
+    """
+    import pandas as pd
+
+    from ..session import ensure_executors_can_import
+
+    spark = media.sparkSession
+    ensure_executors_can_import(spark)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "image resize requires PIL; not available in this environment"
+                )
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h = _fake_decode(r.content)
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                fake = hashlib.md5(
+                    (r.content or b"") + f":{nw}x{nh}".encode()
+                ).digest()
+                rows.append(
+                    {"media_id": r.media_id, "width": nw, "height": nh, "content": fake}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "content"])
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "content")
+    imgs = imgs.repartition(F.pmod(F.xxhash64("media_id"), F.lit(32)))
+    return imgs.mapInPandas(resize, RESIZED_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -476,3 +476,24 @@ def test_streaming_partitioned_sink_touches_only_batch_dates(spark, tmp_path):
     assert {r.link for r in out.collect()} == {"L1", "L2", "L3"}
     after = {f.name: f.stat().st_mtime_ns for f in day1.glob("*.parquet")}
     assert after == before  # untouched partition not rewritten
+
+
+def test_resize_images_stub(media_df):
+    from rss_feed_etl_spark.operators.multimodal import decode_images, resize_images
+
+    dims = {r.media_id: (r.width, r.height) for r in decode_images(media_df).collect()}
+    out = {r.media_id: r for r in resize_images(media_df, max_side=100).collect()}
+    assert set(out) == {1, 2}
+    for mid, r in out.items():
+        w, h = dims[mid]
+        scale = min(1.0, 100 / max(w, h))
+        assert (r.width, r.height) == (max(1, int(w * scale)), max(1, int(h * scale)))
+        assert max(r.width, r.height) <= 100
+        assert isinstance(r.content, (bytes, bytearray)) and len(r.content) == 16
+
+
+def test_resize_images_strict_raises(media_df):
+    from rss_feed_etl_spark.operators.multimodal import resize_images
+
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        resize_images(media_df, strict=True).collect()
