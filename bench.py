@@ -36,6 +36,8 @@ HEADLINE = [
     "minhash_lsh_neardup",
     "ngram_jaccard_neardup",
     "embedding_cosine_neardup",
+    "simhash_neardup",
+    "unigram_logppl",
     "corpus_quality_filter",
     "ann_cosine_topk_ivf",
     "token_counts",
