@@ -618,6 +618,7 @@ from . import driver_queries_wave15  # noqa: E402, F401  (registers wave-15 quer
 from . import driver_queries_wave16  # noqa: E402, F401  (registers wave-16 queries)
 from . import driver_queries_wave17  # noqa: E402, F401  (registers wave-17 queries)
 from . import driver_queries_wave18  # noqa: E402, F401  (registers wave-18 queries)
+from . import driver_queries_wave19  # noqa: E402, F401  (registers wave-19 queries)
 
 
 # Names with a green CORRECTNESS_r01 row (48/50 checked in round 1; the
@@ -650,6 +651,7 @@ _PRIORITY = [
     "sessionize", "json_props_summary", "simhash_neardup",
     "url_canonical_dedup", "unigram_logppl", "incremental_dedup_exact",
     "deterministic_shuffle", "snapshot_diff", "image_resize_meta",
+    "volume_shipping", "market_share", "nation_profit", "discount_opportunity",
 ]
 
 

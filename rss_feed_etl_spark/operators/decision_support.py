@@ -352,3 +352,179 @@ def decile_rank_orders(orders: DataFrame) -> DataFrame:
             F.sum(cents).over(w_run) / F.sum(cents).over(w_all), 6
         ).alias("running_share"),
     )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    n1: str,
+    n2: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Q7 shape: shipped revenue between two nations by direction and year.
+
+    The two nation-filtered dimension maps (supplier→nation, customer→
+    nation) broadcast — they are selective slices of small dimensions — so
+    the only large-large exchange is lineitem ⋈ orders on the orderkey.
+    The cross-nation predicate is applied AFTER both maps attach, as one
+    cheap row filter; revenue is summed once per (direction, year).
+    """
+    nat = nation.select("n_nationkey", "n_name").filter(
+        F.col("n_name").isin(n1, n2)
+    )
+    sup = supplier.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cus = customer.join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        F.year("l_shipdate").alias("l_year"),
+    )
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str,
+    target_region: str,
+    part: DataFrame,
+    part_type: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Q8 shape: the target nation's share of a region's market for one
+    part type, by order year.
+
+    All dimension slices broadcast (region→nation→customer chain folds to
+    one broadcast customer map; filtered part and supplier maps likewise);
+    share = conditional-sum / sum in ONE aggregate pass, so the market is
+    scanned once — no second query for the denominator.
+    """
+    rnat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == target_region)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cus = customer.join(
+        F.broadcast(rnat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    sup = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    pts = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    vol = (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .join(F.broadcast(pts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == target_nation, F.col("volume"))
+                  .otherwise(F.lit(0.0)))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+def nation_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_contains: str,
+    cost_factor: float = 0.6,
+) -> DataFrame:
+    """Q9 shape: profit by supplier nation and order year over parts whose
+    name contains a string.
+
+    Schema adaptation: testdata has no partsupp, so unit cost is
+    ``cost_factor * p_retailprice`` (the fixed-margin analog of
+    ps_supplycost).  Filtered part map and supplier→nation map broadcast;
+    lineitem ⋈ orders on orderkey is the only large exchange, carrying
+    only (orderkey, year) off the orders side.
+    """
+    pts = part.filter(F.col("p_name").contains(name_contains)).select(
+        "p_partkey", "p_retailprice"
+    )
+    sup = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(cost_factor) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount", "l_quantity")
+        .join(F.broadcast(pts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("supp_nation", "o_year")
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+def discount_opportunity(
+    lineitem: DataFrame,
+    start: str,
+    end: str,
+    disc_lo: float,
+    disc_hi: float,
+    max_qty: float,
+) -> DataFrame:
+    """Q6 shape: revenue increase from eliminating a discount band —
+    one scan, every predicate pushable, one scalar aggregate.  The
+    archetype of a query that must compile to scan+filter+partial-agg
+    with NO exchange before the final 1-row combine.
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )

@@ -119,3 +119,25 @@ def test_url_dedup_single_aggregate(spark):
     assert s.count("+- Exchange") == 1  # tree section: exactly one exchange
     assert s.count("HashAggregate") >= 2
     assert "Join" not in s
+
+
+def test_q6_scan_filter_agg_only(spark):
+    s = _plan(_queries()["discount_opportunity"](spark, SF_DIR))
+    # scan + pushed filters + partial/final agg; no join, no wide exchange
+    assert "Join" not in s
+    assert s.count("HashAggregate") >= 2
+    assert "PushedFilters" in s
+
+
+def test_q7_broadcasts_all_dimension_maps(spark):
+    s = _plan(_queries()["volume_shipping"](spark, SF_DIR))
+    # supplier/customer nation maps broadcast; lineitem⋈orders is the only
+    # potentially-shuffled join
+    assert s.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in s
+
+
+def test_q9_single_large_exchange(spark):
+    s = _plan(_queries()["nation_profit"](spark, SF_DIR))
+    assert s.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in s
