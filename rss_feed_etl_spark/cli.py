@@ -59,6 +59,10 @@ def run_etl_from_config(
         tz=cfg.etl.timezone,
         now=as_of,
     )
+    # One snapshot for counts, the touched-dates delta, and the write: the
+    # lineage reads stage_path (which the write overwrites) and calls the
+    # feed fetcher (which may return different content per evaluation).
+    merged = merged.localCheckpoint(eager=True)
     n_history, n_merged = history.count(), merged.count()
     summary = {
         "step": "etl",
@@ -123,11 +127,11 @@ def run_filter_from_config(
         return summary
     # overwrite sink: output is the small filtered view (reference S4
     # semantics); materialize first because append mode reads its own
-    # previous output (plain parquet has no atomic read-then-overwrite)
-    result.cache()
-    result.count()
+    # previous output (plain parquet has no atomic read-then-overwrite).
+    # localCheckpoint, not cache: cached blocks are evictable and recompute
+    # would re-read files the overwrite has already deleted.
+    result = result.localCheckpoint(eager=True)
     pq.write_overwrite(result, out_path)
-    result.unpersist()
     return summary
 
 

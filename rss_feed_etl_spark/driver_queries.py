@@ -621,11 +621,30 @@ from . import driver_queries_wave18  # noqa: E402, F401  (registers wave-18 quer
 from . import driver_queries_wave19  # noqa: E402, F401  (registers wave-19 queries)
 
 
-# Names with a green CORRECTNESS_r01 row (48/50 checked in round 1; the
+# Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The
 # driver's per-round check covers the first N names in dict order, so
 # queries() surfaces not-yet-green entries first to rotate coverage across
-# rounds — every registered query keeps its entry either way).
+# rounds — every registered query keeps its entry either way.  Refresh this
+# set each round from the latest CORRECTNESS_rNN.json.
 _GREEN_R01 = {
+    # --- r02 greens -------------------------------------------------------
+    "sessionize", "json_props_summary", "simhash_neardup",
+    "url_canonical_dedup", "unigram_logppl", "incremental_dedup_exact",
+    "deterministic_shuffle", "snapshot_diff", "image_resize_meta",
+    "volume_shipping", "market_share", "nation_profit",
+    "discount_opportunity", "tz_convert_format", "token_counts",
+    "ann_cosine_topk_ivf", "events_distinct_daily", "value_percentiles",
+    "corpus_quality_filter", "neardup_drop_list", "repetition_ratio",
+    "returned_revenue_topk", "click_purchase_window", "corpus_top_terms",
+    "neardup_components", "sliding_event_windows", "event_type_pivot",
+    "daily_revenue_wow", "train_val_test_split", "lang_quota_sample",
+    "pii_redact", "source_mixture_sample", "promo_revenue_ratio",
+    "gmean_value_udaf", "label_centroid_confusion", "inverted_index",
+    "bm25_search", "daily_gapfill", "weighted_doc_sample",
+    "decontaminate_splits", "kmeans_clusters", "pmi_top_pairs",
+    "hard_negatives", "value_outliers", "incremental_neardup",
+    "document_chunks", "retention_cohorts",
+    # --- r01 greens -------------------------------------------------------
     "filter_pipeline", "scd1_merge", "merge_upsert", "scd2_merge",
     "dedup_keep_last", "union_dedup_keep_first", "provenance_outer_join",
     "anti_join_removed", "semi_join_updated", "lookup_join_notes",
@@ -646,12 +665,17 @@ _GREEN_R01 = {
 
 
 # checked-and-fixed or newly added queries that must land inside the
-# driver's per-round check window ahead of the long never-checked tail
+# driver's per-round check window ahead of the long never-checked tail.
+# Round 3: the three r02 reds (now fixed) + the 14 wave-13/15 names that
+# have never had a CORRECTNESS row.
 _PRIORITY = [
-    "sessionize", "json_props_summary", "simhash_neardup",
-    "url_canonical_dedup", "unigram_logppl", "incremental_dedup_exact",
-    "deterministic_shuffle", "snapshot_diff", "image_resize_meta",
-    "volume_shipping", "market_share", "nation_profit", "discount_opportunity",
+    "funnel_stages", "sequence_packing", "audio_features",
+    "value_histogram", "value_deciles", "top_bigrams",
+    "last_touch_attribution", "order_priority_late",
+    "customer_order_distribution", "small_quantity_revenue",
+    "large_order_customers", "disjunctive_brand_revenue",
+    "top_supplier_quarter", "brand_supplier_counts", "sole_late_suppliers",
+    "idle_rich_customers", "order_decile_rank",
 ]
 
 

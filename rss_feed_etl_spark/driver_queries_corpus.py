@@ -125,10 +125,14 @@ _register(
     f"""
 WITH {_AUG_SQL},
 sh AS (SELECT id, list_transform({_SHINGLES.format(w=_W)}, x -> {_code("x")}) AS s FROM aug),
-sz AS (SELECT id, len(s) AS n FROM sh),
 ex AS (SELECT id, unnest(s) AS shingle FROM sh),
+-- mirror the Spark query's max_df=1000 hot-shingle cap so guarded and
+-- oracle semantics stay identical even when a bucket crosses the cap
+kept AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 1000),
+exk AS (SELECT ex.id, ex.shingle FROM ex JOIN kept USING (shingle)),
+sz AS (SELECT id, count(*) AS n FROM exk GROUP BY id),
 p AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+      FROM exk a JOIN exk b ON a.shingle = b.shingle AND a.id < b.id
       GROUP BY 1, 2)
 SELECT id_a, id_b,
        round(common * 1.0 / (x.n + y.n - common), 6) AS jaccard
@@ -171,9 +175,12 @@ codes AS (SELECT id, list_transform({_SHINGLES.format(w=_W)}, s -> {_code("s")})
           FROM aug),
 sigs AS (SELECT id, [{_MH_LIST}] AS sig FROM codes),
 banded AS (SELECT id, sig, unnest([{_BAND_LIST}]) AS bucket FROM sigs),
+-- mirror the Spark query's max_bucket=10000 degenerate-bucket cap
+bok AS (SELECT bucket FROM banded GROUP BY bucket HAVING count(*) <= 10000),
+bk AS (SELECT banded.* FROM banded JOIN bok USING (bucket)),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.id < b.id),
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id),
 est AS (
   SELECT id_a, id_b,
          round(len(list_filter(range(1, {N_MINHASH} + 1),
@@ -426,11 +433,10 @@ WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.99
 
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = td.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    # n_docs passed precomputed (call-site knows the corpus); max_df_frac
-    # guard active by default — the registered query runs the scale-safe form
-    return similarity.tfidf_cosine_pairs(
-        docs, min_sim=0.5, n_docs=docs.count(), max_df_frac=0.1
-    )
+    # n_docs=None → derived in-plan (broadcast 1-row count aggregate), so
+    # building the query runs no eager action; max_df_frac guard active by
+    # default — the registered query runs the scale-safe form
+    return similarity.tfidf_cosine_pairs(docs, min_sim=0.5, max_df_frac=0.1)
 
 
 _register(

@@ -110,7 +110,7 @@ cum AS (
   FROM staged)
 SELECT doc_id, n_tokens,
        CAST(floor(start / {_SEQ_LEN}) AS BIGINT) AS seq_id,
-       start % {_SEQ_LEN} AS seq_offset
+       CAST(start % {_SEQ_LEN} AS BIGINT) AS seq_offset
 FROM cum
 """,
 )

@@ -35,7 +35,9 @@ def _funnel_sql() -> str:
         )
         prev_src = f"l{i}"
     maxes = ", ".join(f"max(s{i}) AS s{i}" for i in range(len(_FUNNEL)))
-    sums = ", ".join(f"sum(s{i}) AS n{i}" for i in range(len(_FUNNEL)))
+    sums = ", ".join(
+        f"CAST(sum(s{i}) AS BIGINT) AS n{i}" for i in range(len(_FUNNEL))
+    )
     unpivot = " UNION ALL ".join(
         f"SELECT {i} AS stage_idx, '{s}' AS stage, n{i} AS n_users FROM c"
         for i, s in enumerate(_FUNNEL)

@@ -659,10 +659,16 @@ FROM events
 
 
 def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The driver canonicalizer hashes cells via pandas sort, which cannot
+    # handle raw ARRAY columns — emit the per-window features as a fixed
+    # "%.6f" CSV string (bit-safe: every rms value is round(k/255, 6)).
     feats = multimodal.extract_audio_features(
         _media_df(spark, sf_dir, "audio"), window_ms=1000
     )
-    return feats.select("media_id", "n_windows", "rms")
+    rms_csv = F.concat_ws(
+        ",", F.transform("rms", lambda x: F.format_string("%.6f", x))
+    )
+    return feats.select("media_id", "n_windows", rms_csv.alias("rms"))
 
 
 _register(
@@ -674,8 +680,10 @@ WITH a AS (
          CAST(greatest(((n_chars % 5000) + 500) // 1000, 1) AS INT) AS n
   FROM documents)
 SELECT doc_id AS media_id, n AS n_windows,
-       list_transform(range(0, n),
-         i -> round({_hexbyte("md5(text || CAST(i AS VARCHAR))", 0)} / 255.0, 6)) AS rms
+       array_to_string(list_transform(range(0, n),
+         i -> printf('%.6f',
+              round({_hexbyte("md5(text || CAST(i AS VARCHAR))", 0)} / 255.0, 6))),
+         ',') AS rms
 FROM a
 """,
 )

@@ -159,9 +159,13 @@ def ngram_jaccard_pairs(
             ),
         )
     )
+    # strict id_a < id_b: two distinct shingles of one doc colliding to the
+    # same md5-mod code would put that id twice in the sorted bucket list,
+    # and the slice expansion would emit a self-pair
     pairs = (
         buckets.filter(F.size("ids") >= 2)
         .select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.id_a") < F.col("p.id_b"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("common"))
     )

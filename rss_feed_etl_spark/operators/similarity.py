@@ -561,23 +561,29 @@ def tfidf_cosine_pairs(
     TfidfVectorizer fitted on the capped vocabulary.  Pass ``None`` to
     disable (exact baseline, test-only at scale).
 
-    ``n_docs`` should be passed precomputed when the caller already knows
-    the corpus size; counting here costs one extra Spark action.
+    ``n_docs`` may be passed precomputed when the caller already knows the
+    corpus size; when ``None`` it is derived INSIDE the plan as a broadcast
+    1-row count aggregate — no separate count job, no extra pass over the
+    corpus (at 100 TB an eager ``df.count()`` here would be a full extra
+    scan per invocation).
     """
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
     tf = toks.groupBy("id", "term").agg(F.count("*").cast("double").alias("tf"))
-    if n_docs is None:
-        n_docs = df.count()
     dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    if n_docs is None:
+        nd = df.agg(F.count("*").cast("double").alias("n_docs"))
+        dfreq = dfreq.crossJoin(F.broadcast(nd))
+    else:
+        dfreq = dfreq.withColumn("n_docs", F.lit(float(n_docs)))
     if max_df_frac is not None:
         # pre-join document-frequency cap: the inner joins below propagate
         # the drop to weights, norms, and the pair join alike
-        dfreq = dfreq.filter(F.col("df") <= F.lit(float(max_df_frac)) * F.lit(n_docs))
+        dfreq = dfreq.filter(F.col("df") <= F.lit(float(max_df_frac)) * F.col("n_docs"))
     idf = dfreq.select(
         "term",
-        (F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)).alias("idf"),
+        (F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)).alias("idf"),
     )
     w = tf.join(idf, "term").select("id", "term", (F.col("tf") * F.col("idf")).alias("w"))
     norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))

@@ -16,9 +16,33 @@ tables are Parquet directories:
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_OVERWRITE_MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
+
+
+@contextlib.contextmanager
+def _dynamic_partition_overwrite(spark: SparkSession):
+    """Set partitionOverwriteMode=dynamic for one write, then restore the
+    previous value — the session is shared, and leaving dynamic mode on
+    silently changes the semantics of later partitioned overwrites that
+    expect static mode."""
+    try:
+        prev = spark.conf.get(_OVERWRITE_MODE_KEY)
+    except Exception:  # noqa: BLE001 — unset
+        prev = None
+    spark.conf.set(_OVERWRITE_MODE_KEY, "dynamic")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_OVERWRITE_MODE_KEY)
+        else:
+            spark.conf.set(_OVERWRITE_MODE_KEY, prev)
 
 
 def read_table(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
@@ -47,13 +71,13 @@ def write_partitioned(df: DataFrame, path: str, ts_col: str = "published") -> No
     partitions.  Requires spark.sql.sources.partitionOverwriteMode=dynamic
     (set here per-write)."""
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        df.withColumn("ingest_date", F.to_date(F.col(ts_col)))
-        .write.mode("overwrite")
-        .partitionBy("ingest_date")
-        .parquet(path)
-    )
+    with _dynamic_partition_overwrite(spark):
+        (
+            df.withColumn("ingest_date", F.to_date(F.col(ts_col)))
+            .write.mode("overwrite")
+            .partitionBy("ingest_date")
+            .parquet(path)
+        )
 
 
 def write_partitioned_incremental(
@@ -90,14 +114,14 @@ def write_partitioned_incremental(
     dates = sorted(r["d"] for r in touched.collect() if r["d"] is not None)
     if not dates:  # empty batch → nothing to rewrite
         return dates
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        merged.withColumn("ingest_date", F.to_date(F.col(ts_col)))
-        .filter(F.col("ingest_date").isin(dates))
-        .write.mode("overwrite")
-        .partitionBy("ingest_date")
-        .parquet(path)
-    )
+    with _dynamic_partition_overwrite(spark):
+        (
+            merged.withColumn("ingest_date", F.to_date(F.col(ts_col)))
+            .filter(F.col("ingest_date").isin(dates))
+            .write.mode("overwrite")
+            .partitionBy("ingest_date")
+            .parquet(path)
+        )
     return dates
 
 

@@ -20,13 +20,16 @@ import pandas as pd  # noqa: E402
 
 
 def canon_cell(v):
+    # Driver-faithful: floats are NEVER collapsed to ints.  The driver hashes
+    # Spark's BIGINT and DuckDB's HUGEINT/DOUBLE differently; collapsing here
+    # masked exactly that failure class in rounds 1 and 2 (funnel_stages,
+    # sequence_packing).  A float and an int with the same value must
+    # canonicalize differently, as they do at the driver.
     if v is None:
         return "∅"
     if isinstance(v, float):
         if math.isnan(v):
             return "∅"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(round(v, 9))
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
@@ -35,6 +38,30 @@ def canon_cell(v):
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     return str(v)
+
+
+def unhashable_cols(df: pd.DataFrame) -> list[str]:
+    """Columns whose cells would crash the driver's pandas sort_values
+    canonicalizer (lists / ndarrays are unhashable)."""
+    bad = []
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            for v in col.head(50):
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                    bad.append(c)
+                    break
+    return bad
+
+
+def hugeint_cols(rel) -> list[str]:
+    """DuckDB result columns typed HUGEINT — the driver normalizes these
+    differently from Spark's BIGINT, so oracles must CAST them."""
+    return [
+        c
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper()
+    ]
 
 
 def canon_frame(df: pd.DataFrame) -> list[tuple]:
@@ -74,13 +101,24 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        bad = unhashable_cols(spdf)
+        if bad:
+            print(f"FAIL {name}: array/list columns break the driver canonicalizer: {bad}")
+            failures.append(name)
+            continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(spdf)} rows (no oracle)")
             continue
         try:
-            odf = con.execute(oracles[name]).fetchdf()
+            rel = con.sql(oracles[name])
+            huge = hugeint_cols(rel)
+            odf = rel.fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        if huge:
+            print(f"FAIL {name}: oracle returns HUGEINT columns {huge} — add CAST(... AS BIGINT)")
             failures.append(name)
             continue
         s_cols, o_cols = sorted(spdf.columns), sorted(odf.columns)
