@@ -104,6 +104,8 @@ def run_filter_from_config(
     if filt.loading_mode == "append":
         try:
             existing = spark.read.parquet(out_path)
+            if "ingest_date" in existing.columns:
+                existing = existing.drop("ingest_date")
         except Exception:  # noqa: BLE001 — first run, no output table yet
             existing = None
     result = run_filter_pipeline(
@@ -125,13 +127,25 @@ def run_filter_from_config(
     }
     if dry_run:
         return summary
-    # overwrite sink: output is the small filtered view (reference S4
-    # semantics); materialize first because append mode reads its own
-    # previous output (plain parquet has no atomic read-then-overwrite).
-    # localCheckpoint, not cache: cached blocks are evictable and recompute
-    # would re-read files the overwrite has already deleted.
+    # Materialize before writing: append mode reads its own previous output
+    # (plain parquet has no atomic read-then-overwrite).  localCheckpoint,
+    # not cache: cached blocks are evictable and recompute would re-read
+    # files the overwrite has already deleted.
     result = result.localCheckpoint(eager=True)
-    pq.write_overwrite(result, out_path)
+    if stor.partition_output and existing is not None:
+        # append under append grows the output without bound — rewrite only
+        # the date partitions the new batch touched (M4 scale path), exactly
+        # as the ETL step does for the stage table above
+        changed = result.exceptAll(existing.select(*result.columns))
+        dates = pq.write_partitioned_incremental(
+            result, changed, existing, out_path, ts_col=filt.date_column
+        )
+        summary["touched_partitions"] = [str(d) for d in dates]
+    elif stor.partition_output:
+        pq.write_partitioned(result, out_path, ts_col=filt.date_column)
+    else:
+        # reference S4 semantics: clear-and-rewrite the small filtered view
+        pq.write_overwrite(result, out_path)
     return summary
 
 

@@ -50,6 +50,11 @@ class StorageConfig:
 
     root: str = "."
     partition_stage: bool = True  # write stage via dynamic partition overwrite
+    # write the filter output date-partitioned; append mode then rewrites
+    # only the partitions the new batch touched instead of the whole table
+    # (the table grows without bound under append — full rewrites are the
+    # reference's write-amplification bug, data_loader.py:427)
+    partition_output: bool = True
 
     def table_path(self, name: str) -> str:
         return f"{self.root.rstrip('/')}/{name}"
@@ -113,6 +118,7 @@ def parse_config(doc: dict[str, Any]) -> PipelineConfig:
     storage = StorageConfig(
         root=_pick(stor_d, "root", default="."),
         partition_stage=bool(_pick(stor_d, "partition_stage", default=True)),
+        partition_output=bool(_pick(stor_d, "partition_output", default=True)),
     )
     return PipelineConfig(etl=etl, job_filter=filt, storage=storage)
 

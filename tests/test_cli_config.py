@@ -163,6 +163,42 @@ def test_filter_append_mode_dedups_across_runs(spark, pipeline):
     assert out.select("link").distinct().count() == first
 
 
+def test_incremental_filter_write_touches_only_changed_dates(spark, pipeline):
+    """M4 append path at scale: the filter output is date-partitioned and an
+    append rewrites ONLY the partitions holding changed/new rows.  A row that
+    fell out of the date window survives via the existing side with its old
+    AS_OF_DT — its partition's files must not be rewritten."""
+    cfg_path, root, feeds = pipeline
+    cfg = load_config(str(cfg_path))
+    run_etl_from_config(spark, cfg, as_of="2024-05-22 00:00:00")
+    run_filter_from_config(spark, cfg, as_of="2024-05-22 00:00:00")
+
+    day20 = root / "filtered" / "ingest_date=2024-05-20"
+    assert day20.exists()  # x/1 published 05-20
+    before = {f.name: f.stat().st_mtime_ns for f in day20.glob("*.parquet")}
+
+    # feed B gains an item on 05-22; second filter run at as_of 05-28 keeps
+    # x/1 (05-20) only via existing (out of the 7-day window → unchanged)
+    _write_feed(
+        feeds / "b.xml",
+        "Feed B",
+        [
+            {"title": "Analyst", "link": "http://y/1",
+             "pub": "Tue, 21 May 2024 09:00:00 +0000", "desc": "sql role"},
+            {"title": "Platform Eng", "link": "http://y/2",
+             "pub": "Wed, 22 May 2024 08:00:00 +0000", "desc": "new role"},
+        ],
+    )
+    run_etl_from_config(spark, cfg, as_of="2024-05-28 00:00:00")
+    s = run_filter_from_config(spark, cfg, as_of="2024-05-28 00:00:00")
+    assert set(s["touched_partitions"]) == {"2024-05-21", "2024-05-22"}
+
+    out = spark.read.parquet(str(root / "filtered"))
+    assert {r.link for r in out.collect()} == {"http://x/1", "http://y/1", "http://y/2"}
+    after = {f.name: f.stat().st_mtime_ns for f in day20.glob("*.parquet")}
+    assert after == before
+
+
 def test_dry_run_writes_nothing(spark, pipeline):
     cfg_path, root, _ = pipeline
     cfg = load_config(str(cfg_path))

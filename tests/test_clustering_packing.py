@@ -1,5 +1,6 @@
 """Wave-10 operators: k-means Lloyd iterations, sequence packing, PMI."""
 
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -50,6 +51,54 @@ def test_packing_stable_under_repartition(spark):
         for r in packing.pack_sequences(df.repartition(13), "n_tokens").collect()
     }
     assert a == b
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=300), min_size=0, max_size=40),
+    n_buckets=st.sampled_from([1, 4, 16]),
+)
+def test_packing_prefix_sum_properties(spark, toks, n_buckets):
+    """Distributed-prefix-sum invariants the single hash fixture can't lock:
+    (1) the layout is contiguous — sorted by start position, every doc
+    begins exactly where the previous one ended, for ANY token-count
+    multiset and ANY bucket count; (2) the per-sequence assigned token sum
+    never exceeds seq_len plus the worst straggler overhang; (3) the layout
+    is a pure function of the keys — identical under repartitioning."""
+    seq_len = 256
+    df = spark.createDataFrame(
+        list(enumerate(toks)), "doc_id long, n_tokens long"
+    )
+    out = packing.pack_sequences(
+        df, token_col="n_tokens", seq_len=seq_len, n_buckets=n_buckets
+    ).collect()
+    assert len(out) == len(toks)
+
+    recs = sorted(
+        (r["seq_id"] * seq_len + r["seq_offset"], r["n_tokens"], r["doc_id"])
+        for r in out
+    )
+    pos = 0
+    for start, n, _ in recs:
+        assert start == pos, f"gap/overlap at doc start {start}, expected {pos}"
+        pos += n
+    assert pos == sum(toks)
+
+    # a doc belongs to the sequence where its FIRST token lands, so a seq
+    # holds at most seq_len starts plus one straggler reaching over the
+    # boundary: per-seq sum ≤ seq_len + (max doc - 1)
+    per_seq: dict[int, int] = {}
+    for start, n, _ in recs:
+        per_seq[start // seq_len] = per_seq.get(start // seq_len, 0) + n
+    straggler = max(max(toks, default=1) - 1, 0)
+    assert all(tot <= seq_len + straggler for tot in per_seq.values())
+
+    re_out = packing.pack_sequences(
+        df.repartition(5), token_col="n_tokens", seq_len=seq_len, n_buckets=n_buckets
+    ).collect()
+    assert {r["doc_id"]: (r["seq_id"], r["seq_offset"]) for r in out} == {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"]) for r in re_out
+    }
 
 
 def test_pmi_ranks_perfect_collocation_first(spark):

@@ -137,6 +137,17 @@ def test_q7_broadcasts_all_dimension_maps(spark):
     assert "CartesianProduct" not in s
 
 
+def test_q8_market_share_all_dims_broadcast(spark):
+    s = _plan(_queries()["market_share"](spark, SF_DIR))
+    # part/supplier/customer/nation/region maps all broadcast against the
+    # lineitem fact — a SortMergeJoin here means a dimension degraded to a
+    # full shuffle of the fact table
+    assert s.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+    assert s.count("HashAggregate") >= 2  # map-side partial aggregation
+
+
 def test_q9_single_large_exchange(spark):
     s = _plan(_queries()["nation_profit"](spark, SF_DIR))
     assert s.count("BroadcastHashJoin") >= 2
