@@ -87,6 +87,76 @@ def bench_degenerate_dedup(spark) -> dict[str, float]:
     return out
 
 
+SCALE_QUERIES = [
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "embedding_cosine_neardup",
+    "ngram_jaccard_neardup",
+]
+
+SCALE_FACTOR = 10
+
+
+def ensure_scaled_corpus(src_dir: str, dst_dir: str, factor: int = SCALE_FACTOR) -> None:
+    """Materialize a factor× documents/embeddings corpus from ``src_dir``
+    (testdata is read-only, so the scaled copy lives under /tmp).
+
+    Each copy k suffixes every token with the copy index (same token
+    counts, zero cross-copy shingle overlap) and rotates each embedding by
+    k positions (norm-preserving, cross-copy cosine uncorrelated) — so the
+    near-dup/similarity STRUCTURE per copy is identical to the base corpus
+    and the measured curve isolates data volume, not workload shape.
+    """
+    import duckdb
+
+    os.makedirs(dst_dir, exist_ok=True)
+    con = duckdb.connect()
+    if not os.path.exists(f"{dst_dir}/documents.parquet"):
+        con.execute(
+            f"""
+            COPY (
+              SELECT doc_id + k * 1000000 AS doc_id,
+                     CASE WHEN k = 0 THEN text
+                          ELSE regexp_replace(text, '(\\S+)', '\\1c' || k, 'g')
+                     END AS text,
+                     lang, source, n_chars
+              FROM '{src_dir}/documents.parquet',
+                   (SELECT unnest(range({factor})) AS k)
+            ) TO '{dst_dir}/documents.parquet' (FORMAT PARQUET)
+            """
+        )
+    if not os.path.exists(f"{dst_dir}/embeddings.parquet"):
+        con.execute(
+            f"""
+            COPY (
+              SELECT vec_id + k * 1000000 AS vec_id,
+                     list_concat(embedding[k + 1:], embedding[1:k]) AS embedding,
+                     label
+              FROM '{src_dir}/embeddings.parquet',
+                   (SELECT unnest(range({factor})) AS k)
+            ) TO '{dst_dir}/embeddings.parquet' (FORMAT PARQUET)
+            """
+        )
+    con.close()
+
+
+def bench_scale_curve(spark, qs, sf_dir: str, base: dict[str, float]) -> dict:
+    """Run the dedup/ANN path on the factor× corpus (single run each) and
+    report times plus the ratio vs the base sf dir — ≲ factor means the
+    plans scale at-worst linearly in data volume."""
+    dst = f"/tmp/sparkgraft_scaled_{Path(sf_dir.rstrip('/')).name}x{SCALE_FACTOR}"
+    ensure_scaled_corpus(sf_dir, dst)
+    out: dict[str, dict] = {"factor": SCALE_FACTOR, "queries": {}, "ratio_vs_base": {}}
+    for name in SCALE_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, dst).write.mode("overwrite").format("noop").save()
+        dt = round(time.perf_counter() - t0, 3)
+        out["queries"][name] = dt
+        if base.get(name):
+            out["ratio_vs_base"][name] = round(dt / base[name], 2)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -115,18 +185,22 @@ def main() -> None:
     # skew-guard proof runs outside the headline total (synthetic input,
     # not an sf-dir query) but is recorded alongside for the judge
     timings.update(bench_degenerate_dedup(spark))
+    # 10× scale curve for the dedup/ANN path (sf0.1 → sf1.0-equivalent);
+    # SPARK_GRAFT_SCALE=0 skips it for quick local iteration
+    scale = None
+    if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0" and sf == "0.1":
+        scale = bench_scale_curve(spark, qs, sf_dir, timings)
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if scale is not None:
+        payload["scale_10x"] = scale
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
