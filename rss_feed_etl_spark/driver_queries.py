@@ -619,6 +619,7 @@ from . import driver_queries_wave16  # noqa: E402, F401  (registers wave-16 quer
 from . import driver_queries_wave17  # noqa: E402, F401  (registers wave-17 queries)
 from . import driver_queries_wave18  # noqa: E402, F401  (registers wave-18 queries)
 from . import driver_queries_wave19  # noqa: E402, F401  (registers wave-19 queries)
+from . import driver_queries_wave20  # noqa: E402, F401  (registers wave-20 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The
@@ -676,6 +677,9 @@ _PRIORITY = [
     "large_order_customers", "disjunctive_brand_revenue",
     "top_supplier_quarter", "brand_supplier_counts", "sole_late_suppliers",
     "idle_rich_customers", "order_decile_rank",
+    # wave 20 (new this round)
+    "min_cost_supplier", "important_part_values", "ship_latency_priority",
+    "dominant_share_suppliers",
 ]
 
 

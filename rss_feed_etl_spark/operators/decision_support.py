@@ -501,6 +501,193 @@ def nation_profit(
     )
 
 
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    p_type: str,
+    p_size_max: int,
+) -> DataFrame:
+    """Q2 shape: for each part of a type/size class, every supplier
+    matching the part's MINIMUM observed unit cost (testdata has no
+    partsupp, so unit cost is min(l_extendedprice/l_quantity) over the
+    lineitem history — the derived (part, supplier) supply relation).
+
+    Plan: one groupBy builds the (part, supplier, cost) relation; the
+    per-part minimum is a second, strictly smaller aggregate joined back
+    on (partkey, cost) — the classic correlated-subquery → aggregate-join
+    rewrite.  The filtered part dimension broadcasts into the FIRST
+    aggregate so non-matching parts never reach the shuffle; supplier and
+    nation broadcast at the end onto the (small) winners.
+    """
+    p = F.broadcast(
+        part.filter(
+            (F.col("p_type") == p_type) & (F.col("p_size") <= p_size_max)
+        ).select("p_partkey")
+    )
+    supply = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    best = supply.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("cost").alias("best_cost")
+    )
+    winners = supply.join(
+        best,
+        (F.col("l_partkey") == F.col("b_partkey"))
+        & (F.col("cost") == F.col("best_cost")),
+    )
+    # cost is emitted UNROUNDED: min(price/qty) is bit-identical IEEE math
+    # in every engine, while round() tie-breaking is not (HALF_UP on the
+    # decimal repr vs float-math rounding diverge at 4dp boundaries)
+    return (
+        winners.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            F.col("cost").alias("min_cost"),
+        )
+    )
+
+
+def important_part_values(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str,
+    avg_mult: float = 2.0,
+) -> DataFrame:
+    """Q11 shape: parts whose traded value through one nation's suppliers
+    exceeds ``avg_mult``× the average per-part value for that nation
+    (value = extendedprice·(1−discount); testdata has no partsupp
+    availqty).  Q11's fixed fraction-of-total threshold is scale-variant —
+    at 10× the parts every share shrinks 10× and the query goes empty — so
+    the threshold here is relative to the average, which is stable across
+    scale factors.
+
+    The HAVING threshold is a 1-row scalar aggregate CROSS-joined
+    (broadcast) into the per-part aggregate — the same counted-once
+    pattern as tfidf's n_docs: no second pass over the fact table, no
+    driver round-trip.  The nation's supplier set broadcasts into the
+    scan so the fact rows are pruned before the per-part shuffle.
+    """
+    s = F.broadcast(
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    li = lineitem.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
+    ).join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+    per_part = li.groupBy("l_partkey").agg(F.sum("val").alias("part_value"))
+    total = li.agg(
+        (
+            F.lit(avg_mult) * F.sum("val") / F.count_distinct("l_partkey")
+        ).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+def ship_latency_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    start: str,
+    end: str,
+    fast_days: int = 30,
+    slow_days: int = 60,
+) -> DataFrame:
+    """Q12 shape: per shipping-latency class (testdata has no l_shipmode —
+    classes are derived from shipdate−orderdate), how many lineitems came
+    from high- vs low-priority orders.
+
+    lineitem⋈orders is the one genuinely large join; the date filter
+    prunes the lineitem scan, both sides are column-pruned to 2–3 columns,
+    and the conditional counts partial-aggregate map-side after the join.
+    """
+    li = lineitem.select("l_orderkey", "l_shipdate").filter(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    )
+    o = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    latency = (
+        F.when(delay <= fast_days, "FAST")
+        .when(delay > slow_days, "SLOW")
+        .otherwise("MEDIUM")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(latency.alias("latency_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def dominant_share_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_sub: str,
+    start: str,
+    end: str,
+    share: float = 0.5,
+) -> DataFrame:
+    """Q20 shape: suppliers who shipped more than ``share`` of some
+    matching part's total quantity in a date window (testdata has no
+    partsupp availqty — the excess test runs against shipped totals).
+
+    Chained aggregates replace the nested EXISTS/IN subqueries: per
+    (part, supplier) quantity → per-part total joined back on the part
+    key → share filter → DISTINCT suppliers → broadcast-join the
+    supplier/nation dims.  Quantities are integral doubles, so the sums
+    are order-independent and the share compare is engine-exact.
+    """
+    p = F.broadcast(
+        part.filter(F.col("p_name").contains(name_sub)).select("p_partkey")
+    )
+    li = (
+        lineitem.select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    dominant = (
+        per_ps.join(per_p, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("supp_qty") > F.lit(share) * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        dominant.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("supp_nation"))
+    )
+
+
 def discount_opportunity(
     lineitem: DataFrame,
     start: str,

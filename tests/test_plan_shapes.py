@@ -152,3 +152,34 @@ def test_q9_single_large_exchange(spark):
     s = _plan(_queries()["nation_profit"](spark, SF_DIR))
     assert s.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in s
+
+
+def test_q2_min_cost_broadcasts_dims(spark):
+    s = _plan(_queries()["min_cost_supplier"](spark, SF_DIR))
+    # filtered part set broadcasts INTO the supply aggregate; supplier and
+    # nation broadcast onto the (small) winner set afterward
+    assert s.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in s
+    assert s.count("HashAggregate") >= 2
+
+
+def test_q11_threshold_is_broadcast_not_second_scan(spark):
+    s = _plan(_queries()["important_part_values"](spark, SF_DIR))
+    # the HAVING threshold arrives as a broadcast 1-row aggregate; a
+    # SortMergeJoin would mean the scalar got planned as a wide join
+    assert "SortMergeJoin" not in s
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
+    assert s.count("HashAggregate") >= 2
+
+
+def test_q12_latency_partial_aggregation(spark):
+    s = _plan(_queries()["ship_latency_priority"](spark, SF_DIR))
+    assert "CartesianProduct" not in s
+    assert s.count("HashAggregate") >= 2  # map-side partial before final
+    assert "PushedFilters" in s  # ship-date window reaches the scan
+
+
+def test_q20_dominant_share_broadcasts_dims(spark):
+    s = _plan(_queries()["dominant_share_suppliers"](spark, SF_DIR))
+    assert s.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in s
