@@ -620,6 +620,7 @@ from . import driver_queries_wave17  # noqa: E402, F401  (registers wave-17 quer
 from . import driver_queries_wave18  # noqa: E402, F401  (registers wave-18 queries)
 from . import driver_queries_wave19  # noqa: E402, F401  (registers wave-19 queries)
 from . import driver_queries_wave20  # noqa: E402, F401  (registers wave-20 queries)
+from . import driver_queries_wave21  # noqa: E402, F401  (registers wave-21 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The
@@ -680,6 +681,8 @@ _PRIORITY = [
     # wave 20 (new this round)
     "min_cost_supplier", "important_part_values", "ship_latency_priority",
     "dominant_share_suppliers",
+    # wave 21 (new this round)
+    "temperature_mixture_sample", "leakage_safe_split",
 ]
 
 

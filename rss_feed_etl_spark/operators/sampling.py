@@ -145,6 +145,76 @@ def weighted_priority_sample(
     )
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    base_rate: float = 0.5,
+    key_col: str = "doc_id",
+    salt: str = "temp-v1",
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Temperature (α=0.5) mixture sampling: keep each group at a rate
+    ∝ 1/√(group size), so kept counts scale as n^0.5 — the standard
+    multilingual-pretraining upsampling of rare languages/sources, with the
+    largest group kept at ``base_rate``.
+
+    The per-group rates are derived INSIDE the plan (group counts → 1-row
+    max → broadcast back), so one aggregation pass prices the mixture and
+    no driver round-trip or precomputed table is needed.  Cross-engine
+    determinism is structural, as in ``weighted_priority_sample``: rate =
+    base_rate·√(n_max/n) uses only correctly-rounded IEEE ops (divide,
+    sqrt, multiply) on exact integers — no ln/pow, whose last-ulp behavior
+    is libm-dependent — so Spark and the SQL oracle agree bit-for-bit.
+    Survival is md5(salt:key) mod precision < rate·precision: content-
+    addressed, stable under corpus growth and repartitioning, and raising
+    ``base_rate`` only ever ADDS documents.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    nmax = counts.agg(F.max("__n").alias("__nmax"))
+    rates = counts.crossJoin(F.broadcast(nmax)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(base_rate) * F.sqrt(F.col("__nmax") / F.col("__n")),
+        ).alias("__rate"),
+    )
+    bucket = split_bucket(key_col, salt, precision)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(bucket < F.col("__rate") * precision)
+        .drop("__rate")
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    key_col: str = "id",
+    weights: dict[str, int] | None = None,
+    salt: str = "leak-split-v1",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across the
+    boundary: rows are split by their near-dup COMPONENT label (from
+    ``dedup.neardup_components``) instead of their own key, so every member
+    of a duplicate cluster lands in the same split.  Rows in no cluster
+    fall back to their own key.  Plain hash splitting puts ~10% of each
+    near-dup cluster's members in val/test — training on the other 90%
+    evaluates the model on its own training data.
+
+    The component table is duplicate-rate-sized (only docs that appear in
+    a near-dup pair), so the join is a broadcast against the corpus scan;
+    the split itself stays a pure expression.
+    """
+    lab = F.coalesce(F.col("component_id"), F.col(key_col)).alias("__lab")
+    labeled = df.join(
+        F.broadcast(components.withColumnRenamed("id", "__cid")),
+        F.col(key_col) == F.col("__cid"),
+        "left",
+    ).select(*[F.col(c) for c in df.columns], lab)
+    out = deterministic_split(labeled, key_col="__lab", weights=weights, salt=salt)
+    return out.drop("__lab", "__cid")
+
+
 def cross_split_contamination(
     split_docs: DataFrame,
     holdout_label: str = "test",

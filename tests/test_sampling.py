@@ -127,3 +127,55 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r.status: r.n for r in snapshot_diff(old, new).collect()}
     assert got == {"unchanged": 1, "changed": 1, "added": 1, "removed": 1}
+
+
+def test_temperature_mixture_upsamples_rare_groups(spark):
+    # groups: big=400 docs, mid=100, tiny=16 → rates 0.5, 0.5·√4=1.0, 1.0
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(1000 + i, "mid") for i in range(100)]
+        + [(2000 + i, "tiny") for i in range(16)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.temperature_mixture_sample(
+        df, group_col="source", base_rate=0.5, key_col="doc_id"
+    )
+    kept = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert kept["mid"] == 100 and kept["tiny"] == 16  # rate ≥ 1 → fully kept
+    assert 120 <= kept["big"] <= 280  # ~0.5 of 400, hash noise
+    # kept fraction ORDER follows 1/√n: big < mid
+    assert kept["big"] / 400 < kept["mid"] / 100
+
+    # raising base_rate only ADDS documents (subset property)
+    bigger = sampling.temperature_mixture_sample(
+        df, group_col="source", base_rate=0.8, key_col="doc_id"
+    )
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in bigger.collect()}
+    assert a <= b
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from rss_feed_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    # two clusters: {1,2,3} (transitive via 2) and {10, 40}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 40)], "id_a long, id_b long"
+    )
+    comp = dedup.neardup_components(pairs)
+    out = {
+        r.id: r.split
+        for r in sampling.leakage_safe_split(docs, comp, key_col="id").collect()
+    }
+    assert len(out) == 50
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[40]
+    # and the assignment is repartition-stable
+    out2 = {
+        r.id: r.split
+        for r in sampling.leakage_safe_split(
+            docs.repartition(7), comp, key_col="id"
+        ).collect()
+    }
+    assert out == out2
