@@ -154,6 +154,22 @@ def test_q9_single_large_exchange(spark):
     assert "CartesianProduct" not in s
 
 
+def test_temperature_mixture_rates_broadcast(spark):
+    s = _plan(_queries()["temperature_mixture_sample"](spark, SF_DIR))
+    # per-group rates arrive as a broadcast of the count aggregate; the
+    # corpus scan itself is never exchanged for the rate join
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_leakage_safe_split_broadcasts_components(spark):
+    s = _plan(_queries()["leakage_safe_split"](spark, SF_DIR))
+    # the (duplicate-rate-sized) component table broadcasts onto the corpus
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+
+
 def test_q2_min_cost_broadcasts_dims(spark):
     s = _plan(_queries()["min_cost_supplier"](spark, SF_DIR))
     # filtered part set broadcasts INTO the supply aggregate; supplier and
