@@ -179,3 +179,50 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         ).collect()
     }
     assert out == out2
+
+
+def test_leakage_safe_split_coassignment_property(spark):
+    """Property over random pair graphs: every connected component's members
+    always share a split, whatever the graph shape (chains, stars, merges),
+    verified against an independent union-find model."""
+    import random
+
+    from rss_feed_etl_spark.operators import dedup
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+            )
+            if a != b
+        ]
+        docs = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        pairs = spark.createDataFrame(edges or [(0, 1)], "id_a long, id_b long")
+        comp = dedup.neardup_components(pairs)
+        out = {
+            r.id: r.split
+            for r in sampling.leakage_safe_split(docs, comp, key_col="id").collect()
+        }
+
+        # union-find reference model
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges or [(0, 1)]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        groups = {}
+        for i in range(n):
+            groups.setdefault(find(i), []).append(i)
+        for members in groups.values():
+            splits = {out[m] for m in members}
+            assert len(splits) == 1, f"trial {trial}: component {members} split {splits}"
