@@ -18,8 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import MOD, token_code
-from ..functions.text import norm_text, word_shingles
+from ..functions.hashing import MOD
+from ..functions.text import norm_text
 
 
 def dedup_by_key(
@@ -129,15 +129,14 @@ def ngram_jaccard_pairs(
     # minhash-bucket shape): group ids per shingle, expand in-bucket pairs
     # with array transforms.  A two-sided self-join on shingle evaluates
     # the (expensive) shingle+md5 subtree once per join side and per
-    # consumer — the measured plan recomputed it 6×; this shape evaluates
-    # it 3× (pair expansion + two size joins).  Both alternatives measured
-    # SLOWER than the 3× recompute: pinning buckets with localCheckpoint
-    # (collected id arrays serialize badly) and moving the shingling into
-    # an Arrow pass (per-shingle row building in Python costs more than
-    # the JVM expression, ×3 consumers) — so the expression form stays.
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.transform(word_shingles(text_col, n), token_code)).alias("shingle"),
+    # consumer; this shape evaluates it once per consumer.  The codes are
+    # produced by ONE Arrow pass emitting the per-doc code ARRAY, exploded
+    # JVM-side — measured 2.3→2.0 s at sf0.1 and 15.6→9.8 s at 10×,
+    # identical pairs.  (Two earlier variants measured SLOWER and were
+    # rejected: localCheckpoint-pinned buckets, and building per-shingle
+    # ROWS inside the Arrow pass — the explode belongs JVM-side.)
+    ex = _shingle_codes_arrow(df, id_col, text_col, n).select(
+        "id", F.explode("codes").alias("shingle")
     )
     buckets = ex.groupBy("shingle").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     if max_df is not None:
@@ -186,6 +185,41 @@ def ngram_jaccard_pairs(
 
 N_MINHASH = 32
 LSH_BANDS = 8  # 8 bands × 4 rows: P(collide) = 1-(1-j^4)^8 ≈ .5 at j≈.55
+
+
+def _shingle_codes_arrow(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, codes array<long>) via one Arrow pass over ``_py_shingle_codes``
+    — replaces the interpreted ``transform(word_shingles, token_code)``
+    expression chain (HOFs are not codegen'd).  The input is
+    salt-repartitioned so the Python md5 work spreads across the session's
+    parallelism instead of following the parquet file layout."""
+    import pandas as pd
+
+    from ..session import ensure_executors_can_import
+
+    ensure_executors_can_import(df.sparkSession)
+    in_df = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    in_df = in_df.repartition(F.pmod(F.xxhash64("id"), F.lit(par)))
+    schema = T.StructType(
+        [
+            T.StructField("id", in_df.schema["id"].dataType),
+            T.StructField("codes", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "codes": [_py_shingle_codes(t, n) for t in pdf["text"]],
+                }
+            )
+
+    return in_df.mapInPandas(gen, schema)
 
 
 def _py_shingle_codes(text: str | None, n: int = 3) -> list[int]:
