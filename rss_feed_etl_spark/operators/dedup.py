@@ -194,7 +194,10 @@ def _shingle_codes_arrow(
     — replaces the interpreted ``transform(word_shingles, token_code)``
     expression chain (HOFs are not codegen'd).  The input is
     salt-repartitioned so the Python md5 work spreads across the session's
-    parallelism instead of following the parquet file layout."""
+    parallelism instead of following the parquet file layout.  The
+    partition COUNT is explicit: ``repartition(expr)`` without a count is
+    AQE-coalescible, and a few-MB text batch gets squeezed onto 1–2 tasks
+    — the byte-sized plan hides the CPU-bound Python work behind it."""
     import pandas as pd
 
     from ..session import ensure_executors_can_import
@@ -202,7 +205,7 @@ def _shingle_codes_arrow(
     ensure_executors_can_import(df.sparkSession)
     in_df = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    in_df = in_df.repartition(F.pmod(F.xxhash64("id"), F.lit(par)))
+    in_df = in_df.repartition(par, F.pmod(F.xxhash64("id"), F.lit(par)))
     schema = T.StructType(
         [
             T.StructField("id", in_df.schema["id"].dataType),
@@ -524,7 +527,10 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     shifts = np.arange(bits, dtype=np.int64)
     in_df = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    in_df = in_df.repartition(F.pmod(F.xxhash64("id"), F.lit(par)))
+    # explicit partition count — AQE would coalesce a countless
+    # repartition(expr) of small text batches onto 1-2 tasks and serialize
+    # the CPU-bound Python pass
+    in_df = in_df.repartition(par, F.pmod(F.xxhash64("id"), F.lit(par)))
     schema = T.StructType(
         [
             T.StructField(id_col, in_df.schema["id"].dataType),

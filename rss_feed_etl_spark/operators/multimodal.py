@@ -119,7 +119,7 @@ def decode_images(media: DataFrame, strict: bool = False) -> DataFrame:
 
     imgs = media.filter(F.col("kind") == "image").select("media_id", "content")
     # salt-repartition so giant assets spread across tasks
-    imgs = imgs.repartition(F.pmod(F.xxhash64("media_id"), F.lit(32)))
+    imgs = imgs.repartition(32, F.pmod(F.xxhash64("media_id"), F.lit(32)))
     return imgs.mapInPandas(decode, IMAGE_FEATURES_SCHEMA)
 
 
@@ -207,7 +207,7 @@ def resize_images(media: DataFrame, max_side: int = 512, strict: bool = False) -
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "content"])
 
     imgs = media.filter(F.col("kind") == "image").select("media_id", "content")
-    imgs = imgs.repartition(F.pmod(F.xxhash64("media_id"), F.lit(32)))
+    imgs = imgs.repartition(32, F.pmod(F.xxhash64("media_id"), F.lit(32)))
     return imgs.mapInPandas(resize, RESIZED_SCHEMA)
 
 
@@ -255,5 +255,5 @@ def extract_audio_features(
     auds = media.filter(F.col("kind") == "audio").select(
         "media_id", "content", F.col("meta.duration_ms").alias("duration_ms")
     )
-    auds = auds.repartition(F.pmod(F.xxhash64("media_id"), F.lit(32)))
+    auds = auds.repartition(32, F.pmod(F.xxhash64("media_id"), F.lit(32)))
     return auds.mapInPandas(features, AUDIO_FEATURES_SCHEMA)
