@@ -621,6 +621,7 @@ from . import driver_queries_wave18  # noqa: E402, F401  (registers wave-18 quer
 from . import driver_queries_wave19  # noqa: E402, F401  (registers wave-19 queries)
 from . import driver_queries_wave20  # noqa: E402, F401  (registers wave-20 queries)
 from . import driver_queries_wave21  # noqa: E402, F401  (registers wave-21 queries)
+from . import driver_queries_wave22  # noqa: E402, F401  (registers wave-22 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The
@@ -683,6 +684,8 @@ _PRIORITY = [
     "dominant_share_suppliers",
     # wave 21 (new this round)
     "temperature_mixture_sample", "leakage_safe_split",
+    # wave 22 (new this round)
+    "token_budget_select",
 ]
 
 

@@ -215,6 +215,54 @@ def leakage_safe_split(
     return out.drop("__lab", "__cid")
 
 
+def select_by_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    grid: int = 1024,
+) -> DataFrame:
+    """Keep the best-scoring documents whose cumulative token count fits a
+    budget — "fill 500B tokens with the highest-quality documents", the
+    selection step between quality scoring and export.
+
+    Semantically: order by (score DESC, key ASC), take documents while the
+    running token sum stays ≤ ``budget``.  Physically a GLOBAL window in
+    that order would single-partition the corpus, so this uses the same
+    two-level prefix sum as ``packing.pack_sequences``, with score-range
+    cells instead of hash buckets: scores (in [0, 1]) map to a fixed
+    ``grid`` of cells, in-cell windows run per cell (each partition holds
+    its slice), the per-cell totals (``grid`` rows) get cumulative offsets
+    over that tiny frame, and offsets broadcast back.  Cell membership is
+    monotone in score, so cell-desc + in-cell (score DESC, key ASC) IS the
+    global order and the result is bit-identical to the one-window form
+    the oracle runs.  Token counts are integers, so the running sums are
+    exact on every engine.
+    """
+    cell = F.least(F.lit(grid - 1), F.floor(F.col(score_col) * grid)).cast("int")
+    staged = df.withColumn("__c", cell)
+    totals = staged.groupBy("__c").agg(F.sum(token_col).alias("__t"))
+    w_off = Window.orderBy(F.col("__c").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__c",
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0).cast("bigint")).alias("__off"),
+    )
+    w_in = (
+        Window.partitionBy("__c")
+        .orderBy(F.col(score_col).desc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = staged.withColumn("__cum", F.sum(token_col).over(w_in))
+    return (
+        staged.join(F.broadcast(offsets), "__c")
+        .filter((F.col("__off") + F.col("__cum")) <= budget)
+        .drop("__c", "__cum", "__off")
+    )
+
+
 def cross_split_contamination(
     split_docs: DataFrame,
     holdout_label: str = "test",

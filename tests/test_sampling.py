@@ -226,3 +226,27 @@ def test_leakage_safe_split_coassignment_property(spark):
         for members in groups.values():
             splits = {out[m] for m in members}
             assert len(splits) == 1, f"trial {trial}: component {members} split {splits}"
+
+
+def test_token_budget_selects_best_scores_exactly(spark):
+    # 10 docs, scores 0.0..0.9, 100 tokens each, budget 350 → the three
+    # highest-scoring docs fit (300 tokens); the fourth would cross 350
+    rows = [(i, 100, i / 10.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, score double")
+    out = sampling.select_by_token_budget(df, budget=350)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [7, 8, 9]
+
+    # ties broken by key: equal scores, budget admits first three by id
+    ties = spark.createDataFrame(
+        [(i, 100, 0.5) for i in range(6)], "doc_id long, n_tokens long, score double"
+    )
+    kept2 = sorted(r.doc_id for r in sampling.select_by_token_budget(ties, budget=300).collect())
+    assert kept2 == [0, 1, 2]
+
+    # repartition-stable (the grid prefix sum is layout-independent)
+    kept3 = sorted(
+        r.doc_id
+        for r in sampling.select_by_token_budget(df.repartition(7), budget=350).collect()
+    )
+    assert kept3 == kept
