@@ -154,6 +154,16 @@ def test_q9_single_large_exchange(spark):
     assert "CartesianProduct" not in s
 
 
+def test_token_budget_no_global_corpus_window(spark):
+    s = _plan(_queries()["token_budget_select"](spark, SF_DIR))
+    # the corpus-sized window is partitioned by score cell; only the
+    # grid-sized totals frame runs unpartitioned, and offsets broadcast back
+    assert s.count("Window") >= 2
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
 def test_temperature_mixture_rates_broadcast(spark):
     s = _plan(_queries()["temperature_mixture_sample"](spark, SF_DIR))
     # per-group rates arrive as a broadcast of the count aggregate; the
