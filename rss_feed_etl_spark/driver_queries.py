@@ -622,6 +622,7 @@ from . import driver_queries_wave19  # noqa: E402, F401  (registers wave-19 quer
 from . import driver_queries_wave20  # noqa: E402, F401  (registers wave-20 queries)
 from . import driver_queries_wave21  # noqa: E402, F401  (registers wave-21 queries)
 from . import driver_queries_wave22  # noqa: E402, F401  (registers wave-22 queries)
+from . import driver_queries_wave23  # noqa: E402, F401  (registers wave-23 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The
@@ -686,6 +687,8 @@ _PRIORITY = [
     "temperature_mixture_sample", "leakage_safe_split",
     # wave 22 (new this round)
     "token_budget_select",
+    # wave 23 (new this round)
+    "semantic_dedup_pairs", "canonical_per_component", "fuzzy_name_pairs",
 ]
 
 

@@ -655,3 +655,34 @@ def incremental_dedup_exact(
     )
     corpus_fps = corpus.select(fp).distinct()
     return batch_best.join(corpus_fps, "__fp", "left_anti").select(id_col, text_col)
+
+
+def canonical_per_component(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Pick the canonical SURVIVOR of each near-dup cluster by quality,
+    not by smallest id: per ``component_id``, the member with the highest
+    ``score_col`` (ties -> smallest id), plus the cluster size and best
+    score.  This is the keep-decision step after ``neardup_components`` —
+    a corpus dedup pass keeps one high-quality representative per cluster
+    instead of an arbitrary one.
+
+    Plan: one join of the (duplicate-rate-sized) component list against
+    the doc scores, then a single partial-aggregable ``max_by`` groupBy —
+    the shuffle carries (component_id, id, score) triples, never document
+    bodies.  No windows.
+    """
+    members = components.join(
+        docs.select(F.col(id_col).alias("id"), F.col(score_col).alias("score")),
+        "id",
+    )
+    return members.groupBy("component_id").agg(
+        F.max_by(
+            "id", F.struct(F.col("score"), (-F.col("id")).alias("nid"))
+        ).alias("canonical_id"),
+        F.count("*").alias("n_members"),
+        F.max("score").alias("best_score"),
+    )

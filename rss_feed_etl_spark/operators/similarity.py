@@ -675,3 +675,105 @@ def hard_negative_mining(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "neighbor_label", "cosine_sim", "rank")
     )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    k: int = 16,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "semdedup-v1",
+    max_cell: int | None = 20_000,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): partition the
+    corpus into ``k`` cells around deterministic seed embeddings, then
+    emit within-cell pairs with cosine ≥ ``threshold``.
+
+    Seeds are the ``k`` vectors with the smallest ``md5(salt:id)`` — a
+    deterministic uniform sample, so the partition is reproducible across
+    engines and runs (SemDeDup's k-means step trades recall for cell
+    balance; the seed variant keeps the same within-cell quadratic shape
+    while staying oracle-checkable).  Assignment is expression-side: the
+    ``k`` seed vectors are driver-collected (k·dim floats — model-sized,
+    like k-means centroids) and inlined as literals, so every corpus
+    vector computes ``k`` cosines in whole-stage codegen with NO join and
+    no shuffle before the cell groupBy.
+
+    Plan: one corpus scan for assignment → one groupBy(cell) whose
+    shuffle carries (id, vec) once → one GEMM per cell inside Arrow
+    ``mapInPandas``.  Work is Σ_cells |cell|² — at 100 TB, ``k`` scales
+    with corpus size to bound cells (SemDeDup uses k≈10⁵ for web-scale)
+    and ``max_cell`` drops degenerate cells outright.  Ties in the argmax
+    break toward the smallest seed index on both engines.
+    """
+    from ..functions.hashing import md5_bucket
+    from ..session import ensure_executors_can_import
+
+    ensure_executors_can_import(embeddings.sparkSession)
+
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    hk = md5_bucket(F.concat(F.lit(salt + ":"), F.col("id").cast("string")))
+    seeds = (
+        base.withColumn("hk", hk)
+        .orderBy("hk", "id")
+        .limit(k)
+        .select("vec")
+        .collect()
+    )
+    # cell = first index of the max rounded cosine (array_position returns
+    # the FIRST occurrence -> ties break to the smallest seed index)
+    cos_cols = [
+        cosine(
+            F.col("vec"),
+            F.array(*[F.lit(float(x)) for x in row["vec"]]),
+        )
+        for row in seeds
+    ]
+    arr = F.array(*cos_cols)
+    cells = base.select(
+        "id",
+        "vec",
+        (F.array_position(arr, F.array_max(arr)) - 1).cast("bigint").alias("cell"),
+    )
+
+    grouped = (
+        cells.groupBy("cell")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "vec"))).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    if max_cell is not None:
+        grouped = grouped.filter(F.size("members") <= max_cell)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cell", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids = np.array([r["id"] for r in row["members"]], dtype=np.int64)
+                mat = np.array([r["vec"] for r in row["members"]], dtype=np.float64)
+                norms = np.linalg.norm(mat, axis=1)
+                norms[norms == 0.0] = 1.0
+                mat = mat / norms[:, None]
+                sims = np.round(mat @ mat.T, 4)
+                ia, ib = np.where(sims >= threshold)
+                keep = ia < ib  # members sorted by id -> index order = id order
+                yield pd.DataFrame(
+                    {
+                        "id_a": ids[ia[keep]],
+                        "id_b": ids[ib[keep]],
+                        "cell": np.full(int(keep.sum()), row["cell"], dtype=np.int64),
+                        "cosine_sim": sims[ia[keep], ib[keep]],
+                    }
+                )
+
+    return grouped.select("cell", "members").mapInPandas(gram, out_schema)
