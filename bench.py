@@ -43,6 +43,8 @@ HEADLINE = [
     "token_counts",
     "bm25_search",
     "decontaminate_splits",
+    "semantic_dedup_pairs",
+    "bigram_logppl",
     # decision-support path (wave 15)
     "large_order_customers",
     "sole_late_suppliers",
@@ -92,6 +94,7 @@ SCALE_QUERIES = [
     "simhash_neardup",
     "embedding_cosine_neardup",
     "ngram_jaccard_neardup",
+    "semantic_dedup_pairs",
 ]
 
 SCALE_FACTOR = 10
@@ -148,12 +151,18 @@ def bench_scale_curve(spark, qs, sf_dir: str, base: dict[str, float]) -> dict:
     ensure_scaled_corpus(sf_dir, dst)
     out: dict[str, dict] = {"factor": SCALE_FACTOR, "queries": {}, "ratio_vs_base": {}}
     for name in SCALE_QUERIES:
-        t0 = time.perf_counter()
-        qs[name](spark, dst).write.mode("overwrite").format("noop").save()
-        dt = round(time.perf_counter() - t0, 3)
-        out["queries"][name] = dt
+        # min-of-2, same as the headline set: this host shows multi-x
+        # external timing noise in single runs (virtualized CPU), and the
+        # min is the plan cost that partition/shuffle tuning actually moves
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, dst).write.mode("overwrite").format("noop").save()
+            dt = round(time.perf_counter() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        out["queries"][name] = best
         if base.get(name):
-            out["ratio_vs_base"][name] = round(dt / base[name], 2)
+            out["ratio_vs_base"][name] = round(best / base[name], 2)
     return out
 
 

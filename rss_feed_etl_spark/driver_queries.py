@@ -623,6 +623,7 @@ from . import driver_queries_wave20  # noqa: E402, F401  (registers wave-20 quer
 from . import driver_queries_wave21  # noqa: E402, F401  (registers wave-21 queries)
 from . import driver_queries_wave22  # noqa: E402, F401  (registers wave-22 queries)
 from . import driver_queries_wave23  # noqa: E402, F401  (registers wave-23 queries)
+from . import driver_queries_wave24  # noqa: E402, F401  (registers wave-24 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The
@@ -689,6 +690,8 @@ _PRIORITY = [
     "token_budget_select",
     # wave 23 (new this round)
     "semantic_dedup_pairs", "canonical_per_component", "fuzzy_name_pairs",
+    # wave 24 (new this round)
+    "bigram_logppl", "bpe_merge_candidates",
 ]
 
 

@@ -473,3 +473,119 @@ def unigram_logppl(
         F.count("*").cast("bigint").alias("n_tokens"),
         F.round(F.avg("nll"), decimals).alias("logppl"),
     )
+
+
+def _bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, a, b) adjacent lowercase-token bigrams, one row per position."""
+    toks = _tokens(F.lower(F.col(text_col)))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n1).alias("a"), F.slice(toks, 2, n1).alias("b")
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("p")).select(
+        "id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+
+
+def bigram_logppl(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document log-perplexity under a bigram LM with stupid backoff
+    (Brants et al. 2007) — the KenLM-shaped upgrade of ``unigram_logppl``
+    for CCNet-style quality bucketing.
+
+    ``model`` is the training corpus for the LM (defaults to ``df``; pass
+    a reference corpus to score candidates against it — that is when the
+    backoff path actually fires, since self-scoring sees every bigram).
+    p(b|a) = C2(a,b)/C1(a) when the bigram was seen, else
+    ``alpha`` · (C1(b)+1)/(total+V) (add-one unigram backoff).
+
+    Plan: the model side reduces to two vocabulary-sized count tables
+    (bigram conditional probs, unigram counts) built once; scoring is the
+    corpus bigram stream LEFT-joined to each — two token-keyed exchanges
+    over (id, a, b) triples, never document bodies, with partial
+    aggregation on both count builds.  The two scalar constants ride in
+    as a broadcast 1-row aggregate.  Docs with < 2 tokens emit no bigrams
+    and are absent from the output.
+    """
+    model = df if model is None else model
+    big = _bigram_pairs(df, id_col, text_col)
+    c2 = _bigram_pairs(model, id_col, text_col).groupBy("a", "b").agg(
+        F.count("*").alias("n2")
+    )
+    c1 = (
+        model.select(F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n1"))
+    )
+    totals = c1.agg(F.sum("n1").alias("total"), F.count("*").alias("vocab"))
+    # fold the conditional prob model-side: p(b|a) tables are model-sized
+    pbi = c2.join(c1.withColumnRenamed("tok", "a"), "a").select(
+        "a", "b", (F.col("n2") / F.col("n1")).alias("pb")
+    )
+    scored = (
+        big.join(pbi, ["a", "b"], "left")
+        .join(
+            c1.select(F.col("tok").alias("b"), F.col("n1").alias("nb")), "b", "left"
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            F.round(
+                -F.log(
+                    F.when(F.col("pb").isNotNull(), F.col("pb")).otherwise(
+                        F.lit(alpha)
+                        * (F.coalesce(F.col("nb"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("total") + F.col("vocab"))
+                    )
+                ),
+                9,
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("nll"), decimals).alias("logppl"),
+    )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    top: int = 50,
+) -> DataFrame:
+    """Tokenizer-training prep: the first BPE iteration's merge candidates
+    — adjacent character-pair frequencies weighted by word frequency
+    (Sennrich et al. 2016).  The returned top pairs ARE the merges a BPE
+    trainer would perform first on this corpus.
+
+    Plan: corpus tokens reduce to a vocabulary-sized (word, count) table
+    FIRST — the char-pair expansion then runs over distinct words only
+    (vocabulary-sized, not corpus-sized), which is the standard BPE
+    trainer optimization.  One corpus-grain shuffle (word counts), one
+    vocabulary-grain shuffle (pair sums), one top-k.  Ties rank
+    lexicographically so the output is deterministic.
+    """
+    words = (
+        df.select(F.explode(_tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    chars = F.split(F.col("w"), "")
+    n1 = F.greatest(F.size(chars) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(chars, 1, n1).alias("a"), F.slice(chars, 2, n1).alias("b")
+    )
+    return (
+        words.select("cnt", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("sym_a"), F.col("p.b").alias("sym_b"))
+        .agg(F.sum("cnt").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("sym_a"), F.asc("sym_b"))
+        .limit(top)
+    )
