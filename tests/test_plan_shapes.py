@@ -209,3 +209,46 @@ def test_q20_dominant_share_broadcasts_dims(spark):
     s = _plan(_queries()["dominant_share_suppliers"](spark, SF_DIR))
     assert s.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in s
+
+
+def test_semantic_dedup_no_join_single_groupby(spark):
+    s = _plan(_queries()["semantic_dedup_pairs"](spark, SF_DIR))
+    # seed centroids are inlined literals: assignment is expression-side,
+    # so the whole plan is scan -> cell groupBy -> Arrow GEMM, no join
+    assert "Join" not in s
+    assert "CartesianProduct" not in s
+    assert s.count("Exchange") <= 2  # cell groupBy (+AQE read), nothing else
+
+
+def test_fuzzy_pairs_one_sided_bucket_shape(spark):
+    s = _plan(_queries()["fuzzy_name_pairs"](spark, SF_DIR))
+    # one groupBy(block) then JVM-side pair expansion: a join appearing
+    # here means the table started self-joining on the block key again
+    assert "Join" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_canonical_per_component_partial_agg(spark):
+    s = _plan(_queries()["canonical_per_component"](spark, SF_DIR))
+    # the survivor pick is max_by partial aggregation, never a window
+    # (struct-ordered max_by compiles to ObjectHashAggregate/SortAggregate)
+    assert "Window" not in s
+    assert s.count("Aggregate") >= 2
+    assert "CartesianProduct" not in s
+
+
+def test_bigram_ppl_broadcasts_model_constants(spark):
+    s = _plan(_queries()["bigram_logppl"](spark, SF_DIR))
+    # the 1-row totals aggregate rides in broadcast; bigram/unigram count
+    # joins may SMJ (both corpus-grain) but nothing goes cartesian
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_bpe_merges_vocab_first_then_takeordered(spark):
+    s = _plan(_queries()["bpe_merge_candidates"](spark, SF_DIR))
+    # word counts reduce the corpus before char-pair expansion, and the
+    # top-k is a heap, not a global sort
+    assert "TakeOrderedAndProject" in s
+    assert s.count("HashAggregate") >= 4  # two partial+final aggregations
+    assert "Join" not in s
