@@ -624,6 +624,7 @@ from . import driver_queries_wave21  # noqa: E402, F401  (registers wave-21 quer
 from . import driver_queries_wave22  # noqa: E402, F401  (registers wave-22 queries)
 from . import driver_queries_wave23  # noqa: E402, F401  (registers wave-23 queries)
 from . import driver_queries_wave24  # noqa: E402, F401  (registers wave-24 queries)
+from . import driver_queries_wave25  # noqa: E402, F401  (registers wave-25 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The
@@ -692,6 +693,9 @@ _PRIORITY = [
     "semantic_dedup_pairs", "canonical_per_component", "fuzzy_name_pairs",
     # wave 24 (new this round)
     "bigram_logppl", "bpe_merge_candidates",
+    # wave 25 (new this round)
+    "oov_rate_scores", "token_entropy_scores", "zipf_corpus_fit",
+    "hot_shingle_spans", "boilerplate_removed",
 ]
 
 

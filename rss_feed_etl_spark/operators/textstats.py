@@ -13,7 +13,7 @@ explicit character classes) so the DuckDB oracle can replay it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import rolling_hash
@@ -588,4 +588,246 @@ def bpe_merge_candidates(
         .agg(F.sum("cnt").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("sym_a"), F.asc("sym_b"))
         .limit(top)
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    vocab_size: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a corpus-derived
+    vocabulary (tokens with corpus frequency >= ``min_count``, optionally
+    capped to the ``vocab_size`` most frequent — real tokenizer vocabs
+    are size-budgeted) — the tokenizer-coverage quality signal a training
+    pipeline computes before committing a vocab (docs with high OOV
+    either need the vocab grown or are junk).  Generalizes the
+    reference's keyword-presence scans (src/rss_feed_etl/core/
+    data_filter.py keyword matching) from a static list to a
+    corpus-learned one.
+
+    Plan: one corpus-grain shuffle to build (token, count), one token-key
+    equi-join back to the exploded corpus (vocabulary side is
+    vocabulary-sized, so AQE will usually broadcast it), one per-doc
+    aggregate.  Never materializes a dense vocab; all counts stay
+    token-grain.  The ``vocab_size`` cap is a TakeOrdered over
+    vocabulary-grain rows (count desc, token asc — deterministic ties),
+    never corpus rows.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    if vocab_size is not None:
+        vocab = vocab.orderBy(F.desc("n"), F.asc("tok")).limit(vocab_size)
+    vocab = vocab.select("tok", F.lit(1).alias("in_vocab"))
+    return (
+        toks.join(vocab, "tok", "left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov") / F.col("n_tokens"), decimals),
+        )
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution plus the
+    type-token ratio — the repetition/diversity quality pair (low entropy
+    = template or keyword-stuffed spam; TTR near 1 with high length =
+    generated word salad).
+
+    Entropy is computed as ln(N) - sum(n*ln n)/N over per-term counts so
+    it needs only one (id, token) shuffle and one per-doc aggregate — no
+    joins, no windows; at 100 TB both shuffles carry token-grain rows
+    only.  The per-term ln terms are rounded to 9dp before the sum so
+    cross-engine float fold order cannot move the 6dp result.
+    """
+    term_counts = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    per_doc = term_counts.groupBy(F.col("id").alias(id_col)).agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.round(F.col("n") * F.log(F.col("n")), 9)).alias("_nlogn"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.log(F.col("n_tokens")) - F.col("_nlogn") / F.col("n_tokens"),
+            decimals,
+        ).alias("entropy"),
+        F.round(F.col("n_types") / F.col("n_tokens"), decimals).alias("ttr"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top: int = 1000,
+    decimals: int = 6,
+) -> DataFrame:
+    """Corpus-level Zipf's-law fit: least-squares slope/intercept of
+    ln(freq) on ln(rank) over the top-N terms.  Natural corpora fit slope
+    ≈ -1; a corpus that drifts far from that after cleaning (e.g. -0.3 =
+    boilerplate-flooded, -2 = vocabulary collapse) signals a broken
+    pipeline stage, so this is the one-row health metric a 100 TB corpus
+    refresh publishes per snapshot.
+
+    Plan: one corpus-grain shuffle to (token, count), a top-N (rank is
+    only needed for N rows, so the sort is a TakeOrdered over
+    vocabulary-grain rows, never corpus rows), then a single 1-row
+    aggregate computing the closed-form OLS slope.  The slope formula is
+    spelled out (not a regr_* builtin) so the oracle replays the identical
+    fold structure.
+    """
+    counts = (
+        df.select(F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(top)
+    )
+    ranked = counts.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("tok")))
+        .alias("rank"),
+        "n",
+    ).select(
+        F.round(F.log("rank"), 9).alias("x"), F.round(F.log("n"), 9).alias("y")
+    )
+    agg = ranked.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("n_terms"),
+        F.round(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            decimals,
+        ).alias("slope"),
+        F.round(
+            (F.col("sy") - F.col("sx")
+             * ((F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))))
+            / F.col("k"),
+            decimals,
+        ).alias("intercept"),
+    )
+
+
+def hot_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_docs: int = 20,
+) -> DataFrame:
+    """k-token shingles appearing in >= ``min_docs`` DISTINCT documents —
+    the boilerplate detector (C4/CCNet remove nav bars, cookie banners,
+    and license headers exactly this way: a span repeated across many
+    unrelated pages is template, not content).
+
+    Plan: shingles are built array-side (arrays_zip of k shifted slices —
+    no self-join, no per-position explode-then-rejoin), then one
+    shingle-key shuffle with a partial-aggregate-friendly
+    count(distinct id).  Output is template-grain (tiny).
+    """
+    toks = _tokens(F.lower(F.col(text_col)))
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, n).alias(f"w{i}") for i in range(k)]
+    sh = F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)]),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_docs: int = 20,
+) -> DataFrame:
+    """Rewrite each document with every token covered by a hot shingle
+    (see ``hot_shingles``) removed — the C4-style boilerplate strip,
+    reassembled in original token order.
+
+    Plan: the hot set is computed once (template-grain); each document's
+    hot START positions come back as one array via a shingle-key semi-ish
+    join + per-doc collect, then the strip itself is a pure array
+    expression (a position is dropped iff some hot start s satisfies
+    s <= pos <= s+k-1).  Two shuffles total (shingle counts, per-doc
+    start-lists) and one id-key join back to the corpus — the document
+    BODY is never part of the shingle shuffle, only 8-byte-ish shingle
+    strings and positions.
+    """
+    toks_col = _tokens(F.lower(F.col(text_col)))
+    hot = hot_shingles(df, id_col, text_col, k, min_docs)
+
+    n = F.greatest(F.size(toks_col) - (k - 1), F.lit(0))
+    parts = [F.slice(toks_col, i + 1, n).alias(f"w{i}") for i in range(k)]
+    sh = F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)]),
+    )
+    starts = (
+        df.select(F.col(id_col).alias("id"), F.posexplode(sh).alias("pos", "shingle"))
+        .join(hot.select("shingle"), "shingle")
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("hot_starts"))
+    )
+
+    with_starts = df.select(
+        F.col(id_col).alias("id"), toks_col.alias("toks")
+    ).join(starts, "id", "left")
+    starts_arr = F.coalesce(F.col("hot_starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            starts_arr, lambda s: (s <= i) & (i <= s + F.lit(k - 1))
+        ),
+    )
+    return with_starts.select(
+        F.col("id").alias(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
     )
