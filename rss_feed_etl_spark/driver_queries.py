@@ -625,6 +625,7 @@ from . import driver_queries_wave22  # noqa: E402, F401  (registers wave-22 quer
 from . import driver_queries_wave23  # noqa: E402, F401  (registers wave-23 queries)
 from . import driver_queries_wave24  # noqa: E402, F401  (registers wave-24 queries)
 from . import driver_queries_wave25  # noqa: E402, F401  (registers wave-25 queries)
+from . import driver_queries_wave26  # noqa: E402, F401  (registers wave-26 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The
@@ -696,6 +697,9 @@ _PRIORITY = [
     # wave 25 (new this round)
     "oov_rate_scores", "token_entropy_scores", "zipf_corpus_fit",
     "hot_shingle_spans", "boilerplate_removed",
+    # wave 26 (new this round)
+    "item_pagerank", "shingle_novelty_scores", "source_zscore_keep",
+    "session_paths_top", "approx_distinct_rollup",
 ]
 
 

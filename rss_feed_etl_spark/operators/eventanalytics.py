@@ -187,3 +187,58 @@ def last_touch_attribution(
             F.round(F.sum(value_col), 2).alias("total_value"),
         )
     )
+
+
+def session_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+    top: int = 20,
+) -> DataFrame:
+    """Top-N session paths: sessionize (gap rule), concatenate each
+    session's event types in time order into a ``a>b>c`` path string,
+    count paths corpus-wide — clickstream pattern mining, the event-log
+    analogue of the n-gram counting done on text.
+
+    Plan: ONE per-user window chains the gap flags into session ids (the
+    same single-shuffle shape as ``funnel_stages``); the path build is a
+    per-(user, session) ``array_sort(collect_list(struct(ts, tiebreak,
+    type)))`` — sorting inside the aggregate, deterministic under any
+    partitioning, no second window; then a path-key count and top-k.
+    Session grain is bounded by the gap rule, so the collected arrays are
+    small regardless of corpus size.
+    """
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(tiebreak_col).alias("tb"),
+        F.col(type_col).alias("et"),
+    )
+    w = Window.partitionBy("u").orderBy("t", "tb")
+    gap_us = F.unix_micros(F.col("t")) - F.unix_micros(F.lag("t").over(w))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > gap_minutes * 60_000_000), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessed = base.withColumn("sess", F.sum(new_sess).over(run))
+    paths = (
+        sessed.groupBy("u", "sess")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("t", "tb", "et"))),
+                    lambda s: s["et"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(top)
+    )

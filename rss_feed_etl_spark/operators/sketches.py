@@ -193,3 +193,90 @@ def mad_outliers(
         .filter(F.abs("robust_z") > z_cut)
         .drop("__med", "__mad")
     )
+
+
+def grouped_zscore(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    z_cut: float = 2.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group z-score normalization with an outlier cut — the
+    normalize-then-threshold step a multi-source corpus mix runs so one
+    source's length/quality scale doesn't dominate another's (the
+    mean/stddev complement of ``mad_outliers``: that HUNTS outliers
+    robustly, this KEEPS the in-distribution mass per source).
+
+    Plan: one grouped aggregate produces (mean, stddev) per group —
+    dimension-sized — then a broadcast join back and a pure projection;
+    the fact stream is never shuffled.  stddev is population form
+    (sum-of-squares identity, spelled out so the oracle replays the same
+    arithmetic rather than a Welford variant), rounded to 9dp before the
+    z division.
+    """
+    stats = df.groupBy(group_col).agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col(value_col).cast("double")).alias("__s"),
+        F.sum(F.col(value_col).cast("double") * F.col(value_col)).alias("__ss"),
+    )
+    mean = F.col("__s") / F.col("__n")
+    var = F.col("__ss") / F.col("__n") - mean * mean
+    stats = stats.select(
+        group_col,
+        F.round(mean, 9).alias("__mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 9).alias("__sd"),
+    )
+    z = (F.col(value_col) - F.col("__mean")) / F.nullif(
+        F.col("__sd"), F.lit(0.0)
+    )
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .select(
+            id_col,
+            group_col,
+            F.col(value_col).cast("double").alias(value_col),
+            F.round(z, decimals).alias("zscore"),
+        )
+        .filter(F.abs("zscore") <= z_cut)
+    )
+
+
+def distinct_rollup_sketched(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count rollup: per-day HLL sketches of the key,
+    then the MONTH estimate computed by UNIONING the day sketches — never
+    re-scanning the facts.  This is the 100 TB pattern for cardinality
+    dashboards: daily jobs persist tiny sketch blobs; any coarser rollup
+    (week, month, all-time) is a sketch merge, not a data pass.
+
+    Output: one row per month with the sketch-merged estimate AND the
+    per-day-sum upper bound next to it.  Estimates are HLL (approximate,
+    ±~1.6% at lg_k=12), so this query has no exact SQL oracle — the test
+    suite asserts the estimate lands within the sketch's error envelope
+    of the exact count.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = df.groupBy(day.alias("day")).agg(
+        F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sk"),
+        F.count_distinct(key_col).alias("exact_day"),
+    )
+    return (
+        daily.groupBy(F.date_trunc("month", F.col("day")).alias("month"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
+            F.sum("exact_day").cast("bigint").alias("sum_daily_distinct"),
+            F.count("*").cast("bigint").alias("n_days"),
+        )
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            "est_distinct",
+            "sum_daily_distinct",
+            "n_days",
+        )
+    )

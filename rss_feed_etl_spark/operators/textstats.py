@@ -831,3 +831,47 @@ def remove_boilerplate(
         F.array_join(kept, " ").alias("clean_text"),
         (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
     )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a document's k-token shingle
+    OCCURRENCES whose shingle appears in no other document — the
+    dedup-adjacent quality signal (novelty near 0 = the doc is assembled
+    from corpus-common spans; near 1 = genuinely fresh text).  The
+    complement of ``hot_shingles``: that flags corpus-common spans,
+    this scores each document by how little of it is shared.
+
+    Plan: one shingle-key shuffle computing per-shingle distinct-doc
+    counts, one join back on the shingle key, one per-doc aggregate —
+    document bodies never enter a shuffle, only k-token shingle strings.
+    """
+    toks = _tokens(F.lower(F.col(text_col)))
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, n).alias(f"w{i}") for i in range(k)]
+    sh = F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)]),
+    )
+    occ = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    docfreq = occ.groupBy("shingle").agg(
+        F.count_distinct("id").alias("df")
+    )
+    return (
+        occ.join(docfreq, "shingle")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), decimals)
+        )
+    )
