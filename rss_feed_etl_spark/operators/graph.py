@@ -54,45 +54,55 @@ def pagerank(
     damping: float = 0.85,
     decimals: int = 6,
 ) -> DataFrame:
-    """Weighted PageRank with a FIXED number of power iterations, built as
-    one lazy relational plan (each iteration = join ranks to edges on src,
-    aggregate by dst, add the damping/teleport term).
+    """Weighted PageRank with a FIXED number of power iterations.
 
     Dangling mass is redistributed uniformly each iteration (standard
     stochastic-matrix completion), so ranks sum to 1 and the result is
-    comparable across corpora.  The node universe, node count, and
-    per-iteration dangling mass all ride in as broadcast 1-row/
-    node-grain aggregates — nothing is collected to the driver, so the
-    same plan runs unchanged on a billion-edge graph.  Per-iteration 9dp
+    comparable across corpora.  The node count and per-iteration dangling
+    mass ride in as broadcast 1-row aggregates — nothing node- or
+    edge-grain is ever collected to the driver, so the same program runs
+    unchanged on a billion-edge graph.
+
+    Iteration state is ``localCheckpoint``ed — the Pregel/GraphX
+    per-superstep persist.  Without it each iteration's lazy plan embeds
+    the previous iteration's subtree TWICE (contribution join + dangling
+    sum), so the plan doubles per iteration (measured: 542 exchanges at
+    3 iterations); with it, each iteration is one edge-key shuffle over
+    the checkpointed node-grain state.  The transition matrix and the
+    node table (with a precomputed dangling flag, so no per-iteration
+    anti-join) are checkpointed once up front.  Per-iteration 9dp
     rounding keeps Spark and the SQL oracle bit-identical.
     """
+    outw = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .join(outw.select(F.col("src").alias("node"), "outw"), "node", "left")
+        .select("node", F.col("outw").isNull().alias("dangling"))
+        .localCheckpoint(eager=False)
     )
     n1 = nodes.agg(F.count("*").alias("n"))
-
-    outw = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
-    # edge transition probability src -> dst
-    trans = edges.join(outw, "src").select(
-        "src", "dst", (F.col("weight") / F.col("outw")).alias("p")
+    # edge transition probability src -> dst, materialized once
+    trans = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("weight") / F.col("outw")).alias("p"))
+        .localCheckpoint(eager=False)
     )
 
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
-        "node", F.round(F.lit(1.0) / F.col("n"), 9).alias("rank")
+        "node", "dangling", F.round(F.lit(1.0) / F.col("n"), 9).alias("rank")
     )
-    for _ in range(iterations):
+    for i in range(iterations):
+        ranks = ranks.localCheckpoint(eager=False)
         contrib = (
             ranks.join(trans, ranks["node"] == trans["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
         )
-        # dangling nodes (no out-edges) leak their whole rank; collect that
-        # mass as a broadcast scalar and hand it back uniformly.
-        dangling = (
-            ranks.join(outw, ranks["node"] == outw["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        # dangling rank leaks out of the system; hand it back uniformly
+        dangling = ranks.filter("dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
         )
         ranks = (
             nodes.join(contrib, "node", "left")
@@ -100,6 +110,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "dangling",
                 F.round(
                     (1.0 - damping) / F.col("n")
                     + damping

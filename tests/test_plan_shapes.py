@@ -252,3 +252,64 @@ def test_bpe_merges_vocab_first_then_takeordered(spark):
     assert "TakeOrderedAndProject" in s
     assert s.count("HashAggregate") >= 4  # two partial+final aggregations
     assert "Join" not in s
+
+
+def test_oov_vocab_join_is_broadcast(spark):
+    s = _plan(_queries()["oov_rate_scores"](spark, SF_DIR))
+    # the vocabulary side (top-N terms) joins back broadcast, and the
+    # size cap is a TakeOrdered over vocab-grain rows, not a global sort
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "TakeOrderedAndProject" in s
+    assert "CartesianProduct" not in s
+
+
+def test_token_entropy_two_aggregates_no_join(spark):
+    s = _plan(_queries()["token_entropy_scores"](spark, SF_DIR))
+    assert "Join" not in s  # (id, tok) agg then id agg — nothing else
+    assert s.count("HashAggregate") >= 4  # partial+final for both
+
+
+def test_zipf_window_only_over_topn(spark):
+    s = _plan(_queries()["zipf_corpus_fit"](spark, SF_DIR))
+    # the rank window runs AFTER the TakeOrdered top-N — corpus rows
+    # never hit an unpartitioned window
+    assert "TakeOrderedAndProject" in s
+    assert "Window" in s
+    assert "Join" not in s
+
+
+def test_boilerplate_removal_joins_broadcast_only(spark):
+    s = _plan(_queries()["boilerplate_removed"](spark, SF_DIR))
+    # hot-set join and start-list join back to the corpus: both
+    # broadcast; the doc bodies are never exchanged on a shingle key
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_pagerank_iteration_state_is_checkpointed(spark):
+    s = _plan(_queries()["item_pagerank"](spark, SF_DIR))
+    # localCheckpoint per superstep: the final plan reads checkpointed
+    # RDDs instead of re-deriving the edge subtree 2^iterations times
+    assert "Scan ExistingRDD" in s
+    assert "CartesianProduct" not in s
+    # without checkpointing this plan had 542 exchanges; it must stay
+    # iteration-local now
+    assert s.count("Exchange") < 30
+
+
+def test_zscore_stats_broadcast_back(spark):
+    s = _plan(_queries()["source_zscore_keep"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_session_paths_single_user_window(spark):
+    s = _plan(_queries()["session_paths_top"](spark, SF_DIR))
+    # the lag window and the running-sum window share one user-key
+    # exchange (same partitioning/ordering); the path build sorts inside
+    # the aggregate (array_sort) — so the whole query is two real
+    # shuffles (user key, path key) and a top-k, with no join
+    assert "TakeOrderedAndProject" in s
+    assert "Join" not in s
+    assert s.count("Exchange") <= 6  # formatted lists each op twice
