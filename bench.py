@@ -45,6 +45,11 @@ HEADLINE = [
     "decontaminate_splits",
     "semantic_dedup_pairs",
     "bigram_logppl",
+    # corpus-hygiene + structural scoring (waves 25-26)
+    "boilerplate_removed",
+    "oov_rate_scores",
+    "item_pagerank",
+    "session_paths_top",
     # decision-support path (wave 15)
     "large_order_customers",
     "sole_late_suppliers",
@@ -95,6 +100,7 @@ SCALE_QUERIES = [
     "embedding_cosine_neardup",
     "ngram_jaccard_neardup",
     "semantic_dedup_pairs",
+    "boilerplate_removed",
 ]
 
 SCALE_FACTOR = 10

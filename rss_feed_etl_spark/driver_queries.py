@@ -626,6 +626,7 @@ from . import driver_queries_wave23  # noqa: E402, F401  (registers wave-23 quer
 from . import driver_queries_wave24  # noqa: E402, F401  (registers wave-24 queries)
 from . import driver_queries_wave25  # noqa: E402, F401  (registers wave-25 queries)
 from . import driver_queries_wave26  # noqa: E402, F401  (registers wave-26 queries)
+from . import driver_queries_wave27  # noqa: E402, F401  (registers wave-27 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The
@@ -700,6 +701,9 @@ _PRIORITY = [
     # wave 26 (new this round)
     "item_pagerank", "shingle_novelty_scores", "source_zscore_keep",
     "session_paths_top", "approx_distinct_rollup",
+    # wave 27 (new this round)
+    "daily_stickiness", "churned_users", "new_vs_returning",
+    "event_type_lift",
 ]
 
 

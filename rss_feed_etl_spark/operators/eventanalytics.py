@@ -242,3 +242,176 @@ def session_paths(
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(top)
     )
+
+
+def daily_stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """DAU / rolling-WAU stickiness per day — the engagement-density
+    metric (DAU/WAU, DAU/MAU) every growth dashboard carries.
+
+    Rolling DISTINCT counts can't ride a window frame (count_distinct has
+    no frame support and a naive per-day range self-join re-scans the
+    facts per day).  Instead each (day, user) active pair CONTRIBUTES to
+    the ``window_days`` trailing target days via one ``sequence`` explode
+    — the explode runs over the already-deduped day-user pairs (tiny vs
+    the raw facts), and the rolling distinct becomes a plain groupBy.
+    Three shuffles total (day-user dedup, windowed distinct, daily
+    distinct), all over day-user-grain rows.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    day_users = events.select(
+        day.alias("day"), F.col(user_col).alias("u")
+    ).distinct()
+    contrib = day_users.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"INTERVAL {window_days - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("tday"),
+        "u",
+    )
+    wau = contrib.groupBy("tday").agg(
+        F.count_distinct("u").alias("window_active")
+    )
+    dau = day_users.groupBy("day").agg(F.count_distinct("u").alias("dau"))
+    return (
+        dau.join(wau, dau["day"] == wau["tday"])
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("window_active").cast("bigint").alias("window_active"),
+            F.round(F.col("dau") / F.col("window_active"), decimals).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+def churned_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    inactive_days: int = 7,
+) -> DataFrame:
+    """Users whose LAST activity is >= ``inactive_days`` before the
+    corpus's max day — churn candidates.  One per-user aggregate plus a
+    broadcast 1-row max; the fact stream is aggregated once and never
+    joined against itself.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    last = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.max(day).alias("last_day")
+    )
+    mx = events.agg(F.max(day).alias("max_day"))
+    return (
+        last.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+            F.datediff("max_day", "last_day").cast("bigint").alias(
+                "days_inactive"
+            ),
+        )
+        .filter(F.col("days_inactive") >= inactive_days)
+    )
+
+
+def new_vs_returning(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily growth accounting: how many of each day's active users are
+    NEW (first-ever day) vs RETURNING.  Day-user dedup, per-user min-day
+    aggregate, then a user-key join and a daily rollup — all shuffles
+    carry day-user-grain rows.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    du = events.select(day.alias("day"), F.col(user_col).alias("u")).distinct()
+    firsts = du.groupBy("u").agg(F.min("day").alias("first_day"))
+    return (
+        du.join(firsts, "u")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            "returning_users",
+        )
+    )
+
+
+def event_type_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    decimals: int = 6,
+) -> DataFrame:
+    """Market-basket lift between event types co-occurring in the same
+    user-day basket: lift(a,b) = P(a,b) · N / (P(a)·P(b)) over baskets —
+    the cross-sell / co-engagement signal.
+
+    No self-join: each basket's distinct types collect into one sorted
+    array and the a<b pairs expand ARRAY-SIDE (the jaccard-pairs shape),
+    so the only shuffles are basket-grain.  The basket count rides in as
+    a broadcast 1-row aggregate.
+    """
+    bid = F.concat_ws(
+        "#",
+        F.col(user_col),
+        F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd"),
+    )
+    b = events.select(bid.alias("bid"), F.col(type_col).alias("t")).distinct()
+    nb = b.agg(F.count_distinct("bid").alias("n_baskets"))
+    per_type = b.groupBy("t").agg(F.count("*").alias("nt"))
+
+    arrs = b.groupBy("bid").agg(F.sort_array(F.collect_set("t")).alias("ts"))
+    pairs = arrs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ts"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ts"),
+                            i + 2,
+                            F.greatest(F.size("ts") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    counts = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    pa = per_type.select(F.col("t").alias("a"), F.col("nt").alias("na"))
+    pb = per_type.select(F.col("t").alias("b"), F.col("nt").alias("nb_"))
+    return (
+        counts.join(F.broadcast(pa), "a")
+        .join(F.broadcast(pb), "b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.col("n_ab") * F.col("n_baskets") / (F.col("na") * F.col("nb_")),
+                decimals,
+            ).alias("lift"),
+        )
+    )
