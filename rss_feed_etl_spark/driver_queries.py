@@ -627,6 +627,7 @@ from . import driver_queries_wave24  # noqa: E402, F401  (registers wave-24 quer
 from . import driver_queries_wave25  # noqa: E402, F401  (registers wave-25 queries)
 from . import driver_queries_wave26  # noqa: E402, F401  (registers wave-26 queries)
 from . import driver_queries_wave27  # noqa: E402, F401  (registers wave-27 queries)
+from . import driver_queries_wave28  # noqa: E402, F401  (registers wave-28 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The
@@ -704,6 +705,8 @@ _PRIORITY = [
     # wave 27 (new this round)
     "daily_stickiness", "churned_users", "new_vs_returning",
     "event_type_lift",
+    # wave 28 (new this round)
+    "embedding_random_projection", "global_percent_rank",
 ]
 
 

@@ -777,3 +777,63 @@ def semantic_dedup_pairs(
                 )
 
     return grouped.select("cell", "members").mapInPandas(gram, out_schema)
+
+
+def _rp_sign_matrix(in_dim: int, out_dim: int, salt: str = "rp") -> list[list[float]]:
+    """Deterministic ±1 sign matrix for sparse random projection
+    (Achlioptas 2003): sign(i, j) from md5 — a compile-time constant, so
+    Spark and the SQL oracle share the exact same matrix as literals."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    decimals: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: embed ``in_dim`` vectors
+    into ``out_dim`` via a deterministic ±1 sign matrix, scaled by
+    1/sqrt(out_dim) — the dimensionality cut a pipeline runs before
+    clustering/ANN when the raw embedding makes distance math too
+    expensive (JL: pairwise distances are preserved within ~1/sqrt(k)).
+
+    Map-only: the sign matrix is a compile-time literal (md5-derived, so
+    the oracle replays it bit-for-bit), each output dim is one
+    ``zip_with`` + left-fold ``aggregate`` in DOUBLE, and the output
+    explodes to (id, dim, value) rows — hashable, and the downstream
+    shape ANN/clustering expect.  No shuffle, no UDF; at 100 TB this is
+    scan-rate bound.
+    """
+    signs = _rp_sign_matrix(in_dim, out_dim)
+    scale = float(out_dim) ** 0.5
+    dims = []
+    for j in range(out_dim):
+        sj = F.array(*[F.lit(s) for s in signs[j]])
+        y = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), sj, lambda x, s: x.cast("double") * s
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dims.append(
+            F.struct(
+                F.lit(j).alias("dim"), F.round(y / scale, decimals).alias("value")
+            )
+        )
+    return df.select(
+        F.col(id_col), F.explode(F.array(*dims)).alias("p")
+    ).select(id_col, F.col("p.dim").cast("bigint").alias("dim"), "p.value")

@@ -21,7 +21,7 @@ kilobytes per group, not the column itself.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PCTS = [0.5, 0.9, 0.99]
@@ -278,5 +278,46 @@ def distinct_rollup_sketched(
             "est_distinct",
             "sum_daily_distinct",
             "n_days",
+        )
+    )
+
+
+def global_percent_rank(
+    df: DataFrame,
+    id_col: str = "event_id",
+    value_col: str = "value",
+    value_decimals: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact global percent_rank of every row WITHOUT a global sort of the
+    facts: quantize the value, count per distinct value, cumulate the
+    counts over the VALUE-grain rows, and broadcast-join the rank back.
+
+    ``percent_rank() OVER (ORDER BY v)`` on the raw facts forces every
+    row through one partition; here only the distinct-value table (grid
+    cardinality — bounded by the quantization, not the corpus) passes
+    through the single-partition cumulative window, and the facts join it
+    broadcast.  pr = count(values < v) / (N - 1), identical to SQL
+    percent_rank including tie behavior.
+    """
+    v = F.round(F.col(value_col), value_decimals)
+    counts = df.select(v.alias("v")).groupBy("v").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = counts.select(
+        "v", (F.sum("cnt").over(w) - F.col("cnt")).alias("below")
+    )
+    n1 = df.agg((F.count("*") - 1).alias("nm1"))
+    return (
+        df.select(F.col(id_col), v.alias("v"))
+        .join(F.broadcast(ranked), "v")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            id_col,
+            F.col("v").alias(value_col),
+            F.round(F.col("below") / F.col("nm1"), decimals).alias("pct_rank"),
         )
     )
