@@ -628,6 +628,7 @@ from . import driver_queries_wave25  # noqa: E402, F401  (registers wave-25 quer
 from . import driver_queries_wave26  # noqa: E402, F401  (registers wave-26 queries)
 from . import driver_queries_wave27  # noqa: E402, F401  (registers wave-27 queries)
 from . import driver_queries_wave28  # noqa: E402, F401  (registers wave-28 queries)
+from . import driver_queries_wave29  # noqa: E402, F401  (registers wave-29 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The
@@ -707,6 +708,8 @@ _PRIORITY = [
     "event_type_lift",
     # wave 28 (new this round)
     "embedding_random_projection", "global_percent_rank",
+    # wave 29 (new this round)
+    "daily_count_anomalies", "source_lang_chi2", "merged_corpus_stats",
 ]
 
 

@@ -321,3 +321,89 @@ def global_percent_rank(
             F.round(F.col("below") / F.col("nm1"), decimals).alias("pct_rank"),
         )
     )
+
+
+def contingency_chi2(
+    df: DataFrame,
+    row_col: str = "source",
+    col_col: str = "lang",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-cell chi-square contributions for the ``row_col`` × ``col_col``
+    contingency table — the distribution-shift detector a corpus refresh
+    runs (is language mix independent of source, or did one source's mix
+    drift?).  Cells with zero observations are materialized via a
+    dimension cross join so the statistic is complete.
+
+    Plan: one fact-grain shuffle to the (row, col) counts; row totals,
+    column totals, and N are dimension-sized aggregates cross/broadcast
+    joined back; the zero-cell grid is a cross join of the two DISTINCT
+    dimension tables (tiny × tiny).  Facts are scanned once.
+    """
+    obs = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count("*").alias("o"))
+    rows = obs.groupBy("r").agg(F.sum("o").alias("rt"))
+    cols = obs.groupBy("c").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
+    grid = rows.select("r").crossJoin(cols.select("c"))
+    full = (
+        grid.join(obs, ["r", "c"], "left")
+        .join(F.broadcast(rows), "r")
+        .join(F.broadcast(cols), "c")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("r").alias(row_col),
+            F.col("c").alias(col_col),
+            F.coalesce(F.col("o"), F.lit(0)).cast("bigint").alias("observed"),
+            F.round(F.col("rt") * F.col("ct") / F.col("n"), decimals).alias(
+                "expected"
+            ),
+        )
+    )
+    return full.withColumn(
+        "chi2_contrib",
+        F.round(
+            F.pow(F.col("observed") - F.col("expected"), 2) / F.col("expected"),
+            decimals,
+        ),
+    )
+
+
+def mergeable_moments(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    shard_expr: str = "doc_id % 8",
+    decimals: int = 6,
+) -> DataFrame:
+    """Mean/variance computed the DISTRIBUTED way: per-shard (n, mean, M2)
+    moments combined with the parallel-combine identity (Chan et al.) —
+    combined M2 = Σ M2_i + Σ n_i·mean_i² − N·mean².  The oracle computes
+    the same statistics DIRECTLY over the corpus, so a green row is a
+    machine-checked proof the combine is lossless — the property that
+    lets a 100 TB pipeline keep per-partition/per-day moment sketches and
+    roll them up without re-scanning facts (same story as the HLL rollup,
+    but exact).
+    """
+    shards = df.groupBy(F.expr(shard_expr).alias("shard")).agg(
+        F.count("*").alias("n"),
+        F.avg(value_col).alias("mean"),
+        (F.var_pop(value_col) * F.count("*")).alias("m2"),
+    )
+    g = shards.agg(
+        F.sum("n").alias("N"),
+        (F.sum(F.col("n") * F.col("mean")) / F.sum("n")).alias("gmean"),
+        F.sum("m2").alias("sm2"),
+        F.sum(F.col("n") * F.col("mean") * F.col("mean")).alias("snm2"),
+    )
+    return g.select(
+        F.col("N").cast("bigint").alias("n_rows"),
+        F.round("gmean", decimals).alias("mean"),
+        F.round(
+            F.sqrt(
+                (F.col("sm2") + F.col("snm2") - F.col("N") * F.col("gmean") * F.col("gmean"))
+                / F.col("N")
+            ),
+            decimals,
+        ).alias("stddev_pop"),
+    )

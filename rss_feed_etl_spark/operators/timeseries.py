@@ -53,3 +53,38 @@ def gapfill_locf(
         .withColumn(f"filled_{value_col}", F.last(value_col, ignorenulls=True).over(w))
         .withColumn("is_gap", F.col(value_col).isNull())
     )
+
+
+def daily_count_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    threshold: float = 0.05,
+    window_days: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Days whose event volume deviates more than ``threshold`` (fraction)
+    from the trailing ``window_days`` moving average — the volume-anomaly
+    monitor an ingest pipeline alarms on (a feed going dark or doubling).
+
+    The facts reduce to day-grain counts first; the moving-average window
+    then runs over calendar-bounded rows (one row per day — years of data
+    is still only thousands of rows), so the unpartitioned window is safe
+    at any corpus size.  One fact-grain shuffle total.
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    scored = daily.select(
+        "day",
+        "n",
+        F.round(F.avg("n").over(w), decimals).alias("ma"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n"),
+        "ma",
+        F.round((F.col("n") - F.col("ma")) / F.col("ma"), decimals).alias(
+            "pct_dev"
+        ),
+    )
+    return scored.filter(F.abs("pct_dev") > threshold)
