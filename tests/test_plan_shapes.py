@@ -313,3 +313,42 @@ def test_session_paths_single_user_window(spark):
     assert "TakeOrderedAndProject" in s
     assert "Join" not in s
     assert s.count("Exchange") <= 6  # formatted lists each op twice
+
+
+def test_stickiness_rolling_distinct_without_fact_window(spark):
+    s = _plan(_queries()["daily_stickiness"](spark, SF_DIR))
+    # the rolling distinct is a sequence-explode + groupBy over deduped
+    # day-user pairs — no window operator at all, no fact-grain sort
+    assert "Window" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_event_lift_no_self_join(spark):
+    s = _plan(_queries()["event_type_lift"](spark, SF_DIR))
+    # pairs expand array-side from one collect_set; the only joins are
+    # the broadcast type/basket-count enrichments
+    assert "SortMergeJoin" not in s
+    assert s.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in s
+
+
+def test_chi2_facts_scanned_once_dims_broadcast(spark):
+    s = _plan(_queries()["source_lang_chi2"](spark, SF_DIR))
+    assert "SortMergeJoin" not in s
+    assert "BroadcastHashJoin" in s
+
+
+def test_anomalies_window_over_day_grain_only(spark):
+    s = _plan(_queries()["daily_count_anomalies"](spark, SF_DIR))
+    # the moving-average window consumes the day-grain aggregate: the
+    # plan is agg -> window, so the window input has already been
+    # reduced; there must be a partial+final aggregate BEFORE the window
+    assert s.count("HashAggregate") >= 2
+    assert "Window" in s
+    assert "Join" not in s
+
+
+def test_random_projection_is_map_only(spark):
+    s = _plan(_queries()["embedding_random_projection"](spark, SF_DIR))
+    assert "Exchange" not in s  # scan -> project -> explode, no shuffle
+    assert "Join" not in s
