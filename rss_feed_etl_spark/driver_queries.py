@@ -629,6 +629,7 @@ from . import driver_queries_wave26  # noqa: E402, F401  (registers wave-26 quer
 from . import driver_queries_wave27  # noqa: E402, F401  (registers wave-27 queries)
 from . import driver_queries_wave28  # noqa: E402, F401  (registers wave-28 queries)
 from . import driver_queries_wave29  # noqa: E402, F401  (registers wave-29 queries)
+from . import driver_queries_wave30  # noqa: E402, F401  (registers wave-30 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The

@@ -415,3 +415,39 @@ def event_type_lift(
             ).alias("lift"),
         )
     )
+
+
+def decayed_popularity(
+    events: DataFrame,
+    item_expr: str = "CAST(get_json_object(props, '$.k') AS INT)",
+    ts_col: str = "ts",
+    half_life_days: float = 7.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exponentially time-decayed popularity per item — the freshness-
+    weighted ranking signal (an event ``half_life_days`` ago counts half
+    as much as one now).  The decay anchor (corpus max timestamp) rides
+    in as a broadcast 1-row aggregate; scoring is then one map-side
+    expression + one item-key aggregate.  Per-event weights are rounded
+    to 9dp before the sum so cross-engine fold order cannot move the 6dp
+    score.
+    """
+    import math
+
+    lam = math.log(2.0) / half_life_days
+    mx = events.agg(F.max(ts_col).alias("mx"))
+    age_days = (
+        F.unix_micros(F.col("mx")) - F.unix_micros(F.col(ts_col))
+    ) / F.lit(86_400_000_000.0)
+    return (
+        events.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(item_expr).alias("item"),
+            F.round(F.exp(-F.lit(lam) * age_days), 9).alias("w"),
+        )
+        .groupBy("item")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("w"), decimals).alias("score"),
+        )
+    )

@@ -338,3 +338,37 @@ def deterministic_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select(id_col, "shard", "pos")
     )
+
+
+def curriculum_shards(
+    scores: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    salt: str = "epoch0",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Curriculum training export: shard deterministically (same
+    content-addressed scheme as ``deterministic_shuffle``) but order each
+    shard easy-first by ``score_col`` — so every data-parallel worker
+    reads its shard in increasing difficulty while the shard composition
+    stays a pure function of (salt, id).
+
+    The md5 priority tiebreaks equal scores so the layout is reproducible
+    and partitioning-invariant; the only global structure is one
+    row_number per shard (n_shards parallel sort groups, no corpus-wide
+    window).
+    """
+    from ..functions.hashing import md5_bucket
+
+    pri = F.md5(F.concat(F.lit(f"{salt}:ord:"), F.col(id_col).cast("string")))
+    shard = md5_bucket(
+        F.concat(F.lit(f"{salt}:shard:"), F.col(id_col).cast("string"))
+    ) % F.lit(n_shards)
+    w = Window.partitionBy("shard").orderBy(score_col, "pri", id_col)
+    return (
+        scores.select(
+            F.col(id_col), F.col(score_col), shard.alias("shard"), pri.alias("pri")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(id_col, score_col, "shard", "pos")
+    )
