@@ -278,3 +278,22 @@ def sort_output(
     """Stable output ordering: published desc (nulls last), key asc
     (reference O1, scd1_manager.py:158-166)."""
     return df.orderBy(F.col(ts_col).desc_nulls_last(), F.col(key).asc())
+
+
+def scd2_snapshot_at(history: DataFrame, at: str) -> DataFrame:
+    """Point-in-time reconstruction of an SCD2 history table: the version
+    of each key visible at timestamp ``at`` — rows whose validity interval
+    [effective_start, effective_end) covers it (open rows have NULL end;
+    reference interval semantics per src/rss_feed_etl/core/data_loader.py:70-72).
+
+    A pure filter, so at scale both interval predicates push into the
+    parquet scan (min/max row-group pruning on effective_start); when the
+    history is partitioned by start date the snapshot reads only
+    partitions ≤ ``at``.  This is the "time travel" read the reference's
+    versioned dimension implies but never implements.
+    """
+    ts = F.to_timestamp(F.lit(at))
+    return history.filter(
+        (F.col("effective_start") <= ts)
+        & (F.col("effective_end").isNull() | (F.col("effective_end") > ts))
+    )

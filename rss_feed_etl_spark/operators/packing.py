@@ -115,3 +115,54 @@ def chunk_documents(
         F.size(chunk).alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    token_col: str,
+    key_col: str = "doc_id",
+    batch_size: int = 32,
+    salt: str = "lenbatch-v1",
+) -> DataFrame:
+    """Length-bucketed batching for padded (non-packed) training: bucket
+    documents by power-of-2 token length, cut deterministic fixed-size
+    batches inside each bucket, and report per-batch padding cost.
+
+    Batching similar-length sequences together is the standard alternative
+    to sequence packing when examples must stay intact — padding waste
+    drops from O(max_len) to O(bucket width).  Batch composition is
+    content-addressed (md5 of salt:key orders each bucket), so the layout
+    is reproducible and partitioning-invariant, like ``pack_sequences``.
+    The only global structure is one row_number per bucket (~log2(max_len)
+    parallel sort groups); for corpora where single buckets exceed a
+    task's memory, extend the salt into sub-shards per bucket exactly as
+    ``deterministic_shuffle`` shards its stream.
+
+    Output: bucket, batch_id, n_docs, max_tokens, sum_tokens, pad_frac.
+    """
+    n = F.col(token_col).cast("bigint")
+    bucket = F.ceil(F.log2(F.greatest(n, F.lit(1)))).cast("int")
+    pri = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    staged = df.select(
+        F.col(key_col).alias("key"),
+        n.alias("n_tokens"),
+        bucket.alias("bucket"),
+        pri.alias("pri"),
+    )
+    w = Window.partitionBy("bucket").orderBy("pri", "key")
+    batched = staged.withColumn(
+        "batch_id", F.floor((F.row_number().over(w) - 1) / batch_size)
+    )
+    padded = F.col("n_docs") * F.col("max_tokens")
+    return (
+        batched.groupBy("bucket", "batch_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .withColumn(
+            "pad_frac",
+            F.round(1 - F.col("sum_tokens") / F.greatest(padded, F.lit(1)), 6),
+        )
+    )

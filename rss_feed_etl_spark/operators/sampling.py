@@ -372,3 +372,61 @@ def curriculum_shards(
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select(id_col, score_col, "shard", "pos")
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights for domain-targeted data selection
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score each document by how much its hashed-unigram
+    distribution resembles a target domain (rows where ``target_pred``)
+    versus the raw corpus.
+
+        weight(doc) = avg over tokens t of
+            ln p_tgt(bucket(t)) - ln p_raw(bucket(t))
+
+    with add-1 smoothing over the fixed ``n_buckets`` feature space.
+    Hashing tokens into a bounded bucket space (the DSIR trick) keeps both
+    count tables ``n_buckets`` rows regardless of corpus size, so they
+    broadcast at any scale.
+
+    Plan: one exploded-token aggregation produces raw AND target counts
+    together (conditional sum — a single shuffle on the bucket key), the
+    1-row totals and the bucket log-ratio table ride back as broadcasts
+    onto a second token scan, and the per-doc average is the only other
+    shuffle (on the doc key).  Per-token log-ratios are rounded to 9dp
+    before averaging so libm ulp differences between engines cannot reach
+    the 6dp output.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        target_pred.alias("is_tgt"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).withColumn("bucket", md5_bucket(F.col("tok")) % n_buckets)
+    counts = toks.groupBy("bucket").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("n_tgt"),
+    )
+    tot = counts.agg(F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt"))
+    smooth = F.lit(float(n_buckets))
+    ratio = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("n_tgt") + 1.0) / (F.col("t_tgt") + smooth))
+            - F.log((F.col("n_raw") + 1.0) / (F.col("t_raw") + smooth)),
+            9,
+        ).alias("lr"),
+    )
+    return (
+        toks.join(F.broadcast(ratio), "bucket")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.round(F.avg("lr"), 6).alias("weight"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+    )

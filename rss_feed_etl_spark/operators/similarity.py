@@ -837,3 +837,73 @@ def random_projection(
     return df.select(
         F.col(id_col), F.explode(F.array(*dims)).alias("p")
     ).select(id_col, F.col("p.dim").cast("bigint").alias("dim"), "p.value")
+
+
+def int8_quantize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: one global
+    scale = max|x| over the corpus (a 1-row aggregate that rides back as a
+    broadcast), q = round(x / scale * 127) per element.
+
+    At 100 TB this is the storage/bandwidth play — 4 bytes/dim float32
+    becomes 1 byte/dim with exactly-representable integer arithmetic
+    downstream, and the quantization pass itself is a map-only projection
+    (no shuffle beyond the scale aggregate).  Output: (id, qvec, scale).
+    """
+    scale = embeddings.agg(
+        F.max(
+            F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+        ).cast("double").alias("scale")
+    )
+    return embeddings.crossJoin(F.broadcast(scale)).select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") / F.col("scale") * 127).cast("int"),
+        ).alias("qvec"),
+        "scale",
+    )
+
+
+def int8_dot_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantized similarity search: int8-quantize the corpus once (shared
+    global scale), then brute-force top-k by integer dot product.
+
+    Same plan shape as ``cosine_topk`` (broadcast queries, one corpus
+    scan, per-query top-k window) but every arithmetic step is exact
+    integer math — |q| ≤ 127, so a 64-dim dot is ≤ ~1M, far inside
+    bigint — which makes the result bit-stable across engines with no
+    float rounding contract.  The integer dot preserves cosine ORDER up to
+    quantization error; ``dot_q`` is the raw quantized score.
+    """
+    qcorpus = int8_quantize(embeddings, id_col, vec_col)
+    qq = qcorpus.join(
+        F.broadcast(queries.select(F.col(id_col).alias("query_id"))),
+        F.col(id_col) == F.col("query_id"),
+    ).select("query_id", F.col("qvec").alias("qv"))
+    pairs = qcorpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("ev")
+    ).join(F.broadcast(qq), F.col("neighbor_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("ev"), lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = pairs.select("query_id", "neighbor_id", dot.alias("dot_q"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "rank")
+    )
