@@ -118,3 +118,45 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(topk)
     )
+
+
+def rrf_fusion(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 60,
+    top: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    combine several ranked retrieval lists —
+    rrf(d) = Σ over lists of 1/(k + rank_list(d)) — the standard way to
+    fuse lexical (BM25) and dense (ANN) retrieval without score
+    calibration.
+
+    Each input frame is a top-k result list (id, score), so every
+    per-list rank window and the fused aggregate run over k-sized data —
+    the heavy retrieval work already happened upstream.  Ranks derive
+    from (score desc, id) so fusion is deterministic; the fused score is
+    rounded to 9dp before the final ordering.
+    """
+    from pyspark.sql import Window
+
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(id_col).alias("id"),
+            F.col(score_col).alias("s"),
+            F.lit(i).alias("list_id"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    rank_w = Window.partitionBy("list_id").orderBy(F.col("s").desc(), F.col("id").asc())
+    ranked = tagged.withColumn("rank", F.row_number().over(rank_w))
+    return (
+        ranked.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.round(F.sum(1.0 / (F.lit(k) + F.col("rank"))), 9).alias("rrf_score"),
+            F.count("*").cast("bigint").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(top)
+    )

@@ -407,3 +407,96 @@ def mergeable_moments(
             decimals,
         ).alias("stddev_pop"),
     )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm-v1",
+) -> DataFrame:
+    """Count-min sketch table (Cormode & Muthukrishnan 2005): ``depth``
+    independent md5-derived hash rows × ``width`` buckets, each cell the
+    count of keys landing there.
+
+    The sketch is depth×width rows TOTAL regardless of input size — one
+    exploded groupBy builds it (partial aggregation makes the exchange
+    carry at most depth×width rows per task), it merges across shards by
+    cell-wise addition, and it broadcasts everywhere it is probed.  The
+    fixed-size mergeable summary is the point at 100 TB: frequency
+    estimates with ε ≈ e/width overcount and no second pass.
+    """
+    from ..functions.hashing import md5_bucket
+
+    k = F.col(key_col).cast("string")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    (md5_bucket(F.concat(F.lit(f"{salt}:{r}:"), k)) % width).alias(
+                        "bucket"
+                    ),
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(cells.alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def countmin_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm-v1",
+) -> DataFrame:
+    """Probe the count-min sketch for every distinct key and report the
+    estimate next to the exact count: est = min over rows of the key's
+    cell.  The sketch only ever OVERcounts (collisions add), so
+    ``est_n >= exact_n`` always; the gap is the collision error the width
+    buys down.
+
+    Plan: exact counts are one groupBy; the sketch (depth×width rows)
+    joins back as a broadcast probed ``depth`` times per key — no second
+    corpus shuffle.
+    """
+    from ..functions.hashing import md5_bucket
+
+    exact = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("exact_n")
+    )
+    sketch = countmin_sketch(df, key_col, depth, width, salt)
+    probes = exact.select(
+        "key",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (
+                            md5_bucket(
+                                F.concat(
+                                    F.lit(f"{salt}:{r}:"), F.col("key").cast("string")
+                                )
+                            )
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("key", "exact_n", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("key", "exact_n")
+        .agg(F.min("n").alias("est_n"))
+    )

@@ -875,3 +875,95 @@ def shingle_novelty(
             "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), decimals)
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every positional word k-gram,
+    slide a window of ``w`` consecutive hashes, keep the minimum of each
+    window, dedupe.  Guarantees any shared run of ≥ w+k-1 tokens between
+    two documents shares ≥1 fingerprint, at ~2/(w+1) the density of full
+    shingling — the local-similarity index n-gram sets are too coarse for.
+
+    All hashing is the engine-neutral md5-mod-1e9+7 token code, so the
+    fingerprint set is oracle-checkable.  Plan: positional grams and
+    hashes are array expressions (map-only), the sliding min is one
+    per-document window (partitioned by doc id — embarrassingly parallel),
+    and the dedupe groups on (doc, fingerprint).
+    """
+    from ..functions.hashing import token_code
+
+    toks = _tokens(F.col(text_col))
+    m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: token_code(F.array_join(F.slice(toks, i, k), " ")),
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(grams).alias("pos", "h"),
+        F.size(grams).alias("m"),
+    )
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        ex.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("m") - F.lit(w), F.lit(0)))
+        .select(F.col("id").alias(id_col), "fp")
+        .distinct()
+    )
+
+
+def doc_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``top`` terms of each document
+    by tf·idf (idf = ln(N/df)), ties broken lexicographically — the
+    classic summary/tagging pass over a corpus.
+
+    The document-frequency table is vocabulary-sized and the corpus count
+    is 1 row; both ride to the scoring join as broadcasts, so the only
+    corpus-wide exchanges are the (doc, term) tf groupBy and the per-doc
+    top-k window.  Scores are rounded to 6dp before ranking so selection
+    is reproducible across engines.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = ex.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq")).filter(
+        F.col("dfreq") >= min_df
+    )
+    n_docs = df.agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    rank_w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+        .filter(F.col("rank") <= top)
+        .select(F.col("id").alias(id_col), "term", "tf", "tfidf", "rank")
+    )
