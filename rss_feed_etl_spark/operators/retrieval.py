@@ -99,7 +99,10 @@ def bm25_topk(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("dfreq"))
+    # tf is (doc, term)-grained, so doc_ids are already distinct per term —
+    # a plain count avoids count_distinct's partial-aggregation-defeating
+    # expansion on the term exchange
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
 
     idf = F.log(
         F.lit(1.0)

@@ -571,7 +571,10 @@ def tfidf_cosine_pairs(
         F.col(id_col).alias("id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
     tf = toks.groupBy("id", "term").agg(F.count("*").cast("double").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    # tf is (id, term)-grained, so ids are already distinct per term — a
+    # plain count keeps the exchange partial-aggregate-friendly where
+    # count_distinct's expansion would not
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     if n_docs is None:
         nd = df.agg(F.count("*").cast("double").alias("n_docs"))
         dfreq = dfreq.crossJoin(F.broadcast(nd))
