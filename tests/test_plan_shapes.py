@@ -352,3 +352,50 @@ def test_random_projection_is_map_only(spark):
     s = _plan(_queries()["embedding_random_projection"](spark, SF_DIR))
     assert "Exchange" not in s  # scan -> project -> explode, no shuffle
     assert "Join" not in s
+
+
+def test_importance_weights_stats_ride_broadcast(spark):
+    s = _plan(_queries()["importance_weights"](spark, SF_DIR))
+    # the bucket log-ratio table (n_buckets rows) and 1-row totals join
+    # back broadcast; the token stream is only exchanged for its own aggs
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s
+
+
+def test_int8_topk_broadcasts_queries(spark):
+    s = _plan(_queries()["int8_ann_topk"](spark, SF_DIR))
+    # query side broadcasts into a nested-loop probe of one corpus scan;
+    # top-k is per-query windowed, never a global sort
+    assert "BroadcastNestedLoopJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_countmin_sketch_joins_broadcast(spark):
+    s = _plan(_queries()["countmin_estimates"](spark, SF_DIR))
+    # the depth×width sketch is fixed-size: it must reach the probe join
+    # as a broadcast, never a shuffle of the key stream
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s
+
+
+def test_winnow_is_joinless(spark):
+    s = _plan(_queries()["winnow_fingerprints"](spark, SF_DIR))
+    # grams/hashes are array expressions; the sliding min is a per-doc
+    # window — no join may appear in this plan
+    assert "Join" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_doc_keywords_dfreq_broadcast(spark):
+    s = _plan(_queries()["doc_keywords"](spark, SF_DIR))
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_rrf_fusion_topk_never_global_sorts(spark):
+    s = _plan(_queries()["rrf_fusion"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in s
+    assert "SortMergeJoin" not in s
