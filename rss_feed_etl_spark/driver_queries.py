@@ -632,6 +632,7 @@ from . import driver_queries_wave29  # noqa: E402, F401  (registers wave-29 quer
 from . import driver_queries_wave30  # noqa: E402, F401  (registers wave-30 queries)
 from . import driver_queries_wave31  # noqa: E402, F401  (registers wave-31 queries)
 from . import driver_queries_wave32  # noqa: E402, F401  (registers wave-32 queries)
+from . import driver_queries_wave33  # noqa: E402, F401  (registers wave-33 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The

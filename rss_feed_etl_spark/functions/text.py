@@ -175,3 +175,25 @@ def html_to_text_udf():
         return s.map(one)
 
     return _clean
+
+
+def normalize_unicode(col: Column | str) -> Column:
+    """Corpus-hygiene unicode normalization (the NFKC-lite pass every web
+    corpus gets before tokenization): curly quotes → straight, en/em dash
+    → '-', ellipsis → '...', NBSP → space, C0 control chars → space, then
+    whitespace-collapse + trim.
+
+    Pure translate/regexp expressions (whole-stage codegen, map-only);
+    character classes are shared Java-regex/RE2 dialect so the DuckDB
+    oracle applies the identical rules.  Full NFKC (compatibility
+    decomposition tables) would need an ICU UDF; this covers the
+    punctuation/space unification that dominates real web text.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.translate(
+        c, "‘’“”–— ", "''\"\"-- "
+    )
+    c = F.regexp_replace(c, "…", "...")
+    c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)

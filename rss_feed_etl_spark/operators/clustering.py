@@ -105,3 +105,42 @@ def kmeans_lloyd(
             F.round(F.avg("dist"), decimals).alias("mean_sqdist"),
         )
     )
+
+
+def cohens_kappa(
+    confusion: DataFrame,
+    true_col: str = "true_label",
+    pred_col: str = "predicted_label",
+    n_col: str = "n",
+) -> DataFrame:
+    """Cohen's kappa from a confusion-count table: chance-corrected
+    agreement κ = (p_o − p_e)/(1 − p_e), with p_o the observed agreement
+    rate and p_e the marginal-product expected rate — the standard check
+    that a clustering/labeling pipeline beats chance (κ≈0) before its
+    labels feed training.
+
+    Inputs are label-grain (a confusion table), so every aggregate here is
+    label²-sized: totals and the marginal product are broadcast 1-row
+    frames, never a data-scale shuffle.
+    """
+    n = F.col(n_col)
+    tot = confusion.agg(
+        F.sum(n).alias("N"),
+        F.sum(F.when(F.col(true_col) == F.col(pred_col), n).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    rows = confusion.groupBy(F.col(true_col).alias("lbl")).agg(F.sum(n).alias("rn"))
+    cols = confusion.groupBy(F.col(pred_col).alias("lbl")).agg(F.sum(n).alias("cn"))
+    marg = rows.join(cols, "lbl").agg(F.sum(F.col("rn") * F.col("cn")).alias("s"))
+    po = F.col("agree") / F.col("N")
+    pe = F.col("s") / (F.col("N") * F.col("N"))
+    return (
+        tot.crossJoin(F.broadcast(marg))
+        .select(
+            F.col("N").cast("bigint").alias("n_items"),
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        )
+    )

@@ -910,3 +910,32 @@ def int8_dot_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dot_q", "rank")
     )
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k list against the exact baseline:
+    per query, the fraction of the exact neighbors the approximate method
+    found.  The evaluation loop every ANN deployment needs — run the LSH /
+    IVF / quantized path on a query sample next to the brute-force truth
+    and watch recall before trading accuracy for speed at full scale.
+
+    Both inputs are top-k result lists (k rows per query), so the join and
+    aggregate run over sample-sized data regardless of corpus size.
+    """
+    hits = exact.select(query_col, neighbor_col).join(
+        approx.select(query_col, neighbor_col).withColumn("hit", F.lit(1)),
+        [query_col, neighbor_col],
+        "left",
+    )
+    return hits.groupBy(query_col).agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(float(k)), 6
+        ).alias("recall"),
+    )

@@ -127,3 +127,53 @@ def windowed_event_counts(
         .groupBy(F.window(F.col(ts_col), window_len), F.col(group_col))
         .agg(F.count("*").alias("n_entries"))
     )
+
+
+def incremental_dedup_ingest(
+    stream: DataFrame,
+    corpus_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """foreachBatch deduped corpus ingest: each arriving micro-batch is
+    exact-deduped against itself AND the already-landed corpus
+    (``incremental_dedup_exact`` — the corpus contributes only content
+    digests, its text never moves), and only the survivors are APPENDED.
+
+    This is the streaming write path of a training corpus: append-only
+    (no history rewrite, unlike the SCD1 sink where values mutate),
+    idempotent under re-delivery (a re-sent document matches its own
+    digest and is dropped), and per-batch cost tracks the batch + one
+    digest aggregate over the corpus — in production the digest table is
+    maintained incrementally instead of re-aggregated.  Returns the
+    started StreamingQuery.
+    """
+    from ..operators.dedup import incremental_dedup_exact
+
+    spark = stream.sparkSession
+    schema = stream.schema
+
+    def ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        corpus = read_or_empty(spark, corpus_path, schema)
+        survivors = incremental_dedup_exact(
+            corpus, batch_df, text_col=text_col, id_col=id_col
+        )
+        # append-only: no read-modify-write race with the corpus scan
+        # above, because survivors are fully derived before the write and
+        # new files never replace the ones the digest scan read
+        survivors.localCheckpoint(eager=True).write.mode("append").parquet(
+            corpus_path
+        )
+
+    writer = stream.writeStream.foreachBatch(ingest_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="15 seconds")
+    return writer.start()

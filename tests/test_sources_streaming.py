@@ -497,3 +497,51 @@ def test_resize_images_strict_raises(media_df):
 
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         resize_images(media_df, strict=True).collect()
+
+
+def test_streaming_dedup_ingest_equals_batch_dedup(spark, tmp_path):
+    """foreachBatch deduped corpus ingest: three micro-batches with
+    in-batch, cross-batch, and re-delivered duplicates must land exactly
+    the batch-mode dedup_exact of the union (ids increase with arrival, so
+    first-arrival == smallest-id and the two folds agree)."""
+    from pyspark.sql import types as T
+
+    from rss_feed_etl_spark.operators.dedup import dedup_exact
+    from rss_feed_etl_spark.streaming.incremental import (
+        incremental_dedup_ingest,
+        read_stage_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    batches = [
+        [(1, "alpha body"), (2, "Alpha  body"), (3, "beta body")],  # in-batch dup
+        [(4, "ALPHA BODY"), (5, "gamma body")],  # cross-batch dup vs corpus
+        [(6, "beta body"), (5, "gamma body"), (7, "delta body")],  # re-delivery
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(landing)
+        q = incremental_dedup_ingest(
+            read_stage_stream(spark, landing, schema), corpus, ckpt
+        )
+        q.awaitTermination(120)
+
+    streamed = spark.read.parquet(corpus)
+    union = None
+    for rows in batches:
+        b = spark.createDataFrame(rows, schema)
+        union = b if union is None else union.unionByName(b)
+    batch_mode = dedup_exact(union)
+
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch_mode.collect())
+    )
+    assert sorted(r.doc_id for r in streamed.collect()) == [1, 3, 5, 7]
