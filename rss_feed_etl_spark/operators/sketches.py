@@ -500,3 +500,120 @@ def countmin_estimates(
         .groupBy("key", "exact_n")
         .agg(F.min("n").alias("est_n"))
     )
+
+
+# Poisson(1) CDF thresholds scaled to the md5_bucket integer range (2^60):
+# weight k is drawn as the number of thresholds below the row's md5 integer
+# — pure integer comparisons, no float inverse-CDF, identical in any engine.
+_POIS1_T60 = [
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+]
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    n_boot: int = 40,
+    salt: str = "boot-v1",
+) -> DataFrame:
+    """Per-group mean with a ~95% Poisson-bootstrap confidence interval
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams" —
+    the bootstrap that works on a cluster): every (row, replicate) draws
+    an independent Poisson(1) resampling weight, replicate means are
+    weighted means, and the CI is the 2nd/(B−1)th of the B sorted
+    replicate means.
+
+    Weights are content-addressed (md5 of salt:replicate:id against
+    precomputed integer CDF thresholds — zero float ops), so the draw is
+    deterministic and partitioning-invariant.  The replicate expansion is
+    map-only; the only shuffles are the (group, replicate) partial-agg
+    means — B×groups rows — and the B-row-per-group ranking window.
+    Replicate means are rounded to 6dp before ranking so CI selection is
+    reproducible across engines.
+    """
+    reps = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+        F.col(id_col).cast("string").alias("rid"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b"),
+    )
+    from ..functions.hashing import md5_bucket
+
+    u = md5_bucket(
+        F.concat(F.lit(salt + ":"), F.col("b").cast("string"), F.lit(":"), F.col("rid"))
+    )
+    w = sum(
+        (F.when(u > F.lit(t), 1).otherwise(0) for t in _POIS1_T60),
+        F.lit(0),
+    )
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("g", "b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("v")) / F.sum("w"), 6
+            ).alias("m")
+        )
+    )
+    rank_w = Window.partitionBy("g").orderBy("m", "b")
+    cis = (
+        means.withColumn("rn", F.row_number().over(rank_w))
+        .groupBy("g")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == n_boot - 1, F.col("m"))).alias("ci_hi"),
+        )
+    )
+    overall = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count("*").alias("n"), F.round(F.avg(value_col), 6).alias("mean")
+    )
+    return overall.join(cis, "g").select(
+        F.col("g").alias(group_col), "n", "mean", "ci_lo", "ci_hi"
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    salt: str = "dp-v1",
+) -> DataFrame:
+    """ε-differentially-private count release via the Laplace mechanism:
+    noisy_n = n + Laplace(1/ε), the standard private-statistics export for
+    per-group counts (sensitivity 1).
+
+    The noise draw is seeded (md5 of salt:group → exact 2^-60-grain
+    uniform → Laplace inverse CDF): deterministic here so the release is
+    testable/oracle-checkable — in production the salt is a fresh secret
+    per release, which is what makes the mechanism private.  Noise is
+    rounded to 6dp before the add so libm ln() ulp differences cannot
+    surface.  Group-grain all the way: one count aggregate, map-only
+    noise.
+    """
+    from ..functions.hashing import md5_bucket
+
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(F.count("*").alias("n"))
+    u = md5_bucket(F.concat(F.lit(salt + ":"), F.col("g").cast("string"))) / F.lit(
+        float(1 << 60)
+    )
+    centered = u - F.lit(0.5)
+    noise = F.round(
+        -F.lit(1.0 / epsilon)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered)),
+        6,
+    )
+    return counts.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("bigint").alias("exact_n"),
+        F.round(F.col("n") + noise, 6).alias("noisy_n"),
+    )

@@ -88,3 +88,42 @@ def daily_count_anomalies(
         ),
     )
     return scored.filter(F.abs("pct_dev") > threshold)
+
+
+def dow_seasonal_residuals(
+    daily: DataFrame,
+    day_col: str = "day",
+    value_col: str = "total",
+    sigmas: float = 2.0,
+) -> DataFrame:
+    """Day-of-week seasonal decomposition over a day-grain series: expected
+    value = the mean of the same weekday across the whole series, residual
+    = value − expected, anomaly = |residual| beyond ``sigmas`` standard
+    deviations of all residuals.  Separates weekly rhythm from genuine
+    volume anomalies — the trailing-MA detector flags every Monday in a
+    weekday-heavy stream; this one doesn't.
+
+    Everything after the day-grain input is profile-sized: the 7-row
+    weekday profile and the 1-row residual sigma both ride back as
+    broadcasts.
+    """
+    d = daily.select(
+        F.col(day_col).alias("day"),
+        F.col(value_col).cast("double").alias("val"),
+        (F.dayofweek(day_col) - 1).alias("dow"),  # 0=Sunday, matches DuckDB
+    )
+    profile = d.groupBy("dow").agg(F.round(F.avg("val"), 6).alias("expected"))
+    resid = d.join(F.broadcast(profile), "dow").withColumn(
+        "residual", F.round(F.col("val") - F.col("expected"), 6)
+    )
+    sigma = resid.agg(F.round(F.stddev_pop("residual"), 6).alias("sd"))
+    return resid.crossJoin(F.broadcast(sigma)).select(
+        "day",
+        F.col("val").alias(value_col),
+        "dow",
+        "expected",
+        "residual",
+        F.when(F.abs(F.col("residual")) > F.lit(sigmas) * F.col("sd"), 1)
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )
