@@ -399,3 +399,27 @@ def test_rrf_fusion_topk_never_global_sorts(spark):
     s = _plan(_queries()["rrf_fusion"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in s
     assert "SortMergeJoin" not in s
+
+
+def test_unicode_normalize_is_map_only(spark):
+    s = _plan(_queries()["unicode_normalized"](spark, SF_DIR))
+    # pure translate/regexp projection: no exchange may appear at all
+    assert "Exchange" not in s
+    assert "Join" not in s
+
+
+def test_bootstrap_ci_partial_aggregates(spark):
+    s = _plan(_queries()["bootstrap_mean_ci"](spark, SF_DIR))
+    # replicate means partial-aggregate map-side before the (group, b)
+    # exchange; the CI join and kappa-style 1-row frames broadcast
+    assert s.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_dow_profile_and_sigma_broadcast(spark):
+    s = _plan(_queries()["dow_anomaly_days"](spark, SF_DIR))
+    # 7-row weekday profile and 1-row sigma ride back as broadcasts onto
+    # the day-grain frame
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
