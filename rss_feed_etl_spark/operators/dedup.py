@@ -686,3 +686,31 @@ def canonical_per_component(
         F.count("*").alias("n_members"),
         F.max("score").alias("best_score"),
     )
+
+
+def drop_rate_by_key(
+    docs: DataFrame,
+    drops: DataFrame,
+    key_col: str,
+    id_col: str = "id",
+) -> DataFrame:
+    """Dedup observability: per ``key_col`` (source, language, shard…),
+    how many documents the near-dup drop list removes and the drop rate —
+    the report a corpus pipeline publishes after every dedup pass, and the
+    first place collection bugs (a crawler re-ingesting one site) surface.
+
+    The drop list is duplicate-rate-sized, so it reaches the corpus as a
+    broadcast left join; one group aggregate follows.
+    """
+    flagged = docs.join(
+        F.broadcast(drops.select(F.col(id_col), F.lit(1).alias("dropped"))),
+        id_col,
+        "left",
+    )
+    return flagged.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.coalesce(F.col("dropped"), F.lit(0))).cast("bigint").alias("n_dropped"),
+        F.round(
+            F.sum(F.coalesce(F.col("dropped"), F.lit(0))) / F.count("*"), 6
+        ).alias("drop_rate"),
+    )

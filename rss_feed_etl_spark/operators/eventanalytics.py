@@ -451,3 +451,56 @@ def decayed_popularity(
             F.round(F.sum("w"), decimals).alias("score"),
         )
     )
+
+
+def trending_items(
+    events: DataFrame,
+    item_expr: str = "CAST(get_json_object(props, '$.k') AS INT)",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    top: int = 20,
+    decimals: int = 6,
+) -> DataFrame:
+    """Trending score per (item, day): today's event count against the
+    item's trailing ``window_days``-day DAILY AVERAGE (missing days count
+    as zero — the sum over a RANGE frame divided by the window width, not
+    an average over only-present rows).  The burst detector behind every
+    "trending now" ranking.
+
+    Day×item grain after the first aggregate; the trailing frame is a
+    per-item RANGE window over day ordinals — embarrassingly parallel
+    across items, never a corpus-wide sort.  Top rows by (ratio, item,
+    day) with the ratio rounded before ranking.
+    """
+    daily = (
+        events.select(
+            F.expr(item_expr).alias("item"), F.to_date(ts_col).alias("day")
+        )
+        .groupBy("item", "day")
+        .agg(F.count("*").alias("n"))
+        .withColumn("day_idx", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w = (
+        Window.partitionBy("item")
+        .orderBy("day_idx")
+        .rangeBetween(-window_days, -1)
+    )
+    scored = (
+        daily.withColumn("trail_sum", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .filter(F.col("trail_sum") > 0)
+        .withColumn(
+            "ratio",
+            F.round(F.col("n") * F.lit(float(window_days)) / F.col("trail_sum"), decimals),
+        )
+    )
+    return (
+        scored.select(
+            "item",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("trail_sum").cast("bigint").alias("trail_sum"),
+            "ratio",
+        )
+        .orderBy(F.col("ratio").desc(), F.col("item").asc(), F.col("day").asc())
+        .limit(top)
+    )

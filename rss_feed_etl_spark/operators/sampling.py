@@ -430,3 +430,45 @@ def importance_weights(
             F.count("*").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def largest_remainder_allocation(
+    weights: DataFrame,
+    total: int,
+    group_col: str = "source",
+    weight_col: str = "n",
+) -> DataFrame:
+    """Hamilton largest-remainder apportionment: split an integer budget
+    (documents to keep, tokens to sample, shards to assign) across groups
+    proportional to their weights, with the rounding slack going to the
+    largest fractional remainders — sums EXACTLY to ``total`` and never
+    differs from the real share by ≥1.
+
+    All arithmetic is exact integers (num = total·w; floor = num div W;
+    remainder = num mod W), so the allocation is bit-identical in any
+    engine — no float shares.  Group-grain throughout: the weight total
+    and slack count are broadcast 1-row aggregates, the remainder ranking
+    is one window over the (small) group table.
+    """
+    tot_w = weights.agg(F.sum(weight_col).cast("bigint").alias("W"))
+    staged = (
+        weights.crossJoin(F.broadcast(tot_w))
+        .withColumn("num", F.lit(total).cast("bigint") * F.col(weight_col).cast("bigint"))
+        .withColumn("base", F.expr("num DIV W"))
+        .withColumn("rem", F.col("num") % F.col("W"))
+    )
+    slack = staged.agg(
+        (F.lit(total).cast("bigint") - F.sum("base")).alias("r")
+    )
+    rank_w = Window.orderBy(F.col("rem").desc(), F.col(group_col).asc())
+    return (
+        staged.withColumn("rk", F.row_number().over(rank_w))
+        .crossJoin(F.broadcast(slack))
+        .select(
+            F.col(group_col),
+            F.col(weight_col).cast("bigint").alias("weight"),
+            (F.col("base") + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )
