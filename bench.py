@@ -50,6 +50,12 @@ HEADLINE = [
     "oov_rate_scores",
     "item_pagerank",
     "session_paths_top",
+    # selection / fingerprint / stats additions (waves 31-34)
+    "importance_weights",
+    "winnow_fingerprints",
+    "countmin_estimates",
+    "bootstrap_mean_ci",
+    "int8_ann_topk",
     # decision-support path (wave 15)
     "large_order_customers",
     "sole_late_suppliers",

@@ -714,3 +714,55 @@ def drop_rate_by_key(
             F.sum(F.coalesce(F.col("dropped"), F.lit(0))) / F.count("*"), 6
         ).alias("drop_rate"),
     )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_records: int | None = None,
+    records: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Record-linkage blocking evaluation (Christen, "Data Matching"):
+    given the candidate pairs a blocking scheme (LSH bands, sorted
+    neighborhood…) generated and the ground-truth duplicate pairs, report
+
+    - pairs completeness (recall): |candidates ∩ truth| / |truth| — what
+      the blocker may have LOST;
+    - reduction ratio: 1 − |candidates| / (n·(n−1)/2) — what it saved vs
+      the quadratic all-pairs comparison.
+
+    The two numbers are the tradeoff every dedup-at-scale config tunes
+    (tighter buckets → higher reduction, lower completeness).  Both
+    inputs are pair lists (duplicate-rate-sized); the overlap join and
+    counts never touch record bodies.  Pass ``n_records`` as a known
+    constant, or a ``records`` frame — counted INSIDE the plan as a
+    broadcast 1-row aggregate, never an eager driver count.
+    """
+    cand = candidates.select(id_a, id_b)
+    tr = truth.select(id_a, id_b)
+    found = tr.join(cand, [id_a, id_b], "left_semi")
+    stats = (
+        tr.agg(F.count("*").alias("n_truth"))
+        .crossJoin(F.broadcast(found.agg(F.count("*").alias("n_found"))))
+        .crossJoin(F.broadcast(cand.agg(F.count("*").alias("n_candidates"))))
+    )
+    if n_records is not None:
+        stats = stats.withColumn("n_rec", F.lit(n_records).cast("bigint"))
+    elif records is not None:
+        stats = stats.crossJoin(
+            F.broadcast(records.agg(F.count("*").cast("bigint").alias("n_rec")))
+        )
+    else:
+        raise ValueError("pass n_records or records")
+    total_pairs = (F.col("n_rec") * (F.col("n_rec") - 1) / F.lit(2.0))
+    return stats.select(
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        F.col("n_found").cast("bigint").alias("n_found"),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.round(F.col("n_found") / F.col("n_truth"), 6).alias("pairs_completeness"),
+        F.round(
+            F.lit(1.0) - F.col("n_candidates") / total_pairs, 6
+        ).alias("reduction_ratio"),
+    )

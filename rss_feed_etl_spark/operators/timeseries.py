@@ -127,3 +127,91 @@ def dow_seasonal_residuals(
         .otherwise(0)
         .alias("is_anomaly"),
     )
+
+
+def daily_trend_slope(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group OLS trend slope of daily counts against the day index —
+    "is this metric growing and how fast", in events/day² units, via the
+    closed form slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²).
+
+    Two aggregates total: events → day-grain counts, day-grain → the four
+    sums per group (all exact integers — x is the day ordinal, y a count
+    — so the only float op is the final division, identical everywhere).
+    """
+    daily = events.groupBy(
+        F.col(group_col).alias("g"), F.to_date(ts_col).alias("day")
+    ).agg(F.count("*").alias("y"))
+    d = daily.withColumn("x", F.datediff("day", F.lit("1970-01-01")).cast("bigint"))
+    sums = d.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num / den, decimals).alias("slope"),
+    )
+
+
+def ks_drift(
+    events: DataFrame,
+    split_ts: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per group: D =
+    max |ECDF_before(v) − ECDF_after(v)| between the value distributions
+    before and after ``split_ts`` — the continuous-distribution companion
+    to the chi-square categorical drift check, run between corpus or
+    metric snapshots to catch silent shifts.
+
+    Exact and distributed: counts collapse to DISTINCT-VALUE grain before
+    any window (the per-group cumulative window walks unique values, not
+    rows), and per-group totals broadcast.  For value domains too large
+    even at distinct grain, quantize ``value_col`` to a grid first — D is
+    then exact on the coarsened distribution.
+    """
+    s = events.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+        (F.col(ts_col) < F.to_timestamp(F.lit(split_ts))).alias("before"),
+    )
+    per_v = s.groupBy("g", "v").agg(
+        F.sum(F.when(F.col("before"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(~F.col("before"), 1).otherwise(0)).alias("c2"),
+    )
+    tot = s.groupBy("g").agg(
+        F.sum(F.when(F.col("before"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("before"), 1).otherwise(0)).alias("n2"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = per_v.withColumn("a1", F.sum("c1").over(w)).withColumn(
+        "a2", F.sum("c2").over(w)
+    )
+    d = ecdf.join(F.broadcast(tot), "g").select(
+        "g",
+        "n1",
+        "n2",
+        F.abs(F.col("a1") / F.col("n1") - F.col("a2") / F.col("n2")).alias("gap"),
+    )
+    return d.groupBy(F.col("g").alias(group_col)).agg(
+        F.max("n1").cast("bigint").alias("n_before"),
+        F.max("n2").cast("bigint").alias("n_after"),
+        F.round(F.max("gap"), decimals).alias("ks_stat"),
+    )
