@@ -545,3 +545,73 @@ def test_streaming_dedup_ingest_equals_batch_dedup(spark, tmp_path):
         map(tuple, batch_mode.collect())
     )
     assert sorted(r.doc_id for r in streamed.collect()) == [1, 3, 5, 7]
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream join: clicks joined to purchases within
+    the window, fed as file micro-batches, must equal the same join run in
+    batch mode once all data has arrived."""
+    from pyspark.sql import types as T
+
+    from rss_feed_etl_spark.streaming.joins import interval_stream_join
+
+    c_schema = T.StructType(
+        [
+            T.StructField("user", T.LongType()),
+            T.StructField("click_ts", T.TimestampType()),
+            T.StructField("click_id", T.LongType()),
+        ]
+    )
+    p_schema = T.StructType(
+        [
+            T.StructField("user", T.LongType()),
+            T.StructField("buy_ts", T.TimestampType()),
+            T.StructField("buy_id", T.LongType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 7, 1, 12, 0)
+    clicks = [
+        (1, t0, 100),
+        (1, t0 + dt.timedelta(minutes=50), 101),
+        (2, t0, 102),
+        (3, t0, 103),
+    ]
+    buys = [
+        (1, t0 + dt.timedelta(minutes=30), 200),  # joins click 100
+        (1, t0 + dt.timedelta(minutes=70), 201),  # joins clicks 100(!)>60m? no: 70m>60m → only 101
+        (2, t0 + dt.timedelta(minutes=90), 202),  # outside window for click 102
+    ]
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    spark.createDataFrame(clicks, c_schema).write.parquet(cdir)
+    spark.createDataFrame(buys, p_schema).write.parquet(pdir)
+
+    cs = spark.readStream.schema(c_schema).parquet(cdir)
+    ps = spark.readStream.schema(p_schema).parquet(pdir)
+    joined = interval_stream_join(
+        cs, ps, on="user", left_ts="click_ts", right_ts="buy_ts", max_delta_s=3600
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["click_id"], r["buy_id"]) for r in spark.read.parquet(out).collect()
+    }
+    cb = spark.createDataFrame(clicks, c_schema)
+    pb = spark.createDataFrame(buys, p_schema)
+    batch = cb.join(
+        pb,
+        (cb["user"] == pb["user"])
+        & (pb["buy_ts"] >= cb["click_ts"])
+        & (pb["buy_ts"] <= cb["click_ts"] + F.expr("INTERVAL 3600 SECONDS")),
+    )
+    expected = {(r["click_id"], r["buy_id"]) for r in batch.collect()}
+    assert streamed == expected
+    assert (100, 200) in streamed and (101, 201) in streamed
+    assert all(b != 202 for _, b in streamed)
