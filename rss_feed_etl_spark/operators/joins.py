@@ -290,3 +290,37 @@ def snapshot_diff(
         .groupBy("status")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+def fk_profile(
+    fact: DataFrame,
+    dim: DataFrame,
+    fk: str,
+    pk: str,
+) -> DataFrame:
+    """Foreign-key relationship profile — the data-quality report run
+    before trusting a join at scale: fact/dim row counts, distinct FK
+    cardinality, ORPHAN facts (fk value absent from the dimension — rows
+    an inner join would silently drop), and the max/avg per-key fanout
+    (the skew number that decides broadcast vs salted join strategy).
+
+    One aggregate collapses facts to (fk, count) grain; everything after
+    is key-grain, and the dim key set joins that grain, never the facts.
+    """
+    per_key = fact.groupBy(F.col(fk).alias("k")).agg(F.count("*").alias("c"))
+    keys = dim.select(F.col(pk).alias("k")).distinct().withColumn("in_dim", F.lit(1))
+    joined = per_key.join(keys, "k", "left")
+    stats = joined.agg(
+        F.sum("c").cast("bigint").alias("n_fact"),
+        F.count("*").cast("bigint").alias("n_distinct_fk"),
+        F.sum(F.when(F.col("in_dim").isNull(), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_orphan_facts"),
+        F.max("c").cast("bigint").alias("max_fanout"),
+        F.round(F.avg("c"), 6).alias("avg_fanout"),
+    )
+    return stats.crossJoin(
+        F.broadcast(dim.agg(F.count("*").cast("bigint").alias("n_dim")))
+    ).select(
+        "n_fact", "n_dim", "n_distinct_fk", "n_orphan_facts", "max_fanout", "avg_fanout"
+    )

@@ -617,3 +617,41 @@ def dp_noisy_counts(
         F.col("n").cast("bigint").alias("exact_n"),
         F.round(F.col("n") + noise, 6).alias("noisy_n"),
     )
+
+
+def winsorized_means(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo: float = 0.05,
+    hi: float = 0.95,
+    decimals: int = 6,
+) -> DataFrame:
+    """Winsorized (clipped) per-group means: values below the group's
+    ``lo`` quantile or above its ``hi`` quantile are clamped to those
+    bounds before averaging — the robust mean that survives the fat tails
+    raw averages drown in.
+
+    Two passes at group grain: one exact-percentile aggregate whose
+    group-sized result broadcasts back, then one clamp+mean over the
+    facts.  Clip bounds are rounded to 9dp before the clamp so both
+    engines clamp at identical thresholds.
+    """
+    g = F.col(group_col)
+    q = df.groupBy(g.alias("g")).agg(
+        F.round(F.percentile(value_col, F.lit(lo)), 9).alias("p_lo"),
+        F.round(F.percentile(value_col, F.lit(hi)), 9).alias("p_hi"),
+    )
+    v = F.col(value_col).cast("double")
+    clipped = F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi"))
+    return (
+        df.join(F.broadcast(q), g == F.col("g"))
+        .groupBy(g.alias(group_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg(v), decimals).alias("raw_mean"),
+            F.round(F.avg(clipped), decimals).alias("winsorized_mean"),
+            F.max("p_lo").alias("p_lo"),
+            F.max("p_hi").alias("p_hi"),
+        )
+    )

@@ -975,3 +975,49 @@ def doc_keywords(
         .filter(F.col("rank") <= top)
         .select(F.col("id").alias(id_col), "term", "tf", "tfidf", "rank")
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-1 / distinct-2 lexical diversity per group (Li et al. 2016,
+    the generation-diversity metrics): distinct n-grams over total n-gram
+    occurrences — low distinct-2 means a source repeats itself (template
+    farms, spun content) even when individual docs pass quality filters.
+
+    Distinctness resolves through a (group, gram)-grain intermediate
+    aggregate — two partial-agg-friendly shuffles, never count_distinct's
+    expansion — and document bodies stay out of every exchange.
+    """
+    toks = _tokens(F.lower(F.col(text_col)))
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    big = F.transform(
+        F.arrays_zip(
+            F.slice(toks, 1, n).alias("w0"), F.slice(toks, 2, n).alias("w1")
+        ),
+        lambda s: F.concat_ws(" ", s["w0"], s["w1"]),
+    )
+    uni = df.select(F.col(group_col).alias("g"), F.explode(toks).alias("gram"))
+    bi = df.select(F.col(group_col).alias("g"), F.explode(big).alias("gram"))
+
+    def _diversity(ex: DataFrame, n_name: str, d_name: str) -> DataFrame:
+        per = ex.groupBy("g", "gram").agg(F.count("*").alias("c"))
+        return per.groupBy("g").agg(
+            F.sum("c").cast("bigint").alias(n_name),
+            F.count("*").cast("bigint").alias(d_name),
+        )
+    u = _diversity(uni, "n_tokens", "d_tokens")
+    b = _diversity(bi, "n_bigrams", "d_bigrams")
+    return (
+        u.join(b, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens",
+            F.round(F.col("d_tokens") / F.col("n_tokens"), 6).alias("distinct_1"),
+            "n_bigrams",
+            F.round(F.col("d_bigrams") / F.col("n_bigrams"), 6).alias("distinct_2"),
+        )
+    )
