@@ -297,3 +297,47 @@ def scd2_snapshot_at(history: DataFrame, at: str) -> DataFrame:
         (F.col("effective_start") <= ts)
         & (F.col("effective_end").isNull() | (F.col("effective_end") > ts))
     )
+
+
+def cdc_apply_ordered(
+    log: DataFrame,
+    key: str,
+    op_col: str = "op",
+    seq_cols: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+    decimals: int = 6,
+) -> DataFrame:
+    """Apply an ordered change-data-capture log (I/U/D ops) to produce the
+    final table state: the LAST op per key wins, and a trailing delete
+    removes the key entirely.
+
+    This is the log-structured generalization of the reference's
+    last-write-wins merge (`src/rss_feed_etl/core/data_loader.py:239-247`,
+    which drops duplicates keeping the newest row but has no delete
+    concept).  One hash exchange on ``key`` drives BOTH window functions
+    (row_number for the last op, count for the audit trail) — Spark plans
+    them over the same partitioning, so the log is shuffled exactly once
+    and never joined against itself.
+
+    At 100 TB the log is append-only and time-partitioned; the window
+    reads only the compaction horizon's partitions, and the per-key state
+    it carries is one row, not the full history.
+    """
+    from pyspark.sql import Window
+
+    s1, s2 = seq_cols
+    w = Window.partitionBy(key).orderBy(F.desc(s1), F.desc(s2))
+    wp = Window.partitionBy(key)
+    ranked = log.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "n_ops", F.count("*").over(wp).cast("bigint")
+    )
+    return (
+        ranked.filter((F.col("__rn") == 1) & (F.col(op_col) != F.lit("D")))
+        .select(
+            F.col(key),
+            F.col(op_col).alias("last_op"),
+            F.round(F.col(value_col), decimals).alias("last_value"),
+            F.col(s1).alias("last_ts"),
+            F.col("n_ops"),
+        )
+    )

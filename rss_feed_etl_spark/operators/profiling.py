@@ -1,0 +1,128 @@
+"""Dataset profiling / operational diagnostics for 100 TB pipelines.
+
+The reference never inspects its data beyond whole-frame row counts
+(`src/rss_feed_etl/core/data_loader.py:203-207`); at cluster scale the two
+questions that decide whether a job finishes at all are "is this join key
+skewed?" and "is this column as clean as the pipeline assumes?".  Both
+reports here are built so the expensive pass happens once:
+
+- ``key_skew_report`` — one map-side-combined count per key (the only
+  shuffle, moving one bigint per distinct key), then driver-sized summary
+  aggregates over the count table.  The top-k share uses TakeOrdered, never
+  a global sort.
+- ``dq_assertion_report`` — every assertion is a conditional sum inside ONE
+  aggregate over the fact table (single scan, partial aggregation), then a
+  map-only unpivot of the 1-row result into the long report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOP_K = 10
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = TOP_K,
+    decimals: int = 6,
+) -> DataFrame:
+    """One-row skew profile of ``key_col``: row/key cardinalities, fan-out
+    percentiles, and the share of rows held by the ``top_k`` hottest keys.
+
+    The per-key count table is the only fact-sized work; everything
+    downstream aggregates that (much smaller) table.  ``top{k}_share`` is
+    the number a 1000-executor join plan turns into a salting decision:
+    at 0.3+ the hot keys serialize onto single tasks.
+
+    Plan shape: the stats branch and the TakeOrdered top-k branch each
+    evaluate the counts subtree, so the (key-column-pruned) scan runs
+    twice — measured cheaper than materializing the counts for a
+    run-occasionally diagnostic, and both branches combine map-side.  At
+    extreme key cardinality swap ``F.percentile`` for
+    ``F.percentile_approx`` (the exact form buffers the count column
+    per task) and ``localCheckpoint`` the counts to collapse to one scan.
+    """
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    stats = counts.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_per_key"),
+        F.round(F.avg("c"), decimals).alias("avg_per_key"),
+        F.round(F.percentile("c", F.lit(0.5)), 9).alias("p50_per_key"),
+        F.round(F.percentile("c", F.lit(0.99)), 9).alias("p99_per_key"),
+    )
+    top = (
+        counts.orderBy(F.desc("c"), F.asc("k"))
+        .limit(top_k)
+        .agg(F.sum("c").cast("bigint").alias("top_rows"))
+    )
+    return stats.crossJoin(F.broadcast(top)).select(
+        "n_rows",
+        "n_keys",
+        "max_per_key",
+        "avg_per_key",
+        "p50_per_key",
+        "p99_per_key",
+        F.round(F.col("top_rows") / F.col("n_rows"), decimals).alias(
+            f"top{top_k}_share"
+        ),
+    )
+
+
+# (assertion name, violation predicate as a SQL boolean) — the predicate
+# counts rows that BREAK the assertion.  Kept as expression strings so the
+# DuckDB oracle can reuse them verbatim.
+LINEITEM_ASSERTIONS: list[tuple[str, str]] = [
+    ("l_quantity_not_null", "l_quantity IS NULL"),
+    ("l_quantity_in_1_50", "l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50"),
+    ("l_discount_in_0_0.1", "l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1"),
+    ("l_extendedprice_positive", "l_extendedprice IS NULL OR l_extendedprice <= 0"),
+    ("l_returnflag_domain", "l_returnflag NOT IN ('A', 'N', 'R')"),
+    ("l_linestatus_domain", "l_linestatus NOT IN ('O', 'F')"),
+    ("l_shipdate_not_null", "l_shipdate IS NULL"),
+]
+
+
+def dq_assertion_report(
+    df: DataFrame,
+    assertions: list[tuple[str, str]] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Long-format data-quality report: one row per assertion with checked /
+    violation counts and the violation rate.
+
+    All assertions ride ONE aggregate (conditional sums) so the fact table
+    is scanned exactly once regardless of how many assertions are checked;
+    the unpivot to long format is a map-only explode of the 1-row result.
+    """
+    checks = assertions if assertions is not None else LINEITEM_ASSERTIONS
+    aggs = [F.count("*").cast("bigint").alias("n_checked")] + [
+        F.sum(F.expr(pred).cast("bigint")).cast("bigint").alias(f"v{i}")
+        for i, (_, pred) in enumerate(checks)
+    ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("assertion"),
+                F.col(f"v{i}").alias("n_violations"),
+            )
+            for i, (name, _) in enumerate(checks)
+        ]
+    )
+    return (
+        one.select("n_checked", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.assertion").alias("assertion"),
+            F.col("n_checked"),
+            F.col("r.n_violations").alias("n_violations"),
+            F.round(F.col("r.n_violations") / F.col("n_checked"), decimals).alias(
+                "violation_rate"
+            ),
+        )
+    )

@@ -1021,3 +1021,55 @@ def ngram_diversity(
             F.round(F.col("d_bigrams") / F.col("n_bigrams"), 6).alias("distinct_2"),
         )
     )
+
+
+def hashed_quality_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    threshold: float = 0.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Hashing-trick linear quality scorer: each token hashes to one of
+    ``n_buckets`` feature buckets, every bucket carries a fixed weight, and
+    a document's score is the mean bucket weight centered to [-0.5, 0.5).
+
+    This is the Spark-side skeleton of a fastText-style quality classifier
+    (the shape used to filter pretraining corpora): in production the
+    bucket→weight table comes from a trained linear model and rides a
+    broadcast; here the weight IS the bucket index scaled, which keeps the
+    whole operator oracle-checkable while exercising the identical plan.
+
+    Deliberately map-only: tokenization, hashing, and the integer
+    accumulation all happen inside one projection via higher-order array
+    functions — no explode, no shuffle, nothing but the scan at any scale.
+    The accumulator stays integral (sum of bucket ids < 2^63) so both
+    engines compute the float score from identical exact integers, and the
+    score itself uses only +,-,/ (no transcendentals whose last-ulp
+    differences could flip a 6dp rounding across engines).
+    """
+    from ..functions.hashing import token_code
+
+    toks = _tokens(F.col(text_col))
+    bucket_sum = F.aggregate(
+        F.transform(toks, lambda t: token_code(t) % F.lit(n_buckets)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    score = (
+        F.col("__bsum") / F.col("n_tokens") / F.lit(float(n_buckets)) - F.lit(0.5)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            bucket_sum.alias("__bsum"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(score, decimals).alias("hash_score"),
+            (score >= F.lit(threshold)).alias("keep"),
+        )
+    )
