@@ -900,34 +900,39 @@ def winnow_fingerprints(
     shingling — the local-similarity index n-gram sets are too coarse for.
 
     All hashing is the engine-neutral md5-mod-1e9+7 token code, so the
-    fingerprint set is oracle-checkable.  Plan: positional grams and
-    hashes are array expressions (map-only), the sliding min is one
-    per-document window (partitioned by doc id — embarrassingly parallel),
-    and the dedupe groups on (doc, fingerprint).
+    fingerprint set is oracle-checkable.  Plan: ENTIRELY map-only — the
+    hash array, the sliding minima, and the per-document dedupe are all
+    higher-order array expressions, so the physical plan is scan →
+    project → explode with zero exchanges at any corpus size.  Each
+    expensive subtree (tokenize, hash array) lives in its own projection
+    stage so it is evaluated once per document, never once per gram —
+    the earlier explode-the-grams + per-doc-window form re-evaluated the
+    tokenizer per position (O(tokens²) per document) and shuffled every
+    positional hash, which measured ~100× slower at sf0.1.
     """
     from ..functions.hashing import token_code
 
     toks = _tokens(F.col(text_col))
-    m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
-    grams = F.transform(
+    staged = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    m = F.greatest(F.size(F.col("__toks")) - F.lit(k - 1), F.lit(1))
+    hashes = F.transform(
         F.sequence(F.lit(1), m),
-        lambda i: token_code(F.array_join(F.slice(toks, i, k), " ")),
+        lambda i: token_code(F.array_join(F.slice(F.col("__toks"), i, k), " ")),
     )
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(grams).alias("pos", "h"),
-        F.size(grams).alias("m"),
+    hashed = staged.select("id", hashes.alias("__hs"))
+    # window minima: position i keeps min(h[i .. i+w-1]); slice truncates at
+    # the array end, so short documents (m <= w) collapse to one
+    # whole-document fingerprint — same boundary semantics as the rowsBetween
+    # window form this replaces
+    n_pos = F.greatest(F.size(F.col("__hs")) - F.lit(w), F.lit(0)) + F.lit(1)
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.array_min(F.slice(F.col("__hs"), i, w)),
+        )
     )
-    win = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    return (
-        ex.withColumn("fp", F.min("h").over(win))
-        .filter(F.col("pos") <= F.greatest(F.col("m") - F.lit(w), F.lit(0)))
-        .select(F.col("id").alias(id_col), "fp")
-        .distinct()
+    return hashed.select(
+        F.col("id").alias(id_col), F.explode(fps).alias("fp")
     )
 
 

@@ -381,12 +381,17 @@ def test_countmin_sketch_joins_broadcast(spark):
     assert "BroadcastHashJoin" in s
 
 
-def test_winnow_is_joinless(spark):
+def test_winnow_is_map_only(spark):
     s = _plan(_queries()["winnow_fingerprints"](spark, SF_DIR))
-    # grams/hashes are array expressions; the sliding min is a per-doc
-    # window — no join may appear in this plan
+    # grams, hashes, sliding minima, AND the per-doc dedupe are all array
+    # expressions: the whole fingerprint pass is scan → project → explode
+    # with no exchange, no window, no join at any corpus size
     assert "Join" not in s
-    assert "CartesianProduct" not in s
+    assert "Exchange" not in s
+    assert "Window" not in s
+    # tokenizer and hash array live in separate projections so each is
+    # evaluated once per document, not once per gram (the O(tokens²) trap)
+    assert s.count("split(trim(") == 1
 
 
 def test_doc_keywords_dfreq_broadcast(spark):
