@@ -638,6 +638,7 @@ from . import driver_queries_wave35  # noqa: E402, F401  (registers wave-35 quer
 from . import driver_queries_wave36  # noqa: E402, F401  (registers wave-36 queries)
 from . import driver_queries_wave37  # noqa: E402, F401  (registers wave-37 queries)
 from . import driver_queries_wave38  # noqa: E402, F401  (registers wave-38 queries)
+from . import driver_queries_wave39  # noqa: E402, F401  (registers wave-39 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The

@@ -766,3 +766,66 @@ def blocking_quality(
             F.lit(1.0) - F.col("n_candidates") / total_pairs, 6
         ).alias("reduction_ratio"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 15,
+) -> DataFrame:
+    """CCNet-style paragraph-grain corpus dedup: split each document into
+    fixed ``width``-token paragraphs, keep only the globally FIRST
+    occurrence of each distinct paragraph (ordered by (id, position)), and
+    reassemble documents from their surviving paragraphs in original order.
+
+    This is the paragraph dedup step the big web-corpus pipelines run
+    before document-level near-dup (CCNet / RefinedWeb): a span repeated
+    verbatim anywhere else in the corpus is dropped from every later
+    occurrence, which kills mirrored articles, quoted reposts, and chrome
+    that document-level MinHash leaves behind.  Generalizes the
+    reference's exact keep-first dedup (run_job_filter.py:368) from
+    row grain to paragraph grain.
+
+    Plan shape (100 TB): paragraph TEXT never enters a shuffle — each
+    paragraph is coded to a 60-bit md5 prefix array-side, and the only
+    wide exchanges carry (code, id, pos) triples: one partial-aggregated
+    groupBy on the code picks each paragraph's global winner via
+    ``min(struct(id, pos))`` (map-side combine, no window sort), one
+    id-key aggregate folds winner positions per document, and one join
+    back to the corpus re-slices the original token array with a pure
+    array expression.  Skew-safe: a boilerplate paragraph shared by
+    millions of docs still aggregates to ONE winner row map-side.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_paras = F.ceil(F.size("__toks") / F.lit(width)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.col("__n") - 1),
+        lambda i: F.array_join(F.slice("__toks", i * width + 1, width), " "),
+    )
+    base = (
+        df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .withColumn("__n", n_paras)
+        .withColumn("__paras", paras)
+    )
+    ex = base.select("id", F.posexplode(
+        F.transform("__paras", lambda p: F.conv(F.substring(F.md5(p), 1, 15), 16, 10).cast("bigint"))
+    ).alias("pos", "code"))
+    winners = ex.groupBy("code").agg(
+        F.min(F.struct(F.col("id"), F.col("pos"))).alias("w")
+    )
+    keep = (
+        winners.select(F.col("w.id").alias("id"), F.col("w.pos").alias("pos"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__keep"))
+    )
+    joined = base.join(keep, "id", "left")
+    keep_arr = F.coalesce(F.col("__keep"), F.array().cast("array<int>"))
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.array_join(
+            F.transform(keep_arr, lambda i: F.get("__paras", i)), " "
+        ).alias("clean_text"),
+        F.col("__n").cast("bigint").alias("n_paras"),
+        F.size(keep_arr).cast("bigint").alias("n_kept"),
+    )

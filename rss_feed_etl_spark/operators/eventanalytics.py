@@ -504,3 +504,132 @@ def trending_items(
         .orderBy(F.col("ratio").desc(), F.col("item").asc(), F.col("day").asc())
         .limit(top)
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    censor_days: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes: a user's duration
+    is last_seen − first_seen in days; users still active near the end of
+    the observation window (last_seen within ``censor_days`` of the corpus
+    max date) are right-censored, not churned.  S(t) = Π_{t'≤t} (1 −
+    d_{t'}/n_{t'}) with deaths d and at-risk n — the standard estimator
+    the lookback-window counting in the reference (run_job_filter.py:133)
+    has no answer to.
+
+    Plan shape (100 TB): one user-key aggregate (partial, map-side
+    combined) collapses the event log to user grain; everything after is
+    duration grain — at most ~max-lifetime-days rows — so the cumulative
+    windows run on a provably tiny single partition and the observation
+    horizon rides in as a broadcast 1-row aggregate, never a second scan
+    of the facts.
+    """
+    day = F.to_date(ts_col)
+    per_user = events.groupBy(user_col).agg(
+        F.min(day).alias("first_day"), F.max(day).alias("last_day")
+    )
+    horizon = events.agg(F.max(day).alias("max_day"))
+    flagged = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_day", "first_day").alias("duration_days"),
+        (
+            F.col("last_day") <= F.date_sub(F.col("max_day"), censor_days)
+        ).cast("int").alias("is_event"),
+    )
+    grain = flagged.groupBy("duration_days").agg(
+        F.sum("is_event").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("is_event")).cast("bigint").alias("n_censored"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("duration_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_asc = (
+        Window.orderBy(F.col("duration_days").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = grain.withColumn(
+        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(w_desc)
+    )
+    frac = F.col("n_events") / F.col("n_risk")
+    term = F.when(F.col("n_events") < F.col("n_risk"), F.log(1.0 - frac))
+    dead = F.max((F.col("n_events") == F.col("n_risk")).cast("int")).over(w_asc)
+    surv = F.when(dead == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.coalesce(F.sum(term).over(w_asc), F.lit(0.0))), 6)
+    )
+    return at_risk.select(
+        "duration_days", "n_risk", "n_events", "n_censored",
+        surv.alias("survival"),
+    )
+
+
+def time_decay_attribution(
+    events: DataFrame,
+    source_types: list[str],
+    conversion_type: str = "purchase",
+    half_life_days: float = 7.0,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-touch attribution with exponential time decay: every source
+    touch before a conversion earns credit 0.5^(Δt/half_life), normalized
+    so each conversion distributes exactly 1.0 across its touches;
+    conversions with no prior touch attribute to 'direct'.  The fractional
+    credit generalizes ``last_touch_attribution`` (winner-takes-all is the
+    half_life→0 limit).
+
+    Plan shape (100 TB): no touch×conversion pair join — the decayed sum
+    telescopes: Σ 0.5^((T−t)/hl) = 0.5^(T/hl) · Σ 2^(t/hl), so one
+    per-user window per source carries a running sum of 2^(t/hl) (t in
+    days since the corpus min date, broadcast in as a 1-row aggregate, so
+    the exponent stays small) and each conversion reads its per-source
+    credit off the running sums in O(1).  One shuffle (the user window)
+    plus a tiny source-grain aggregate.
+    """
+    t0 = events.agg(F.min(ts_col).alias("__t0"))
+    # fractional-epoch cast, not unix_timestamp: the latter truncates
+    # sub-second precision, and micros/1e6 is the same IEEE division the
+    # oracle's epoch() performs — bit-identical inputs to the decay pow
+    days = (
+        F.col(ts_col).cast("double") - F.col("__t0").cast("double")
+    ) / F.lit(86400.0)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = events.crossJoin(F.broadcast(t0)).withColumn("__d", days)
+    grow = F.pow(F.lit(2.0), F.col("__d") / F.lit(half_life_days))
+    for i, s in enumerate(source_types):
+        ev = ev.withColumn(
+            f"__rs{i}",
+            F.sum(F.when(F.col(type_col) == s, grow).otherwise(F.lit(0.0))).over(w),
+        )
+    shrink = F.pow(F.lit(2.0), -F.col("__d") / F.lit(half_life_days))
+    conv = ev.filter(F.col(type_col) == conversion_type)
+    ws = [(F.col(f"__rs{i}") * shrink) for i in range(len(source_types))]
+    total = sum(ws[1:], ws[0])
+    arms = [
+        F.struct(
+            F.lit(s).alias("source"),
+            F.when(total > 0, ws[i] / total).otherwise(F.lit(0.0)).alias("share"),
+        )
+        for i, s in enumerate(source_types)
+    ] + [
+        F.struct(
+            F.lit("direct").alias("source"),
+            F.when(total > 0, F.lit(0.0)).otherwise(F.lit(1.0)).alias("share"),
+        )
+    ]
+    per_conv = conv.select(
+        F.col(value_col), F.explode(F.array(*arms)).alias("a")
+    ).select("value", F.col("a.source").alias("source"), F.col("a.share").alias("share"))
+    return per_conv.groupBy("source").agg(
+        F.round(F.sum("share"), 3).alias("credited_conversions"),
+        F.round(F.sum(F.col("share") * F.col("value")), 2).alias("credited_value"),
+    )
