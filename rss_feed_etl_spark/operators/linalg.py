@@ -1,0 +1,161 @@
+"""Distributed linear algebra over embedding columns: covariance and PCA.
+
+The split mirrors how a 100 TB pipeline has to do it: the only pass over
+the data computes MERGEABLE sufficient statistics (count, per-dimension
+sums, Gram upper triangle) as one numpy GEMM per Arrow batch; everything
+O(d²) and beyond — the eigendecomposition — happens on the driver where
+d×d is trivially small, and the resulting basis rides back to executors
+inside the projection closure (map-only, no second wide pass).
+
+Extends the reference's vector math (its TF-IDF cosine in
+src/utils/ats_matcher.py:21-36 is the only linear algebra it has) to the
+embedding-column operations a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PARTIAL_SCHEMA = (
+    "i int, j int, g double, si double, sj double, n bigint"
+)
+
+
+def _gram_partials(vec_col: str, dim: int):
+    iu, ju = None, None
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nonlocal iu, ju
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if iu is None:
+                iu, ju = np.triu_indices(M.shape[1])
+            G = M.T @ M
+            s = M.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "g": G[iu, ju],
+                    "si": s[iu],
+                    "sj": s[ju],
+                    "n": np.full(len(iu), len(M), dtype=np.int64),
+                }
+            )
+
+    return fn
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    decimals: int = 6,
+) -> DataFrame:
+    """Population covariance matrix of an embedding column, as upper-
+    triangle entries (i, j, cov) with i ≤ j.
+
+    Plan shape (100 TB): ONE pass over the vectors — each Arrow batch
+    contributes a d×d Gram + sum + count via a single float64 GEMM — then
+    a groupBy on (i, j) merges the partials with map-side combine, so the
+    only exchange carries ~partitions × d(d+1)/2 tiny rows, never a
+    vector.  cov = E[xy] − E[x]E[y] is computed from the merged
+    statistics, exactly associative across any partitioning.
+    """
+    parts = emb.select(vec_col).mapInPandas(
+        _gram_partials(vec_col, dim), _PARTIAL_SCHEMA
+    )
+    merged = parts.groupBy("i", "j").agg(
+        F.sum("g").alias("g"),
+        F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"),
+        F.sum("n").alias("n"),
+    )
+    cov = (
+        F.col("g") / F.col("n")
+        - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
+    )
+    # + 0.0 folds IEEE -0.0 to +0.0: a tiny negative covariance rounds to
+    # -0.0, which string-canonicalizers ('-0.0' vs '0.0') treat as a diff
+    return merged.select(
+        "i", "j", (F.round(cov, decimals) + F.lit(0.0)).alias("cov")
+    )
+
+
+def _covariance_matrix(emb: DataFrame, vec_col: str, dim: int) -> np.ndarray:
+    rows = (
+        emb.select(vec_col)
+        .mapInPandas(_gram_partials(vec_col, dim), _PARTIAL_SCHEMA)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("g").alias("g"),
+            F.sum("si").alias("si"),
+            F.sum("sj").alias("sj"),
+            F.sum("n").alias("n"),
+        )
+        .collect()
+    )
+    C = np.zeros((dim, dim))
+    for r in rows:
+        c = r["g"] / r["n"] - (r["si"] / r["n"]) * (r["sj"] / r["n"])
+        C[r["i"], r["j"]] = c
+        C[r["j"], r["i"]] = c
+    return C
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    decimals: int = 6,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components.
+    Output is long-form (id, pc, coord) — hashable, no array column.
+
+    Signs are fixed deterministically (each eigenvector's
+    largest-|component| entry is made positive), so the output is a pure
+    function of the input corpus — stable across partitionings and runs.
+
+    Plan shape (100 TB): the covariance pass above (one GEMM scan, tiny
+    merged exchange) + an eigh on the DRIVER (d×d, microseconds) + a
+    map-only projection pass with the d×k basis shipped in the closure —
+    the second pass shuffles nothing.  This is the standard two-pass
+    distributed PCA; an iterative/sketched variant is only needed once d
+    itself is large, not at embedding widths.
+    """
+    C = _covariance_matrix(emb, vec_col, dim)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    V = vecs[:, order]
+    flip = np.sign(V[np.abs(V).argmax(axis=0), np.arange(V.shape[1])])
+    flip[flip == 0] = 1.0
+    V = V * flip
+
+    def project(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            P = np.round(M @ V, decimals)
+            n, kk = P.shape
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy(), kk),
+                    "pc": np.tile(np.arange(kk, dtype=np.int32), n),
+                    "coord": P.ravel(),
+                }
+            )
+
+    out = emb.select(id_col, vec_col).mapInPandas(
+        project, f"id bigint, pc int, coord double"
+    )
+    return out.withColumnRenamed("id", id_col)

@@ -472,3 +472,46 @@ def largest_remainder_allocation(
             .alias("alloc"),
         )
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "epoch-v1",
+    default_weight: float = 1.0,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Fractional-epoch UPsampling — the other half of data mixing
+    (``mixture_sample`` only goes down).  A group with weight 2.3 emits
+    every document 2 times plus a deterministic 30% of documents a 3rd
+    time: n(doc) = floor(w) + [md5(salt:key) mod p < frac(w)·p].  Output
+    repeats each surviving row with epoch = 0..n-1, so downstream shuffles
+    (deterministic_shuffle, curriculum_shards) interleave the copies
+    instead of emitting them back-to-back.
+
+    This is how LLM mixtures express "see Wikipedia ~3.5 times per epoch
+    of web": integer part exact, fractional part a stable hash choice, so
+    the realized mixture converges to the target with zero coordination.
+
+    Plan shape (100 TB): map-only — a per-row when-chain for the weight,
+    one md5, one ``explode(sequence)``; no shuffle, no state, and the
+    expansion factor per group is bounded by ceil(w).  Stable under
+    repartitioning and corpus growth (per-doc decision, not rank-based).
+    """
+    bucket = split_bucket(key_col, salt, precision)
+    wexpr: Column = F.lit(float(default_weight))
+    for group, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {group!r} must be >= 0, got {w}")
+        wexpr = F.when(F.col(group_col) == group, F.lit(float(w))).otherwise(wexpr)
+    whole = F.floor(wexpr).cast("int")
+    frac_thresh = F.round((wexpr - F.floor(wexpr)) * precision).cast("bigint")
+    n = whole + (bucket < frac_thresh).cast("int")
+    return (
+        df.withColumn("__n", n)
+        .filter(F.col("__n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )
