@@ -640,6 +640,7 @@ from . import driver_queries_wave37  # noqa: E402, F401  (registers wave-37 quer
 from . import driver_queries_wave38  # noqa: E402, F401  (registers wave-38 queries)
 from . import driver_queries_wave39  # noqa: E402, F401  (registers wave-39 queries)
 from . import driver_queries_wave40  # noqa: E402, F401  (registers wave-40 queries)
+from . import driver_queries_wave41  # noqa: E402, F401  (registers wave-41 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The

@@ -829,3 +829,58 @@ def paragraph_dedup(
         F.col("__n").cast("bigint").alias("n_paras"),
         F.size(keep_arr).cast("bigint").alias("n_kept"),
     )
+
+
+def prefix_clone_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Pairs of documents sharing an identical first-``k``-token prefix —
+    the cheap head-clone detector (truncated mirrors, templated articles,
+    and re-crawls share heads verbatim long before MinHash fires).
+    Complements ``ngram_jaccard_pairs``: one code per document instead of
+    one per shingle, so the detector costs a map pass plus one tiny
+    exchange — run it FIRST and feed only survivors to the expensive
+    near-dup passes.
+
+    Plan shape (100 TB): each doc emits a single 60-bit md5 prefix code
+    (never the prefix text); one partial-aggregated groupBy folds ids per
+    code; pairs expand in-bucket via array expressions (no self-join) with
+    a strict id_a < id_b guard; ``max_bucket`` caps degenerate heads
+    (boilerplate cover pages) exactly like the other banded dedup paths.
+    Docs with fewer than ``k`` tokens are excluded (their "prefix" is the
+    whole doc — that's exact dedup's job, not this operator's).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    code = F.conv(
+        F.substring(F.md5(F.array_join(F.slice("__t", 1, k), " ")), 1, 15), 16, 10
+    ).cast("bigint")
+    coded = (
+        df.select(F.col(id_col).alias("id"), toks.alias("__t"))
+        .filter(F.size("__t") >= k)
+        .select("id", code.alias("code"))
+    )
+    buckets = coded.groupBy("code").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    m = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.greatest(F.size(m) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.id_a") < F.col("p.id_b"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    )

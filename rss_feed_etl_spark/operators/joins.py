@@ -324,3 +324,107 @@ def fk_profile(
     ).select(
         "n_fact", "n_dim", "n_distinct_fk", "n_orphan_facts", "max_fanout", "avg_fanout"
     )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over a key column as a 1-row DataFrame holding
+    the bitmap (array of ``num_bits/64`` longs) — a distributed bloom
+    CONSTRUCTION, not a driver-side one.
+
+    Each key sets ``num_hashes`` bits at positions pmod(xxhash64(seed,
+    key), m); the bit words are assembled by a ``bit_or`` groupBy on the
+    word index — partial aggregation collapses each map partition to at
+    most m/64 rows before the (tiny) exchange, so building over a billion
+    keys shuffles kilobytes.  Everything is JVM-side expression work.
+    """
+    m = num_bits
+    per_seed = [
+        F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(m)).alias(f"p{i}")
+        for i in range(num_hashes)
+    ]
+    pos = keys.select(F.explode(F.array(*per_seed)).alias("pos"))
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            # expr form: pyspark's shiftleft() only takes a literal shift
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    # densify to a fixed-length array so membership tests are one
+    # element_at + bit test; absent words are 0
+    dense = words.sparkSession.range(m // 64).select(
+        F.col("id").cast("int").alias("word")
+    )
+    return (
+        dense.join(words, "word", "left")
+        .select("word", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("word", "bits"))).alias("ws"))
+        .select(
+            F.transform("ws", lambda s: s["bits"]).alias("__bloom"),
+            F.lit(m).alias("__m"),
+            F.lit(num_hashes).alias("__k"),
+        )
+    )
+
+
+def bloom_might_contain(
+    key_col: str, bloom_col: str = "__bloom", m: int = 1 << 20, k: int = 3
+):
+    """Membership predicate against a ``bloom_build`` bitmap column.
+
+    Built as one SQL expression (pyspark's shiftrightunsigned only
+    accepts a literal shift, the SQL form takes a column)."""
+    conds = []
+    for i in range(k):
+        p = f"pmod(xxhash64({i}, {key_col}), {m})"
+        w = f"element_at({bloom_col}, CAST({p} / 64 AS INT) + 1)"
+        conds.append(f"(shiftrightunsigned({w}, CAST({p} % 64 AS INT)) % 2 = 1)")
+    return F.expr(" AND ".join(conds))
+
+
+def bloom_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with a Bloom-filter pre-prune of the fact side: build a
+    bloom over the dim keys (one tiny bit_or aggregate), broadcast the
+    bitmap, and drop fact rows that cannot match BEFORE the join's
+    exchange.  The exact join then clears the bloom's false positives, so
+    semantics are identical to a plain join — only the shuffled volume
+    changes.
+
+    This is the semi-join reduction Spark's runtime bloom
+    (spark.sql.optimizer.runtime.bloomFilter.*) applies when it can; the
+    explicit form covers the cases it can't see — a dim filtered by an
+    earlier pipeline stage, a bitmap reused across several fact scans, or
+    a dim arriving from a different source.  At 100 TB the win is the
+    point: a 1%-selective dim means ~99% of the fact never enters the
+    shuffle, for the cost of one broadcast bitmap (num_bits/8 bytes;
+    false-positive rate ≈ (1 − e^(−k·n/m))^k).
+    """
+    bf = bloom_build(
+        dim.select(dim_key), dim_key, num_bits=num_bits, num_hashes=num_hashes
+    )
+    pruned = (
+        fact.join(F.broadcast(bf))
+        .filter(
+            bloom_might_contain(fact_key, "__bloom", m=num_bits, k=num_hashes)
+        )
+        .drop("__bloom", "__m", "__k")
+    )
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

@@ -163,3 +163,113 @@ def rrf_fusion(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(top)
     )
+
+
+def bm25_multi_topk(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = 20,
+) -> DataFrame:
+    """BM25 top-k for MANY queries in ONE corpus pass — the batch-eval
+    shape: scoring q queries must not cost q scans.
+
+    The union of all query terms filters the corpus once; per-term
+    document frequencies are computed once; the (query, term) incidence
+    is a broadcast (queries are tiny by definition), so fanning a matched
+    term out to the queries that contain it costs no shuffle.  The only
+    wide operations are the tf groupBy and the per-query top-k window —
+    both keyed fine-grained enough to never concentrate the corpus.
+    Output: (query_id, doc_id, rnk, score).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    qdf = spark.createDataFrame(
+        [(q, t) for q, ts in queries.items() for t in ts],
+        "query_id string, term string",
+    )
+    universe = F.array(*[F.lit(t) for t in all_terms])
+    tf = (
+        toks.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.filter("toks", lambda t: F.array_contains(universe, t)).alias("hits"),
+        )
+        .filter(F.size("hits") > 0)
+        .select("doc_id", "dl", F.explode("hits").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf") * (F.lit(k1) + 1.0)
+        / (F.col("tf") + F.lit(k1)
+           * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qdf), "term")
+        .join(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "doc_id", "rnk", "score")
+    )
+
+
+def rank_metrics(
+    ranked: DataFrame,
+    rel_col: str = "rel",
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    relevant_at: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """Retrieval-quality metrics per query over a ranked list with graded
+    relevance: nDCG (gain (2^rel − 1)/log2(pos+1), ideal ranking = rel
+    desc over the retrieved set) and MRR (reciprocal rank of the first
+    result with rel ≥ ``relevant_at``).
+
+    Input is a top-k list per query, so every window and aggregate here
+    runs on k-sized groups — the metrics layer adds no corpus-scale work
+    regardless of how the ranking was produced (BM25, ANN, fused).
+    """
+    from pyspark.sql import Window
+
+    gain = F.pow(F.lit(2.0), F.col(rel_col)) - F.lit(1.0)
+    iw = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(id_col).asc()
+    )
+    staged = ranked.withColumn("__ipos", F.row_number().over(iw))
+    dcg = F.sum(gain / F.log2(F.col(rank_col) + 1.0))
+    idcg = F.sum(gain / F.log2(F.col("__ipos") + 1.0))
+    first_rel = F.min(
+        F.when(F.col(rel_col) >= relevant_at, F.col(rank_col))
+    )
+    return staged.groupBy(query_col).agg(
+        F.round(
+            F.when(idcg > 0, dcg / idcg).otherwise(F.lit(0.0)), decimals
+        ).alias("ndcg"),
+        F.round(
+            F.coalesce(1.0 / first_rel, F.lit(0.0)), decimals
+        ).alias("mrr"),
+        F.count("*").cast("bigint").alias("n_ranked"),
+    )
