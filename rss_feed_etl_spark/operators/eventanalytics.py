@@ -633,3 +633,58 @@ def time_decay_attribution(
         F.round(F.sum("share"), 3).alias("credited_conversions"),
         F.round(F.sum(F.col("share") * F.col("value")), 2).alias("credited_value"),
     )
+
+
+def woe_binning(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Weight-of-evidence binning of a numeric feature against a binary
+    outcome — the classic scorecard/feature-prep transform: per value bin,
+    WOE = ln( (pos_i+½)/P / ((neg_i+½)/N) ), plus each bin's information-
+    value contribution (p_pos − p_neg)·WOE.  Tells a feature pipeline
+    which value ranges separate converters from non-converters and by how
+    much, with ½-smoothing so empty cells stay finite.
+
+    Scale shape: one map-only bin assignment (fixed-width buckets — no
+    global sort, no ntile single-partition hazard), one partial-aggregated
+    groupBy at bin grain, and the global pos/neg totals ride in as a
+    broadcast 1-row aggregate.  Fact rows are scanned once.
+    """
+    width = (hi - lo) / n_bins
+    bucket = (
+        F.when(F.col(value_col) < lo, F.lit(0))
+        .when(F.col(value_col) >= hi, F.lit(n_bins + 1))
+        .otherwise(
+            F.floor((F.col(value_col) - lo) / width).cast("int") + 1
+        )
+    )
+    is_pos = (F.col(type_col) == conversion_type).cast("int")
+    grain = (
+        events.select(bucket.alias("bucket"), is_pos.alias("__p"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("__p").cast("bigint").alias("n_pos"),
+            F.sum(1 - F.col("__p")).cast("bigint").alias("n_neg"),
+        )
+    )
+    totals = grain.agg(
+        F.sum("n_pos").cast("double").alias("P"),
+        F.sum("n_neg").cast("double").alias("N"),
+    )
+    p_pos = (F.col("n_pos") + 0.5) / F.col("P")
+    p_neg = (F.col("n_neg") + 0.5) / F.col("N")
+    woe = F.log(p_pos / p_neg)
+    return grain.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        F.round(woe, decimals).alias("woe"),
+        F.round((p_pos - p_neg) * woe, decimals).alias("iv_contrib"),
+    )

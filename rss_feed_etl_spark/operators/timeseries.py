@@ -215,3 +215,52 @@ def ks_drift(
         F.max("n2").cast("bigint").alias("n_after"),
         F.round(F.max("gap"), decimals).alias("ks_stat"),
     )
+
+
+def ema_smoothing(
+    daily: DataFrame,
+    key_col: str = "event_type",
+    day_col: str = "day",
+    value_col: str = "total",
+    alpha: float = 0.3,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-key exponential moving average over a daily series:
+    s_0 = x_0, s_t = α·x_t + (1−α)·s_{t−1} — the standard smoother for
+    dashboards/alerting that a plain moving average lags behind.
+
+    The recursion is closed-form-expanded so it runs as ONE window pass
+    (no recursive CTE, no per-key UDF fold):
+        s_t = α·(1−α)^t·Σ_{i≤t,i≥1} (1−α)^(−i)·x_i + (1−α)^t·x_0.
+    The running sum Σ (1−α)^(−i)·x_i telescopes in an ordinary
+    unbounded-preceding frame, exactly like the time-decay attribution
+    trick.  (1−α)^(−i) grows with the series index, so the form is for
+    day-GRAIN series (thousands of points ≈ fine at α ≤ 0.5 in doubles —
+    0.7^−2500 overflows; re-chunk or re-base longer series.)
+
+    Scale shape: input is day-grain (tiny by construction); one window
+    per key, partial nothing to worry about.  Output adds ``ema``.
+    """
+    w_ord = Window.partitionBy(key_col).orderBy(day_col)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    decay = F.lit(1.0 - alpha)
+    idx = F.row_number().over(w_ord) - 1  # t = 0, 1, ...
+    x0 = F.first(value_col).over(w_run)
+    contrib = F.when(idx > 0, F.pow(decay, -idx) * F.col(value_col)).otherwise(
+        F.lit(0.0)
+    )
+    staged = daily.select(
+        key_col, day_col, value_col, idx.alias("__t"), contrib.alias("__c"),
+        x0.alias("__x0"),
+    )
+    run = F.sum("__c").over(
+        Window.partitionBy(key_col).orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ema = (
+        F.lit(alpha) * F.pow(decay, F.col("__t")) * run
+        + F.pow(decay, F.col("__t")) * F.col("__x0")
+    )
+    return staged.select(
+        key_col, day_col, value_col, F.round(ema, decimals).alias("ema")
+    )
