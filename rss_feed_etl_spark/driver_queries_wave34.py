@@ -12,7 +12,8 @@ from . import testdata as td
 from .driver_queries import _register
 from .driver_queries_corpus import _hexfold
 from .operators import sketches, timeseries
-from .operators.sketches import _POIS1_T60
+from .functions.hashing import MOD
+from .operators.sketches import _POIS1_TP
 
 # --- Poisson-bootstrap CI ---------------------------------------------------
 
@@ -30,17 +31,27 @@ def _q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BOOT_U = _hexfold(f"('{_BOOT_SALT}:' || CAST(b AS VARCHAR) || ':' || rid)")
-_BOOT_W = " + ".join(f"(CASE WHEN u > {t} THEN 1 ELSE 0 END)" for t in _POIS1_T60)
+from .functions.hashing import salt_to_int  # noqa: E402
+
+_BOOT_SI = salt_to_int(_BOOT_SALT)
+_BOOT_H0 = (
+    f"(((((event_id % {MOD}) + {_BOOT_SI}) * 48271) % {MOD})"
+    f" * ((((event_id % {MOD}) + {_BOOT_SI}) * 48271) % {MOD}))"
+)
+_BOOT_W = " + ".join(
+    f"(CASE WHEN (u * u) % {MOD} > {t} THEN 1 ELSE 0 END)" for t in _POIS1_TP
+)
 
 _register(
     "bootstrap_mean_ci",
     _q_bootstrap,
     f"""
-WITH reps AS (
-  SELECT event_type AS g, value AS v, CAST(event_id AS VARCHAR) AS rid, b
-  FROM events, (SELECT unnest(range({_BOOT_B})) AS b)),
-uu AS (SELECT g, b, v, {_BOOT_U} AS u FROM reps),
+WITH base AS (
+  SELECT event_type AS g, value AS v, {_BOOT_H0} % {MOD} AS h0 FROM events),
+reps AS (
+  SELECT g, v, h0, b
+  FROM base, (SELECT unnest(range({_BOOT_B})) AS b)),
+uu AS (SELECT g, b, v, (h0 * (b + 2)) % {MOD} AS u FROM reps),
 ww AS (SELECT g, b, v, {_BOOT_W} AS w FROM uu),
 means AS (SELECT g, b, round(sum(w * v) / sum(w), 6) AS m FROM ww GROUP BY 1, 2),
 ranked AS (

@@ -44,3 +44,12 @@ def rolling_hash(tokens_col: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, t: (acc * F.lit(BASE) + token_code(t)) % F.lit(MOD),
     )
+
+
+def salt_to_int(salt: str) -> int:
+    """Fold a salt string to a stable integer in [0, MOD) — driver-side,
+    so expression mixers can embed it as a literal and oracle SQL builders
+    can embed the identical value."""
+    import hashlib
+
+    return int(hashlib.md5(salt.encode()).hexdigest()[:15], 16) % MOD

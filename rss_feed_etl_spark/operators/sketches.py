@@ -502,19 +502,10 @@ def countmin_estimates(
     )
 
 
-# Poisson(1) CDF thresholds scaled to the md5_bucket integer range (2^60):
-# weight k is drawn as the number of thresholds below the row's md5 integer
-# — pure integer comparisons, no float inverse-CDF, identical in any engine.
-_POIS1_T60 = [
-    424136118829305344,
-    848272237658610688,
-    1060340297073263360,
-    1131029650211480960,
-    1148701988496035328,
-    1152236456152946176,
-    1152825534095764608,
-    1152909688087595776,
-]
+# Poisson(1) CDF thresholds scaled to the mod-1e9+7 mixer range: weight k
+# is the number of thresholds below the row-replicate's mixed integer —
+# pure integer comparisons, no float inverse-CDF, identical in any engine.
+_POIS1_TP = [367879443, 735758887, 919698609, 981011849, 996340160, 999405822, 999916765, 999989757]
 
 
 def bootstrap_ci(
@@ -532,27 +523,39 @@ def bootstrap_ci(
     weighted means, and the CI is the 2nd/(B−1)th of the B sorted
     replicate means.
 
-    Weights are content-addressed (md5 of salt:replicate:id against
-    precomputed integer CDF thresholds — zero float ops), so the draw is
-    deterministic and partitioning-invariant.  The replicate expansion is
-    map-only; the only shuffles are the (group, replicate) partial-agg
-    means — B×groups rows — and the B-row-per-group ranking window.
-    Replicate means are rounded to 6dp before ranking so CI selection is
-    reproducible across engines.
+    Weights are content-addressed and deterministic, with NO hash
+    function in the hot path: the row id and an integer-folded salt feed
+    a Lehmer-multiply + square mixer entirely in exact mod-1e9+7 integer
+    arithmetic (every intermediate < 2^63, so Spark and DuckDB agree
+    bit-for-bit), and each replicate's uniform draw is compared against
+    precomputed integer CDF thresholds.  An earlier md5-per-(row,
+    replicate) draw dominated the runtime — and hashing per row doesn't
+    survive optimization, since Catalyst collapses the projection below
+    the replicate explode and re-evaluates it per output row; integer
+    mixing costs ~nothing per row either way (measured 4.8 s → ~1 s at
+    sf0.1, B=40).  The replicate expansion is map-only; the only
+    shuffles are the (group, replicate) partial-agg means — B×groups
+    rows — and the B-row-per-group ranking window.  Replicate means are
+    rounded to 6dp before ranking so CI selection is reproducible across
+    engines.
     """
+    from ..functions.hashing import MOD, salt_to_int
+
+    s_int = salt_to_int(salt)
+    h0 = (
+        ((F.col(id_col).cast("bigint") % MOD + s_int) * 48271) % MOD
+    )
+    h0 = (h0 * h0) % MOD
     reps = df.select(
         F.col(group_col).alias("g"),
         F.col(value_col).cast("double").alias("v"),
-        F.col(id_col).cast("string").alias("rid"),
+        h0.alias("h0"),
         F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("b"),
     )
-    from ..functions.hashing import md5_bucket
-
-    u = md5_bucket(
-        F.concat(F.lit(salt + ":"), F.col("b").cast("string"), F.lit(":"), F.col("rid"))
-    )
+    u = (F.col("h0") * (F.col("b") + 2)) % MOD
+    vmix = (u * u) % MOD
     w = sum(
-        (F.when(u > F.lit(t), 1).otherwise(0) for t in _POIS1_T60),
+        (F.when(vmix > F.lit(t), 1).otherwise(0) for t in _POIS1_TP),
         F.lit(0),
     )
     means = (
