@@ -388,7 +388,11 @@ def bloom_might_contain(
     for i in range(k):
         p = f"pmod(xxhash64({i}, {key_col}), {m})"
         w = f"element_at({bloom_col}, CAST({p} / 64 AS INT) + 1)"
-        conds.append(f"(shiftrightunsigned({w}, CAST({p} % 64 AS INT)) % 2 = 1)")
+        # & 1, not % 2: a zero shift leaves a negative word intact, and
+        # SQL % keeps the dividend's sign (-x % 2 = -1), silently turning
+        # every (bit 63 set, bit position ≡ 0 mod 64) probe into a false
+        # negative — which a Bloom filter must never produce
+        conds.append(f"((shiftrightunsigned({w}, CAST({p} % 64 AS INT)) & 1) = 1)")
     return F.expr(" AND ".join(conds))
 
 

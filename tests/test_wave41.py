@@ -48,6 +48,22 @@ def test_bloom_membership_no_false_negatives(spark):
     assert member <= got  # a bloom can over-approximate, never miss
 
 
+def test_bloom_membership_negative_word_bit_zero(spark):
+    # regression: with a saturated bitmap every word has bit 63 set (the
+    # long is negative) and bit 0 set; a probe landing on bit position 0
+    # must still test true — `shiftrightunsigned(w, 0) % 2` returned -1
+    # there and silently produced false negatives
+    keys = spark.range(2000).select(F.col("id").alias("k"))
+    bf = joins.bloom_build(keys, "k", num_bits=1 << 12, num_hashes=3)
+    words = bf.collect()[0]["__bloom"]
+    assert all(w == -1 for w in words)  # fully saturated: all bits set
+    probe = keys.join(F.broadcast(bf))
+    n_hit = probe.filter(
+        joins.bloom_might_contain("k", m=1 << 12)
+    ).count()
+    assert n_hit == 2000  # every probe true on a saturated filter
+
+
 def test_bloom_prune_filter_runs_before_join_exchange(spark):
     fact = spark.range(10000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
     dim = spark.range(0, 10000, 100).select(F.col("id").alias("dk"))
