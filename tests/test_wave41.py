@@ -53,7 +53,9 @@ def test_bloom_membership_negative_word_bit_zero(spark):
     # long is negative) and bit 0 set; a probe landing on bit position 0
     # must still test true — `shiftrightunsigned(w, 0) % 2` returned -1
     # there and silently produced false negatives
-    keys = spark.range(2000).select(F.col("id").alias("k"))
+    # 30k keys × 3 hashes over 4096 bits: P(any bit unset) < 1e-6, so the
+    # bitmap is saturated — every word is -1 (bit 63 set) with certainty
+    keys = spark.range(30000).select(F.col("id").alias("k"))
     bf = joins.bloom_build(keys, "k", num_bits=1 << 12, num_hashes=3)
     words = bf.collect()[0]["__bloom"]
     assert all(w == -1 for w in words)  # fully saturated: all bits set
@@ -61,7 +63,7 @@ def test_bloom_membership_negative_word_bit_zero(spark):
     n_hit = probe.filter(
         joins.bloom_might_contain("k", m=1 << 12)
     ).count()
-    assert n_hit == 2000  # every probe true on a saturated filter
+    assert n_hit == 30000  # every probe true on a saturated filter
 
 
 def test_bloom_prune_filter_runs_before_join_exchange(spark):
