@@ -605,11 +605,17 @@ def time_decay_attribution(
     )
     ev = events.crossJoin(F.broadcast(t0)).withColumn("__d", days)
     grow = F.pow(F.lit(2.0), F.col("__d") / F.lit(half_life_days))
-    for i, s in enumerate(source_types):
-        ev = ev.withColumn(
-            f"__rs{i}",
-            F.sum(F.when(F.col(type_col) == s, grow).otherwise(F.lit(0.0))).over(w),
-        )
+    # one select for all running sums: separate withColumns leave separate
+    # Window nodes in the plan; same spec in one projection collapses them
+    ev = ev.select(
+        "*",
+        *[
+            F.sum(F.when(F.col(type_col) == s, grow).otherwise(F.lit(0.0)))
+            .over(w)
+            .alias(f"__rs{i}")
+            for i, s in enumerate(source_types)
+        ],
+    )
     shrink = F.pow(F.lit(2.0), -F.col("__d") / F.lit(half_life_days))
     conv = ev.filter(F.col(type_col) == conversion_type)
     ws = [(F.col(f"__rs{i}") * shrink) for i in range(len(source_types))]

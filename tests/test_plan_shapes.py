@@ -428,3 +428,81 @@ def test_dow_profile_and_sigma_broadcast(spark):
     # the day-grain frame
     assert "SortMergeJoin" not in s
     assert "CartesianProduct" not in s
+
+
+def test_paragraph_dedup_bodies_never_shuffle(spark):
+    s = _plan(_queries()["paragraph_dedup"](spark, SF_DIR))
+    # the only exchanges carry (code|id, pos) — paragraph/token arrays must
+    # be sliced map-side, never exchanged on the code key
+    for line in s.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "__paras" not in line and "__toks" not in line
+    assert "CartesianProduct" not in s
+
+
+def test_kaplan_meier_horizon_is_broadcast(spark):
+    s = _plan(_queries()["km_survival"](spark, SF_DIR))
+    # the observation-horizon scalar rides in via broadcast, and all
+    # windows run at duration grain (post-aggregate), never over facts
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
+    assert "CartesianProduct" not in s
+
+
+def test_time_decay_single_user_window_no_pair_join(spark):
+    s = _plan(_queries()["time_decay_attribution"](spark, SF_DIR))
+    # the telescoped running sums replace the touch×conversion join: the
+    # only join is the broadcast of the 1-row t0 aggregate, and BOTH
+    # per-source running sums share one Window node (one sort, one shuffle)
+    import re
+
+    assert "SortMergeJoin" not in s
+    assert len(re.findall(r"\(\d+\) Window", s)) == 1
+    assert len(re.findall(r"\(\d+\) Sort\b", s)) == 1
+    assert "CartesianProduct" not in s
+
+
+def test_covariance_partials_partial_aggregated(spark):
+    s = _plan(_queries()["embedding_covariance"](spark, SF_DIR))
+    # one Arrow pass emits (i, j) partials; the merge groupBy must get
+    # map-side combine so the exchange carries ~partitions × d² rows
+    assert "ArrowEvalPython" in s or "MapInPandas" in s or "mapInPandas" in s.lower()
+    assert s.count("HashAggregate") >= 2
+    assert "Join" not in s
+
+
+def test_multi_bm25_query_incidence_broadcast(spark):
+    s = _plan(_queries()["search_rank_metrics"](spark, SF_DIR))
+    # per-term stats and the (query, term) incidence reach the scored
+    # join via broadcast — the corpus-side tf never sort-merge joins
+    assert "SortMergeJoin" not in s
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_bloom_revenue_prune_precedes_exact_join(spark):
+    s = _plan(_queries()["bloom_prune_revenue"](spark, SF_DIR))
+    # membership filter present, bitmap broadcast, and no cartesian
+    assert "shiftrightunsigned" in s
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
+    assert "CartesianProduct" not in s
+
+
+def test_epoch_upsample_map_only(spark):
+    s = _plan(_queries()["epoch_upsample"](spark, SF_DIR))
+    # per-doc replicate decision + explode: no exchange at all
+    assert "Exchange" not in s
+    assert "Join" not in s
+
+
+def test_ema_single_key_window(spark):
+    s = _plan(_queries()["ema_daily_revenue"](spark, SF_DIR))
+    # day-grain aggregate then per-key windows that share one partitioning
+    assert "CartesianProduct" not in s
+    assert s.count("Exchange hashpartitioning") <= 2
+
+
+def test_woe_totals_broadcast_back(spark):
+    s = _plan(_queries()["woe_value_bins"](spark, SF_DIR))
+    # bin grain aggregate + 1-row totals broadcast: no sort-merge join
+    assert "SortMergeJoin" not in s
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
