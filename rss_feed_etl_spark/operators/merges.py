@@ -341,3 +341,44 @@ def cdc_apply_ordered(
             F.col("n_ops"),
         )
     )
+
+
+def golden_record(
+    members: DataFrame,
+    component_col: str = "component_id",
+    id_col: str = "id",
+    priority_col: str = "priority",
+    field_cols: list[str] | None = None,
+) -> DataFrame:
+    """Survivorship merge ("golden record"): per duplicate cluster, build
+    ONE output row whose every field takes the value from the best
+    available member — best = lowest (priority, id) among members where
+    that FIELD is non-null.  Unlike ``dedup.canonical_per_component``
+    (which keeps one whole row), fields are chosen independently, so a
+    cluster can take its title from the curated source and its body from
+    the crawl — the standard MDM assembly step after entity resolution.
+
+    Plan shape (100 TB): one partial-aggregated groupBy on the component
+    key; each field is a ``min_by`` whose ordering struct ranks null
+    fields last — no window, no per-field self-join, map-side combine
+    collapses clusters before the exchange.
+    """
+    field_cols = field_cols or [
+        c for c in members.columns
+        if c not in (component_col, id_col, priority_col)
+    ]
+    # the ordering is encoded as ONE bigint (null-flag ≫ priority ≫ id)
+    # instead of a struct: scalar keys have min_by/arg_min equivalents in
+    # every engine, so the oracle can mirror the survivorship exactly
+    aggs = []
+    for f in field_cols:
+        ordk = (
+            F.col(f).isNull().cast("bigint") * F.lit(1_000_000_000_000_000)
+            + F.col(priority_col).cast("bigint") * F.lit(10_000_000_000_000)
+            + F.col(id_col).cast("bigint")
+        )
+        aggs.append(F.min_by(F.col(f), ordk).alias(f))
+    return members.groupBy(F.col(component_col)).agg(
+        *aggs,
+        F.count("*").cast("bigint").alias("n_members"),
+    )

@@ -126,3 +126,45 @@ def dq_assertion_report(
             ),
         )
     )
+
+
+def join_cardinality_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top: int = 5,
+) -> DataFrame:
+    """Predict an equi-join's output size BEFORE running it: |A ⋈ B| =
+    Σ_k cnt_A(k)·cnt_B(k), exactly, from the two key histograms — plus
+    the share of that output owned by the ``top`` hottest keys.  This is
+    the pre-flight check that catches a runaway many-to-many join (or a
+    key-skew hotspot AQE will struggle with) at histogram cost instead of
+    join cost.
+
+    Plan shape (100 TB): each side collapses to key grain with a partial-
+    aggregated count (map-side combine), the histograms join on the key
+    (already co-partitioned by the aggregation), and the result is one
+    tiny rollup row.  Neither fact table is ever exchanged row-by-row.
+    """
+    a = left.groupBy(F.col(left_key).alias("k")).agg(F.count("*").alias("ca"))
+    b = right.groupBy(F.col(right_key).alias("k")).agg(F.count("*").alias("cb"))
+    m = a.join(b, "k").select(
+        "k", (F.col("ca") * F.col("cb")).cast("bigint").alias("rows_out")
+    )
+    totals = m.agg(
+        F.count("*").cast("bigint").alias("n_matching_keys"),
+        F.sum("rows_out").cast("bigint").alias("est_rows"),
+        F.max("rows_out").cast("bigint").alias("max_key_rows"),
+    )
+    top_rows = (
+        m.orderBy(F.desc("rows_out"), F.asc("k"))
+        .limit(top)
+        .agg(F.sum("rows_out").cast("bigint").alias("top_rows"))
+    )
+    return totals.crossJoin(F.broadcast(top_rows)).select(
+        "n_matching_keys",
+        "est_rows",
+        "max_key_rows",
+        F.round(F.col("top_rows") / F.col("est_rows"), 6).alias("top_share"),
+    )

@@ -658,3 +658,51 @@ def winsorized_means(
             F.max("p_hi").alias("p_hi"),
         )
     )
+
+
+def combine_aggregates(
+    old_agg: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Incremental aggregate-table maintenance: fold an INSERT batch into
+    a stored per-key aggregate (n, total, vmin, vmax, mean) without
+    rescanning history — new = combine(stored, aggregate(batch)), using
+    only associative statistics, so the stored table is all the state the
+    pipeline ever needs.  (Deletions would break vmin/vmax — handle those
+    with partition-level recompute, not decrements.)
+
+    Plan shape (100 TB): the batch collapses to key grain map-side; the
+    stored aggregate is already key grain; a full-outer merge on the key
+    then costs |keys|, never |history|.  The history FACTS are never read
+    — that is the point.
+    """
+    fresh = batch.groupBy(F.col(key_col).alias("k")).agg(
+        F.count("*").cast("bigint").alias("bn"),
+        F.sum(value_col).alias("btotal"),
+        F.min(value_col).alias("bmin"),
+        F.max(value_col).alias("bmax"),
+    )
+    stored = old_agg.select(
+        F.col(key_col).alias("k"),
+        F.col("n").alias("on_"),
+        F.col("total").alias("ototal"),
+        F.col("vmin").alias("omin"),
+        F.col("vmax").alias("omax"),
+    )
+    merged = stored.join(fresh, "k", "full_outer")
+    n = F.coalesce("on_", F.lit(0)) + F.coalesce("bn", F.lit(0))
+    total = F.coalesce("ototal", F.lit(0.0)) + F.coalesce("btotal", F.lit(0.0))
+    return merged.select(
+        F.col("k").alias(key_col),
+        n.cast("bigint").alias("n"),
+        F.round(total, 2).alias("total"),
+        F.least(
+            F.coalesce("omin", "bmin"), F.coalesce("bmin", "omin")
+        ).alias("vmin"),
+        F.greatest(
+            F.coalesce("omax", "bmax"), F.coalesce("bmax", "omax")
+        ).alias("vmax"),
+        F.round(total / n, 6).alias("mean"),
+    )
