@@ -74,3 +74,69 @@ def test_salted_join_matches_plain_join(spark):
     plain = left.join(right, on="k").select("k", "lval", "rval")
     salted = salted_join(left, right, on="k", salt=8).select("k", "lval", "rval")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_running_user_totals_folds_across_batches(spark, tmp_path):
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithStateInPandas needs a working google.protobuf "
+            "(its state server speaks protobuf); not available here"
+        )
+    from pyspark.sql import functions as F
+
+    from rss_feed_etl_spark.streaming.stateful import running_user_totals
+
+    landing = tmp_path / "landing2"
+    schema = "event_id long, user_id long, value double"
+    b1 = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 20.0), (3, 2, 5.0)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(4, 1, 1.5), (5, 3, 7.0)], schema
+    )
+    b1.coalesce(1).write.parquet(str(landing / "b1"))
+    b2.coalesce(1).write.parquet(str(landing / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing / "*"))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per (batch, touched key): the LAST row per
+    # key is the live profile — and it must equal the batch groupBy fold
+    rows = spark.sql(
+        "SELECT * FROM user_totals"
+    ).collect()
+    latest = {}
+    for r in rows:  # memory sink appends in batch order
+        latest[r.user_id] = (r.n_events, r.total_value, r.last_event_id)
+    assert latest[1] == (3, 31.5, 4)
+    assert latest[2] == (1, 5.0, 3)
+    assert latest[3] == (1, 7.0, 5)
+    # batch equivalence: fold == one-shot groupBy over the union
+    want = {
+        r["user_id"]: (r["n"], r["t"], r["m"])
+        for r in b1.unionByName(b2)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("t"),
+            F.max("event_id").alias("m"),
+        )
+        .collect()
+    }
+    assert {k: v for k, v in latest.items()} == want
