@@ -884,3 +884,35 @@ def prefix_clone_pairs(
         .filter(F.col("p.id_a") < F.col("p.id_b"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
     )
+
+
+def bow_fingerprint_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Order-insensitive exact dedup: fingerprint = md5 of the SORTED
+    lowercase token multiset, keep the smallest id per fingerprint.
+    Catches the dup class ``dedup_exact`` structurally cannot — word-order
+    shuffles (scraped lists re-sorted, templated reorderings) — while
+    staying exact: same tokens, same counts, any order → one survivor.
+
+    Plan shape (100 TB): fingerprint is a map-only expression
+    (split/sort/hash per row, no vocabulary state); survivor choice is a
+    partial-aggregated min/min_by groupBy on the 16-byte digest — the
+    same exchange discipline as ``dedup_exact``, bodies shuffle only as
+    the single surviving text per digest per map partition.
+    """
+    fp = F.md5(
+        F.array_join(F.sort_array(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")), " ")
+    )
+    return (
+        df.select(F.col(id_col), fp.alias("__fp"), F.col(text_col))
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min_by(text_col, id_col).alias(text_col),
+            F.count("*").cast("bigint").alias("n_dups"),
+        )
+        .select(id_col, text_col, "n_dups")
+    )

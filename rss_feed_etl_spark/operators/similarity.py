@@ -939,3 +939,62 @@ def topk_recall(
             F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(float(k)), 6
         ).alias("recall"),
     )
+
+
+def rerank_exact(
+    embeddings: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact-cosine rerank of an approximate candidate list — the second
+    stage of every retrieve→rerank pipeline: a cheap recall-oriented
+    retriever (int8 dot, LSH, IVF) over-fetches candidates, then the
+    exact float cosine reorders just those and cuts to ``k``.  Restores
+    exact-ORDER precision wherever the candidate set contains the true
+    top-k, at candidate-set cost instead of corpus cost.
+
+    Plan shape (100 TB): candidates are (queries × candidate-k) rows —
+    sample-sized.  The neighbor vectors arrive by one id-key join against
+    the corpus (the only corpus-touching step, an equi-join on the
+    corpus's own key); query vectors ride in broadcast.  The cosine fold
+    and the per-query top-k window run at candidate grain.
+    """
+    from pyspark.sql import Window
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    qvecs = embeddings.select(
+        F.col(id_col).alias(query_col), F.col(vec_col).alias("__qv")
+    ).join(F.broadcast(candidates.select(query_col).distinct()), query_col)
+    nvecs = embeddings.select(
+        F.col(id_col).alias(neighbor_col), F.col(vec_col).alias("__nv")
+    )
+    joined = (
+        candidates.select(query_col, neighbor_col)
+        .join(nvecs, neighbor_col)
+        .join(F.broadcast(qvecs), query_col)
+    )
+    cos = _dot(F.col("__qv"), F.col("__nv")) / (
+        F.sqrt(_dot(F.col("__qv"), F.col("__qv")))
+        * F.sqrt(_dot(F.col("__nv"), F.col("__nv")))
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("cosine"), F.asc(neighbor_col)
+    )
+    return (
+        joined.select(
+            query_col, neighbor_col, F.round(cos, decimals).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -254,3 +254,51 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def plan_compaction(
+    files: DataFrame,
+    partition_col: str,
+    file_col: str,
+    bytes_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-files compaction plan: assign each partition's files to
+    rewrite bins of ~``target_bytes`` so a compactor can merge every bin
+    into one output file.  The streaming-sink disease at scale is millions
+    of kilobyte files; this emits the rewrite batches that fix it.
+
+    Bin assignment is next-fit over the per-partition cumulative size in
+    (bytes desc, file) order: bin = floor((cumsum − bytes) / target) — a
+    pure window expression, deterministic, no driver-side bin-packing
+    loop.  Next-fit is within 2× of optimal bin count and, unlike
+    first-fit-decreasing, needs no sequential state.
+
+    Plan shape (100 TB): file MANIFEST grain (one row per file), windowed
+    per partition key — no single global window, so a table with millions
+    of files across thousands of partitions spreads evenly.  Output adds
+    (bin, bin_bytes, n_bin_files) per file row.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.col(bytes_col).desc(), F.col(file_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = files.withColumn(
+        "bin",
+        F.floor(
+            (F.sum(bytes_col).over(w) - F.col(bytes_col))
+            / F.lit(float(target_bytes))
+        ).cast("int"),
+    )
+    wb = Window.partitionBy(partition_col, "bin")
+    return staged.select(
+        partition_col,
+        file_col,
+        bytes_col,
+        "bin",
+        F.sum(bytes_col).over(wb).cast("bigint").alias("bin_bytes"),
+        F.count("*").over(wb).cast("bigint").alias("n_bin_files"),
+    )
