@@ -123,3 +123,58 @@ def pagerank(
             )
         )
     return ranks.select("node", F.round("rank", decimals).alias("rank"))
+
+
+def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Global triangle count over an undirected edge list (a < b, distinct)
+    — the clustering-coefficient / community-density primitive.
+
+    Plan shape (100 TB): the classic degree-ordered orientation — each
+    undirected edge is directed from its lower-(degree, id) endpoint to
+    the higher one, so every vertex's out-degree is bounded by ~√|E| and
+    the wedge self-join (the quadratic step of naive counting) becomes
+    Σ out-deg² ≈ |E|^1.5 instead of Σ deg² (which a single celebrity hub
+    makes quadratic).  One join builds wedges, one semi-join closes them
+    against the oriented edge set; per-vertex degrees ride in broadcast.
+    """
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+    )
+    w1 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("x"))
+    w2 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("y"))
+    wedges = w1.join(w2, "p").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        oriented.select(
+            F.col("lo").alias("x"), F.col("hi").alias("y"), F.lit(1).alias("__c1")
+        ),
+        ["x", "y"],
+        "left",
+    ).join(
+        oriented.select(
+            F.col("lo").alias("y"), F.col("hi").alias("x"), F.lit(1).alias("__c2")
+        ),
+        ["x", "y"],
+        "left",
+    )
+    hit = F.coalesce("__c1", "__c2").isNotNull()
+    return closed.agg(
+        F.sum(hit.cast("long")).cast("bigint").alias("n_triangles"),
+        F.count("*").cast("bigint").alias("n_wedges"),
+    )

@@ -382,3 +382,39 @@ def golden_record(
         *aggs,
         F.count("*").cast("bigint").alias("n_members"),
     )
+
+
+def cdc_to_scd2(
+    log: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    op_col: str = "op",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reconstruct an SCD2 version history from an ordered I/U/D change
+    log: every insert/update opens a version effective from its change
+    time until the key's NEXT change (update, delete, or re-insert); a
+    delete closes the prior version and emits nothing itself.  The
+    complement of ``cdc_apply_ordered`` (which keeps only the final
+    state): this materializes the full temporal table an auditor or
+    as-of join needs, from the same stream.
+
+    Plan shape (100 TB): one per-key window sorted by (ts, seq) — the
+    ``lead`` of the next change time IS the interval end, so history
+    assembly costs exactly one shuffle, no self-join of the log against
+    itself, no per-version probes.
+    """
+    from pyspark.sql import Window
+
+    value_cols = value_cols or ["value"]
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col(seq_col).asc())
+    nxt = F.lead(ts_col).over(w)
+    staged = log.withColumn("__end", nxt)
+    return staged.filter(F.col(op_col).isin("I", "U")).select(
+        key,
+        *value_cols,
+        F.col(ts_col).alias("effective_start"),
+        F.col("__end").alias("effective_end"),
+        F.col("__end").isNull().cast("int").alias("current_flag"),
+    )

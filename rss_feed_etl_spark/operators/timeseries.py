@@ -264,3 +264,38 @@ def ema_smoothing(
     return staged.select(
         key_col, day_col, value_col, F.round(ema, decimals).alias("ema")
     )
+
+
+def time_weighted_average(
+    samples: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-key time-weighted average over irregular samples: each value
+    holds until the key's next sample, so TWAP = Σ vᵢ·Δtᵢ / Σ Δtᵢ with
+    Δtᵢ the seconds to the next sample (the last sample carries no
+    weight).  The correct mean for sensor/price/quality series sampled on
+    change — the arithmetic mean over-weights busy periods exactly where
+    sampling is densest.
+
+    Plan shape (100 TB): one per-key window (``lead`` for Δt), one
+    partial-aggregated groupBy — same single-shuffle discipline as every
+    series operator here.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(seq_col).asc()
+    )
+    dt = F.lead(F.col(ts_col).cast("double")).over(w) - F.col(ts_col).cast("double")
+    staged = samples.withColumn("__dt", dt).filter(F.col("__dt").isNotNull())
+    return staged.groupBy(key_col).agg(
+        F.round(
+            F.sum(F.col(value_col) * F.col("__dt")) / F.sum("__dt"), decimals
+        ).alias("twap"),
+        F.round(F.avg(value_col), decimals).alias("plain_mean"),
+        F.count("*").cast("bigint").alias("n_intervals"),
+    )
