@@ -645,6 +645,7 @@ from . import driver_queries_wave42  # noqa: E402, F401  (registers wave-42 quer
 from . import driver_queries_wave43  # noqa: E402, F401  (registers wave-43 queries)
 from . import driver_queries_wave44  # noqa: E402, F401  (registers wave-44 queries)
 from . import driver_queries_wave45  # noqa: E402, F401  (registers wave-45 queries)
+from . import driver_queries_wave46  # noqa: E402, F401  (registers wave-46 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The

@@ -694,3 +694,102 @@ def woe_binning(
         F.round(woe, decimals).alias("woe"),
         F.round((p_pos - p_neg) * woe, decimals).alias("iv_contrib"),
     )
+
+
+def wilson_rate_intervals(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    group_expr: str = "CAST(get_json_object(props, '$.k') AS INT) % 10",
+    type_col: str = "event_type",
+    z: float = 1.96,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group conversion rate with a Wilson score interval — the
+    A/B-readout aggregate: unlike the normal approximation, Wilson stays
+    inside [0, 1] and behaves at small n / extreme rates, so segment
+    tables don't show negative lower bounds on rare conversions.
+
+        center = (p̂ + z²/2n) / (1 + z²/n),
+        half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n).
+
+    Plan shape (100 TB): one partial-aggregated groupBy (n, conversions)
+    at segment grain; the interval is closed-form expression work on the
+    aggregate row.
+    """
+    grp = F.expr(group_expr)
+    is_conv = (F.col(type_col) == conversion_type).cast("int")
+    g = events.select(grp.alias("segment"), is_conv.alias("c")).groupBy(
+        "segment"
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("n_conv"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("n_conv") / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / denom
+    )
+    return g.select(
+        "segment", "n", "n_conv",
+        F.round(p, decimals).alias("rate"),
+        F.round(center - half, decimals).alias("ci_lo"),
+        F.round(center + half, decimals).alias("ci_hi"),
+    )
+
+
+def funnel_latency(
+    events: DataFrame,
+    start_type: str = "view",
+    end_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    decimals: int = 2,
+) -> DataFrame:
+    """Time-to-convert distribution: per user, the delay from the FIRST
+    ``start_type`` event to the first ``end_type`` event after it; output
+    is one row of funnel timing stats (converting users, conversion rate
+    among exposed users, p50/p90 latency in seconds).
+
+    Plan shape (100 TB): one per-user window pass carries the first-start
+    timestamp forward; first-conversion-after-start is a per-user
+    aggregate on the same partitioning; the percentile runs at
+    converting-user grain.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start_ts = F.min(
+        F.when(F.col(type_col) == start_type, F.col(ts_col))
+    ).over(w)
+    staged = events.withColumn("__start", start_ts)
+    per_user = staged.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == start_type, F.col(ts_col))).alias("s"),
+        F.min(
+            F.when(
+                (F.col(type_col) == end_type) & F.col("__start").isNotNull(),
+                F.col(ts_col),
+            )
+        ).alias("e"),
+    )
+    lat = per_user.filter(F.col("s").isNotNull()).select(
+        (F.col("e").cast("double") - F.col("s").cast("double")).alias("latency")
+    )
+    p = F.percentile(F.col("latency"), F.lit([0.5, 0.9]))
+    return lat.agg(
+        F.count("*").cast("bigint").alias("n_exposed"),
+        F.count("latency").cast("bigint").alias("n_converted"),
+        F.round(F.count("latency") / F.count("*"), decimals + 4).alias("conversion_rate"),
+        F.round(p[0], decimals).alias("latency_p50_s"),
+        F.round(p[1], decimals).alias("latency_p90_s"),
+    )

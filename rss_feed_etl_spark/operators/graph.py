@@ -178,3 +178,47 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
         F.sum(hit.cast("long")).cast("bigint").alias("n_triangles"),
         F.count("*").cast("bigint").alias("n_wedges"),
     )
+
+
+def transition_probabilities(
+    events: DataFrame,
+    alpha: float = 1.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    node_expr: str = "event_type",
+    decimals: int = 6,
+) -> DataFrame:
+    """Laplace-smoothed Markov transition matrix over the clickstream:
+    P(dst | src) = (count(src→dst) + α) / (count(src→*) + α·|states|) —
+    the next-event model behind "users who do X then do Y", with
+    smoothing so unobserved transitions get calibrated non-zero mass.
+
+    Plan shape (100 TB): `transition_edges`' single user window + edge
+    aggregate, a state-grain dimension cross join to densify the matrix
+    (|states|² rows — tiny), and per-src totals broadcast back.
+    """
+    edges = transition_edges(events, user_col, ts_col, tiebreak_col, node_expr)
+    states = events.select(F.expr(node_expr).alias("s")).distinct()
+    k = states.agg(F.count("*").cast("int").alias("k"))
+    dense = (
+        states.select(F.col("s").alias("src"))
+        .crossJoin(states.select(F.col("s").alias("dst")))
+        .join(edges, ["src", "dst"], "left")
+        .withColumn("weight", F.coalesce("weight", F.lit(0)))
+    )
+    totals = dense.groupBy("src").agg(F.sum("weight").alias("__tot"))
+    return (
+        dense.join(F.broadcast(totals), "src")
+        .crossJoin(F.broadcast(k))
+        .select(
+            "src",
+            "dst",
+            F.col("weight").cast("bigint").alias("n"),
+            F.round(
+                (F.col("weight") + F.lit(alpha))
+                / (F.col("__tot") + F.lit(alpha) * F.col("k")),
+                decimals,
+            ).alias("p"),
+        )
+    )
