@@ -1112,3 +1112,47 @@ def hashed_quality_scores(
             (score >= F.lit(threshold)).alias("keep"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_bins: int = 20,
+    decimals: int = 4,
+) -> DataFrame:
+    """Equi-depth quantile normalization: replace each row's value with
+    the GLOBAL quantile at the row's within-group percent rank, so every
+    group's distribution maps onto the corpus-wide one — the cross-source
+    calibration step before mixing quality/length scores whose scales
+    differ by source (source A's "long" must mean the same as source B's).
+
+    Plan shape (100 TB): the global quantile boundary array is ONE
+    aggregate row broadcast everywhere; per-row work is a percent_rank
+    window inside the group partition and an array lookup — no global
+    sort, no range join, no per-row quantile query.
+    """
+    from pyspark.sql import Window
+
+    qs = [i / n_bins for i in range(n_bins + 1)]
+    bounds = df.agg(
+        F.percentile(F.col(value_col), F.lit(qs)).alias("__bounds")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    r = F.percent_rank().over(w)
+    staged = df.select(
+        id_col, group_col, F.col(value_col), r.alias("__r")
+    ).crossJoin(F.broadcast(bounds))
+    idx = F.least(
+        F.floor(F.col("__r") * n_bins).cast("int"), F.lit(n_bins)
+    )
+    return staged.select(
+        id_col,
+        group_col,
+        F.col(value_col),
+        F.round(F.col("__r"), 6).alias("pct_rank"),
+        F.round(F.get("__bounds", idx), decimals).alias("normalized"),
+    )
