@@ -647,6 +647,7 @@ from . import driver_queries_wave44  # noqa: E402, F401  (registers wave-44 quer
 from . import driver_queries_wave45  # noqa: E402, F401  (registers wave-45 queries)
 from . import driver_queries_wave46  # noqa: E402, F401  (registers wave-46 queries)
 from . import driver_queries_wave47  # noqa: E402, F401  (registers wave-47 queries)
+from . import driver_queries_wave48  # noqa: E402, F401  (registers wave-48 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The

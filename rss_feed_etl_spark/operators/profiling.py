@@ -168,3 +168,54 @@ def join_cardinality_estimate(
         "max_key_rows",
         F.round(F.col("top_rows") / F.col("est_rows"), 6).alias("top_share"),
     )
+
+
+def score_calibration(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    lo: float = -0.5,
+    hi: float = 0.5,
+    n_bins: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Reliability diagram for a [lo, hi) score against a binary label:
+    per fixed-width score bin, the mean predicted score vs the observed
+    positive rate, plus each bin's weighted |gap| (the summands of
+    expected calibration error).  The check every learned quality filter
+    needs before its threshold means anything.
+
+    Plan shape (100 TB): one map-only bin assignment + one partial-
+    aggregated groupBy at bin grain; the corpus total rides back as a
+    broadcast 1-row aggregate for the ECE weights.
+    """
+    width = (hi - lo) / n_bins
+    bucket = (
+        F.when(F.col(score_col) < lo, F.lit(0))
+        .when(F.col(score_col) >= hi, F.lit(n_bins + 1))
+        .otherwise(F.floor((F.col(score_col) - lo) / width).cast("int") + 1)
+    )
+    g = (
+        scored.select(
+            bucket.alias("bucket"),
+            F.col(score_col).alias("s"),
+            F.col(label_col).cast("int").alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.avg("s").alias("__ms"),
+            F.avg("y").alias("__rate"),
+        )
+    )
+    total = g.agg(F.sum("n").cast("double").alias("__total_n"))
+    return g.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        "n",
+        F.round("__ms", decimals).alias("mean_score"),
+        F.round("__rate", decimals).alias("positive_rate"),
+        F.round(
+            (F.col("n") / F.col("__total_n")) * F.abs(F.col("__ms") - F.col("__rate")),
+            decimals,
+        ).alias("ece_contrib"),
+    )

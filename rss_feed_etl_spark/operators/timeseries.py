@@ -394,3 +394,59 @@ def theil_sen_trend(
     return staged.select(
         key_col, "n_days", F.round(median, decimals).alias("slope_per_day")
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution: PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) over fixed
+    bins — the monitoring metric scorecards use where KS gives a max-gap
+    and chi² gives a test statistic; PSI's per-bin contributions say
+    WHERE the distribution moved (rule of thumb: >0.2 = retrain).
+    Laplace-smoothed (½-count per bin) so empty bins stay finite.
+
+    Plan shape (100 TB): one partial-aggregated fixed-width histogram per
+    side (map-only binning — no quantile pass, no sort), a bin-grain
+    full-outer merge, totals broadcast.  Both inputs scanned exactly once.
+    """
+    width = (hi - lo) / n_bins
+    bucket = (
+        F.when(F.col(value_col) < lo, F.lit(0))
+        .when(F.col(value_col) >= hi, F.lit(n_bins + 1))
+        .otherwise(F.floor((F.col(value_col) - lo) / width).cast("int") + 1)
+    )
+
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        return df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+            F.count("*").cast("bigint").alias(name)
+        )
+
+    merged = hist(ref, "n_ref").join(hist(cur, "n_cur"), "bucket", "full_outer")
+    merged = merged.select(
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    totals = merged.agg(
+        F.sum("n_ref").cast("double").alias("Nr"),
+        F.sum("n_cur").cast("double").alias("Nc"),
+    )
+    k = n_bins + 2
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("Nr") + 0.5 * k)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("Nc") + 0.5 * k)
+    contrib = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return merged.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, decimals).alias("p_ref"),
+        F.round(p_cur, decimals).alias("p_cur"),
+        F.round(contrib, decimals).alias("psi_contrib"),
+    )
