@@ -793,3 +793,124 @@ def funnel_latency(
         F.round(p[0], decimals).alias("latency_p50_s"),
         F.round(p[1], decimals).alias("latency_p90_s"),
     )
+
+
+def diff_in_diff(
+    events: DataFrame,
+    split_date: str,
+    treat_expr: str = "user_id % 2 = 1",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    decimals: int = 6,
+) -> DataFrame:
+    """Difference-in-differences estimate over the 2×2 (treated, post)
+    design: DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre)
+    with a large-sample standard error from the four cell variances —
+    the workhorse readout for staged rollouts where randomization isn't
+    per-event.
+
+    Plan shape (100 TB): ONE partial-aggregated pass computes each cell's
+    (n, mean, variance via sum/sumsq); the estimate is driver-free
+    expression math on the 4-row aggregate.  Facts scanned once.
+    """
+    cell = F.concat_ws(
+        "_",
+        F.when(F.expr(treat_expr), F.lit("treat")).otherwise(F.lit("ctrl")),
+        F.when(
+            F.to_date(ts_col) >= F.lit(split_date), F.lit("post")
+        ).otherwise(F.lit("pre")),
+    )
+    # decimal-exact sums: double accumulation order differs between map
+    # partitions (and engines), and the 6dp rounding downstream would sit
+    # inside that noise; exact sums make the means a pure function of the
+    # multiset
+    s1 = F.sum(F.col(value_col).cast("decimal(30,10)")).cast("double")
+    s2 = F.sum(
+        (F.col(value_col) * F.col(value_col)).cast("decimal(30,10)")
+    ).cast("double")
+    g = events.groupBy(cell.alias("cell")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        (s1 / F.count("*")).alias("m"),
+        (
+            s2 / F.count("*")
+            - (s1 / F.count("*")) * (s1 / F.count("*"))
+        ).alias("v"),
+    )
+    p = g.groupBy().pivot(
+        "cell", ["treat_post", "treat_pre", "ctrl_post", "ctrl_pre"]
+    ).agg(F.first("m").alias("m"), F.first("v").alias("v"), F.first("n").alias("n"))
+    did = (
+        (F.col("treat_post_m") - F.col("treat_pre_m"))
+        - (F.col("ctrl_post_m") - F.col("ctrl_pre_m"))
+    )
+    se = F.sqrt(
+        F.col("treat_post_v") / F.col("treat_post_n")
+        + F.col("treat_pre_v") / F.col("treat_pre_n")
+        + F.col("ctrl_post_v") / F.col("ctrl_post_n")
+        + F.col("ctrl_pre_v") / F.col("ctrl_pre_n")
+    )
+    return p.select(
+        F.round("treat_pre_m", decimals).alias("treat_pre"),
+        F.round("treat_post_m", decimals).alias("treat_post"),
+        F.round("ctrl_pre_m", decimals).alias("ctrl_pre"),
+        F.round("ctrl_post_m", decimals).alias("ctrl_post"),
+        F.round(did, decimals).alias("did_estimate"),
+        F.round(se, decimals).alias("std_err"),
+        F.round(did - 1.96 * se, decimals).alias("ci_lo"),
+        F.round(did + 1.96 * se, decimals).alias("ci_hi"),
+    )
+
+
+def ordered_pair_episodes(
+    events: DataFrame,
+    first_type: str = "view",
+    then_type: str = "purchase",
+    within_hours: int = 24,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sequential-episode support: how many users exhibit "A then B
+    within T" (the sequence-mining building block funnels simplify away:
+    this asks about ANY a→b occurrence, not first-touch order).
+
+    Plan shape (100 TB): one per-user window carries the running LAST
+    A-timestamp forward; a B row closes an episode iff the carried
+    timestamp is within the window — no per-pair join, no time-bucket
+    explosion; then a user-grain rollup.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_a = F.max(
+        F.when(F.col(type_col) == first_type, F.col(ts_col))
+    ).over(w)
+    hit = (
+        (F.col(type_col) == then_type)
+        & last_a.isNotNull()
+        & (
+            F.col(ts_col).cast("double") - last_a.cast("double")
+            <= within_hours * 3600.0
+        )
+    )
+    per_user = events.select(
+        F.col(user_col).alias("u"),
+        hit.cast("int").alias("h"),
+        (F.col(type_col) == first_type).cast("int").alias("a"),
+    ).groupBy("u").agg(
+        F.max("h").alias("converted"), F.max("a").alias("exposed"),
+        F.sum("h").cast("bigint").alias("n_episodes"),
+    )
+    return per_user.agg(
+        F.sum("exposed").cast("bigint").alias("n_exposed_users"),
+        F.sum("converted").cast("bigint").alias("n_episode_users"),
+        F.sum("n_episodes").cast("bigint").alias("n_episodes"),
+        F.round(
+            F.sum("converted") / F.greatest(F.sum("exposed"), F.lit(1)), 6
+        ).alias("support"),
+    )
