@@ -59,6 +59,13 @@ HEADLINE = [
     # decision-support path (wave 15)
     "large_order_customers",
     "sole_late_suppliers",
+    # round-3 flagships: paragraph-grain dedup, bloom-pruned join,
+    # batched retrieval eval, distributed covariance, telescoped attribution
+    "paragraph_dedup",
+    "bloom_prune_revenue",
+    "search_rank_metrics",
+    "embedding_covariance",
+    "time_decay_attribution",
 ]
 
 
@@ -107,6 +114,7 @@ SCALE_QUERIES = [
     "ngram_jaccard_neardup",
     "semantic_dedup_pairs",
     "boilerplate_removed",
+    "paragraph_dedup",
 ]
 
 SCALE_FACTOR = 10
