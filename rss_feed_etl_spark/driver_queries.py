@@ -649,6 +649,7 @@ from . import driver_queries_wave46  # noqa: E402, F401  (registers wave-46 quer
 from . import driver_queries_wave47  # noqa: E402, F401  (registers wave-47 queries)
 from . import driver_queries_wave48  # noqa: E402, F401  (registers wave-48 queries)
 from . import driver_queries_wave49  # noqa: E402, F401  (registers wave-49 queries)
+from . import driver_queries_wave50  # noqa: E402, F401  (registers wave-50 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The

@@ -144,3 +144,94 @@ def cohens_kappa(
             F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
         )
     )
+
+
+def grid_density_clusters(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    cell_width: float = 0.5,
+    min_pts: int = 5,
+    max_iters: int = 30,
+    decimals: int = 6,
+) -> DataFrame:
+    """Grid-based density clustering (the scalable DBSCAN shape): project
+    embeddings to 2D with the deterministic JL ±1 matrix, bucket into
+    fixed cells, keep cells with ≥ ``min_pts`` members, and merge
+    8-neighbor dense cells into clusters via the same min-label
+    propagation ``neardup_components`` uses.  Sparse-cell points are
+    noise and are dropped — DBSCAN semantics at grid granularity, without
+    DBSCAN's per-point range queries (which at 100 TB are a quadratic
+    disaster without an index).
+
+    Plan shape (100 TB): the projection is map-only (compile-time sign
+    literals); the only fact-sized exchange is the cell groupBy
+    (partial-aggregated); the adjacency graph and the component loop run
+    at DENSE-CELL grain — bounded by occupied space, not by rows — and
+    assignment joins the (tiny) cell→cluster map back broadcast.
+    """
+    from ..operators.dedup import neardup_components
+    from ..operators.similarity import _rp_sign_matrix
+
+    signs = _rp_sign_matrix(in_dim, 2)
+    scale = 2.0 ** 0.5
+
+    def proj(j: int):
+        sj = F.array(*[F.lit(s) for s in signs[j]])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), sj, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(scale),
+            decimals,
+        )
+
+    pts = emb.select(
+        F.col(id_col),
+        F.floor(proj(0) / F.lit(cell_width)).cast("bigint").alias("cx"),
+        F.floor(proj(1) / F.lit(cell_width)).cast("bigint").alias("cy"),
+    )
+    # encode the 2D cell as one bigint key (coords are small after /width)
+    key = (F.col("cx") + 100_000) * 1_000_000 + (F.col("cy") + 100_000)
+    pts = pts.withColumn("cell", key)
+    dense = pts.groupBy("cell", "cx", "cy").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).filter(F.col("n") >= min_pts)
+
+    # half-plane neighbor offsets -> each undirected adjacency once
+    offsets = [(1, -1), (1, 0), (1, 1), (0, 1)]
+    nbr = dense.select(
+        F.col("cell"),
+        F.explode(
+            F.array(
+                *[
+                    (((F.col("cx") + dx) + 100_000) * 1_000_000
+                     + ((F.col("cy") + dy) + 100_000))
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("ncell"),
+    )
+    pairs = nbr.join(
+        dense.select(F.col("cell").alias("ncell")), "ncell"
+    ).select(
+        F.least("cell", "ncell").alias("id_a"),
+        F.greatest("cell", "ncell").alias("id_b"),
+    )
+    comp = neardup_components(pairs, max_iters=max_iters)
+    cell_cluster = (
+        dense.join(
+            comp.withColumnRenamed("id", "cell"), "cell", "left"
+        )
+        .select(
+            "cell",
+            F.coalesce("component_id", F.col("cell")).alias("cluster_id"),
+        )
+    )
+    return (
+        pts.join(F.broadcast(cell_cluster), "cell")
+        .select(id_col, "cx", "cy", "cluster_id")
+    )

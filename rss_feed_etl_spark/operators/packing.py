@@ -166,3 +166,99 @@ def length_bucket_batches(
             F.round(1 - F.col("sum_tokens") / F.greatest(padded, F.lit(1)), 6),
         )
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 3,
+    mask_pct: int = 15,
+    salt: str = "t5-v1",
+) -> DataFrame:
+    """T5-style span corruption for denoising pretraining: mask ~
+    ``mask_pct``% of tokens in ``block``-token spans, replace each
+    contiguous masked RUN with a sentinel ``<extra_id_k>`` in the input,
+    and emit the dropped spans behind their sentinels as the target.
+
+    Span selection is content-addressed (md5 of salt:doc:block), so the
+    corruption is deterministic, reproducible across runs/partitionings,
+    and identically replayable by the SQL oracle — the property a
+    training-data export needs for exact resume.
+
+    Plan shape (100 TB): map-only — token split, ~tokens/block md5s, and
+    the sentinel/prefix-sum bookkeeping are all higher-order array
+    expressions inside one projection chain; no explode, no shuffle,
+    no state.  Output: (doc_id, n_spans, corrupted, target).
+    """
+    from ..functions.hashing import md5_bucket
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    nb = F.ceil(F.size("__t") / F.lit(block)).cast("int")
+    s1 = df.select(
+        F.col(id_col).alias("id"), toks.alias("__t")
+    ).withColumn("__nb", nb)
+    masked = F.transform(
+        F.sequence(F.lit(0), F.col("__nb") - 1),
+        lambda b: (
+            md5_bucket(
+                F.concat(
+                    F.lit(salt + ":"), F.col("id").cast("string"),
+                    F.lit(":"), b.cast("string"),
+                )
+            )
+            % 100
+            < mask_pct
+        ).cast("int"),
+    )
+    s2 = s1.withColumn("__m", masked)
+    run_start = F.transform(
+        F.sequence(F.lit(0), F.col("__nb") - 1),
+        lambda b: (
+            (F.get("__m", b) == 1)
+            & ((b == 0) | (F.get("__m", b - 1) == 0))
+        ).cast("int"),
+    )
+    s3 = s2.withColumn("__rs", run_start)
+
+    def block_text(b):
+        return F.array_join(F.slice("__t", b * block + 1, block), " ")
+
+    def sent_idx(b):
+        # number of run starts strictly before this one
+        return F.aggregate(
+            F.slice("__rs", 1, b + 1), F.lit(0), lambda a, x: a + x
+        ) - 1
+
+    def sentinel(b):
+        return F.concat(
+            F.lit("<extra_id_"), sent_idx(b).cast("string"), F.lit(">")
+        )
+
+    parts_in = F.transform(
+        F.sequence(F.lit(0), F.col("__nb") - 1),
+        lambda b: F.when(F.get("__rs", b) == 1, sentinel(b))
+        .when(F.get("__m", b) == 1, F.lit(""))
+        .otherwise(block_text(b)),
+    )
+    parts_tgt = F.transform(
+        F.sequence(F.lit(0), F.col("__nb") - 1),
+        lambda b: F.when(
+            F.get("__rs", b) == 1,
+            F.concat(sentinel(b), F.lit(" "), block_text(b)),
+        )
+        .when(F.get("__m", b) == 1, block_text(b))
+        .otherwise(F.lit("")),
+    )
+    return s3.select(
+        F.col("id").alias(id_col),
+        F.aggregate(F.col("__rs"), F.lit(0), lambda a, x: a + x)
+        .cast("bigint")
+        .alias("n_spans"),
+        F.array_join(
+            F.filter(parts_in, lambda x: x != ""), " "
+        ).alias("corrupted"),
+        F.array_join(
+            F.filter(parts_tgt, lambda x: x != ""), " "
+        ).alias("target"),
+    )
