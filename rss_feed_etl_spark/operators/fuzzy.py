@@ -72,3 +72,58 @@ def levenshtein_blocked_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    key_col: str = "name",
+    window: int = 3,
+    block_chars: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo): normalize the
+    key, sort records, and emit candidate pairs within ``window``
+    positions of each other — the classic record-linkage candidate
+    generator for typo'd keys that equality blocking misses and
+    all-pairs comparison can't afford.
+
+    Plan shape (100 TB): a GLOBAL sort would serialize; instead records
+    block on the normalized key's first ``block_chars`` characters and
+    the neighborhood window runs per block (lead over the in-block
+    ordering, ``window`` leads per row → ≤ window·n pairs).  Cross-block
+    near-misses are the known recall trade-off of the method — run a
+    second pass with a shifted key if they matter.
+    """
+    from pyspark.sql import Window
+
+    norm = F.lower(F.regexp_replace(F.col(key_col), r"[^A-Za-z0-9]", ""))
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("__k"),
+        F.substring(norm, 1, block_chars).alias("__blk"),
+    )
+    w = Window.partitionBy("__blk").orderBy(F.col("__k").asc(), F.col("id").asc())
+    cols = []
+    for j in range(1, window + 1):
+        cols.append(F.lead("id", j).over(w).alias(f"__n{j}"))
+        cols.append(F.lead("__k", j).over(w).alias(f"__kk{j}"))
+    staged = staged.select("id", "__k", "__blk", *cols)
+    arms = [
+        F.when(
+            F.col(f"__n{j}").isNotNull(),
+            F.struct(
+                F.col(f"__n{j}").alias("id_b"), F.col(f"__kk{j}").alias("k_b")
+            ),
+        )
+        for j in range(1, window + 1)
+    ]
+    ex = staged.select(
+        F.col("id").alias("id_a"),
+        F.col("__k").alias("k_a"),
+        F.explode(F.array(*arms)).alias("p"),
+    ).filter(F.col("p").isNotNull())
+    return ex.select(
+        F.least(F.col("id_a"), F.col("p.id_b")).alias("id_a"),
+        F.greatest(F.col("id_a"), F.col("p.id_b")).alias("id_b"),
+        F.levenshtein(F.col("k_a"), F.col("p.k_b")).alias("edit_distance"),
+    ).distinct()

@@ -219,3 +219,52 @@ def score_calibration(
             decimals,
         ).alias("ece_contrib"),
     )
+
+
+def benford_digit_test(
+    df: DataFrame,
+    value_col: str = "o_totalprice",
+    decimals: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law with a chi²
+    statistic — the classic anomaly screen for organically-generated
+    monetary/size values (fabricated or capped data departs from
+    log-uniform digit frequencies immediately).
+
+    Plan shape (100 TB): the digit is one string expression per row
+    (first char of the absolute value's digits), the distribution is one
+    partial-aggregated 9-row groupBy, and the chi² is expression math on
+    the aggregate.
+    """
+    import math
+
+    digit = F.substring(
+        F.regexp_replace(
+            F.abs(F.col(value_col)).cast("string"), r"[^1-9]*([1-9]).*", r"$1"
+        ),
+        1,
+        1,
+    ).cast("int")
+    g = (
+        df.filter(F.abs(F.col(value_col)) > 0)
+        .select(digit.alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    total = g.agg(F.sum("n").cast("double").alias("__N"))
+    expected = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    exp_p = F.lit(0.0)
+    for d, p in expected.items():
+        exp_p = F.when(F.col("digit") == d, F.lit(p)).otherwise(exp_p)
+    obs_p = F.col("n") / F.col("__N")
+    chi2 = (
+        (obs_p - exp_p) * (obs_p - exp_p) / exp_p * F.col("__N")
+    )
+    return g.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(obs_p, decimals).alias("p_observed"),
+        F.round(exp_p, decimals).alias("p_benford"),
+        F.round(chi2, decimals).alias("chi2_contrib"),
+    )
