@@ -914,3 +914,55 @@ def ordered_pair_episodes(
             F.sum("converted") / F.greatest(F.sum("exposed"), F.lit(1)), 6
         ).alias("support"),
     )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    decimals: int = 4,
+) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-activity day;
+    for each (cohort, day offset), the CUMULATIVE conversion revenue per
+    cohort member — the payback-period readout retention counts can't
+    give (retention says they came back; LTV says what that was worth).
+
+    Plan shape (100 TB): one user-grain aggregate pins each user's cohort
+    day; revenue rolls up to (cohort, offset) grain before the cumulative
+    window, so the running sum runs over calendar-bounded rows — facts
+    are scanned once and shuffled once (user key), never windowed.
+    """
+    from pyspark.sql import Window
+
+    day = F.to_date(ts_col)
+    firsts = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(day).alias("cohort_day")
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    rev = (
+        events.filter(F.col(type_col) == conversion_type)
+        .select(F.col(user_col).alias("u"), day.alias("d"), F.col(value_col))
+        .join(firsts, "u")
+        .groupBy("cohort_day", F.datediff("d", "cohort_day").alias("offset_days"))
+        .agg(F.sum(value_col).alias("__rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("offset_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(sizes, "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "offset_days",
+            "cohort_size",
+            F.round(F.sum("__rev").over(w) / F.col("cohort_size"), decimals)
+            .alias("cum_revenue_per_user"),
+        )
+    )

@@ -1156,3 +1156,63 @@ def quantile_normalize(
         F.round(F.col("__r"), 6).alias("pct_rank"),
         F.round(F.get("__bounds", idx), decimals).alias("normalized"),
     )
+
+
+def vocab_drift_terms(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 20,
+    top: int = 30,
+    decimals: int = 6,
+) -> DataFrame:
+    """Term-level vocabulary drift between two corpus snapshots: for
+    every term above ``min_df`` total document frequency, the smoothed
+    log2 ratio of its document-frequency RATE between the halves; output
+    is the ``top`` biggest movers.  The term-grain complement of the
+    distribution-level drift tests (PSI/KS/chi²): those say THAT the
+    corpus moved, this names the words that moved it.
+
+    Plan shape (100 TB): per-side distinct-term exposure via map-side
+    ``array_distinct`` before the explode (the ``hot_shingles``
+    discipline), one term-key aggregate per side, a term-grain join, and
+    a TakeOrdered top-k — document bodies never shuffle.
+    """
+    def dfreq(df: DataFrame, name: str) -> DataFrame:
+        toks = F.array_distinct(_tokens(F.lower(F.col(text_col))))
+        return (
+            df.select(F.explode(toks).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias(name))
+        )
+
+    o = dfreq(old, "df_old")
+    n = dfreq(new, "df_new")
+    # corpus sizes ride in as broadcast 1-row aggregates, not eager
+    # .count() actions — no extra job, no second scan per invocation
+    counts = (
+        old.agg(F.count("*").cast("double").alias("__n_old"))
+        .crossJoin(new.agg(F.count("*").cast("double").alias("__n_new")))
+    )
+    j = (
+        o.join(n, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("df_old", F.lit(0)).cast("bigint").alias("df_old"),
+            F.coalesce("df_new", F.lit(0)).cast("bigint").alias("df_new"),
+        )
+        .crossJoin(F.broadcast(counts))
+    )
+    rate_old = (F.col("df_old") + 0.5) / F.col("__n_old")
+    rate_new = (F.col("df_new") + 0.5) / F.col("__n_new")
+    ratio = F.log2(rate_new / rate_old)
+    return (
+        j.filter(F.col("df_old") + F.col("df_new") >= min_df)
+        .select(
+            "term", "df_old", "df_new",
+            F.round(ratio, decimals).alias("log2_ratio"),
+        )
+        .orderBy(F.abs(F.col("log2_ratio")).desc(), F.col("term").asc())
+        .limit(top)
+    )
