@@ -506,3 +506,72 @@ def test_woe_totals_broadcast_back(spark):
     # bin grain aggregate + 1-row totals broadcast: no sort-merge join
     assert "SortMergeJoin" not in s
     assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
+
+
+def test_golden_record_single_partial_aggregate(spark):
+    s = _plan(_queries()["golden_record"](spark, SF_DIR))
+    # per-field min_by survivorship is ONE groupBy with map-side combine
+    # (string-valued min_by compiles to SortAggregate, still partial+final)
+    assert s.count("HashAggregate") + s.count("SortAggregate") >= 2
+    assert "Window" not in s
+    assert "SortMergeJoin" not in s
+
+
+def test_incremental_agg_never_rescans_history_wide(spark):
+    s = _plan(_queries()["incremental_agg_maintenance"](spark, SF_DIR))
+    assert "CartesianProduct" not in s
+    # key-grain merge: no window, partial aggregation on both sides
+    assert "Window" not in s
+
+
+def test_cdc_to_scd2_one_window_no_self_join(spark):
+    import re
+
+    s = _plan(_queries()["cdc_to_scd2"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Window", s)) == 1
+    assert "Join" not in s
+
+
+def test_triangle_degrees_ride_broadcast(spark):
+    s = _plan(_queries()["item_triangle_count"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_theil_sen_pairs_stay_array_side(spark):
+    s = _plan(_queries()["theil_sen_trend"](spark, SF_DIR))
+    # the O(days^2) slope expansion must NOT appear as a join of the
+    # day-grain frame against itself
+    assert "Join" not in s
+
+
+def test_quantile_normalize_bounds_broadcast(spark):
+    s = _plan(_queries()["quantile_normalize"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_psi_histograms_partial_aggregated(spark):
+    s = _plan(_queries()["psi_value_drift"](spark, SF_DIR))
+    assert s.count("HashAggregate") >= 4  # partial+final per side
+    assert "Window" not in s
+
+
+def test_sorted_neighborhood_windows_are_per_block(spark):
+    s = _plan(_queries()["sorted_neighborhood_pairs"](spark, SF_DIR))
+    # the neighborhood runs inside block partitions, never one global sort
+    assert "windowspecdefinition(__blk" in s
+    assert "CartesianProduct" not in s
+
+
+def test_cohort_ltv_window_at_cohort_grain(spark):
+    s = _plan(_queries()["cohort_ltv"](spark, SF_DIR))
+    # the cumulative window partitions by cohort_day (calendar-bounded)
+    assert "windowspecdefinition(cohort_day" in s
+    assert "CartesianProduct" not in s
+
+
+def test_span_corruption_map_only(spark):
+    s = _plan(_queries()["span_corruption"](spark, SF_DIR))
+    assert "Exchange" not in s
+    assert "Join" not in s
