@@ -652,6 +652,7 @@ from . import driver_queries_wave49  # noqa: E402, F401  (registers wave-49 quer
 from . import driver_queries_wave50  # noqa: E402, F401  (registers wave-50 queries)
 from . import driver_queries_wave51  # noqa: E402, F401  (registers wave-51 queries)
 from . import driver_queries_wave52  # noqa: E402, F401  (registers wave-52 queries)
+from . import driver_queries_wave53  # noqa: E402, F401  (registers wave-53 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The

@@ -268,3 +268,76 @@ def benford_digit_test(
         F.round(exp_p, decimals).alias("p_benford"),
         F.round(chi2, decimals).alias("chi2_contrib"),
     )
+
+
+_TYPE_BYTES = {
+    "bigint": 8, "long": 8, "double": 8, "int": 4, "integer": 4,
+    "date": 4, "timestamp": 8, "boolean": 1,
+}
+
+
+def star_join_advisor(
+    fact: DataFrame,
+    dims: dict[str, tuple[DataFrame, str, str]],
+    broadcast_threshold_mb: float = 10.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Pre-flight advisor for a star join: for every dimension, its row
+    count, estimated in-memory size (fixed widths + measured string
+    lengths), whether it fits under the broadcast threshold, and the
+    fraction of fact rows whose key actually matches — the three numbers
+    that decide broadcast-vs-shuffle, expose accidental row explosion,
+    and catch referential-integrity rot before the join runs.
+
+    ``dims`` maps name → (dim_df, fact_key, dim_key).
+
+    Plan shape (100 TB): each dimension collapses to ONE stats row
+    (count + avg row width, partial-aggregated); the fact is touched once
+    per key at KEY grain (groupBy fact_key, then a broadcast semi-join
+    against the dim's key set) — fact bodies never shuffle, and all the
+    advisor rows union into a dimension-count-sized result.
+    """
+    out = None
+    for name, (dim, fact_key, dim_key) in dims.items():
+        width = F.lit(0)
+        for f in dim.schema.fields:
+            t = f.dataType.simpleString()
+            if t == "string":
+                width = width + F.coalesce(F.length(f.name), F.lit(0))
+            else:
+                width = width + F.lit(_TYPE_BYTES.get(t, 8))
+        stats = dim.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.avg(width), 2).alias("est_row_bytes"),
+        )
+        fk = fact.groupBy(F.col(fact_key).alias("k")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        matched = fk.join(
+            F.broadcast(dim.select(F.col(dim_key).alias("k")).distinct()),
+            "k",
+            "left_semi",
+        ).agg(F.sum("c").cast("double").alias("n_matched"))
+        total = fact.agg(F.count("*").cast("double").alias("n_fact"))
+        row = (
+            stats.crossJoin(F.broadcast(matched))
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(name).alias("dim"),
+                "n_rows",
+                "est_row_bytes",
+                F.round(
+                    F.col("n_rows") * F.col("est_row_bytes") / F.lit(1048576.0), 4
+                ).alias("est_total_mb"),
+                (
+                    F.col("n_rows") * F.col("est_row_bytes")
+                    <= F.lit(broadcast_threshold_mb * 1048576.0)
+                ).cast("int").alias("broadcastable"),
+                F.round(
+                    F.coalesce(F.col("n_matched"), F.lit(0.0)) / F.col("n_fact"),
+                    decimals,
+                ).alias("fk_match_rate"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
