@@ -104,6 +104,22 @@ def bench_degenerate_dedup(spark) -> dict[str, float]:
         "overwrite"
     ).format("noop").save()
     out["degenerate_embedding_lsh_guarded"] = round(_t.perf_counter() - t0, 3)
+
+    # prefix-clone head bucket: 5k identical heads would be a 12.5M-pair
+    # expansion without the max_bucket cap
+    t0 = _t.perf_counter()
+    dedup.prefix_clone_pairs(docs, id_col="id", text_col="text", max_bucket=1000).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    out["degenerate_prefix_clone_guarded"] = round(_t.perf_counter() - t0, 3)
+
+    # paragraph dedup needs no guard: a universally-shared paragraph still
+    # aggregates to ONE winner row map-side — timing proves the linearity
+    t0 = _t.perf_counter()
+    dedup.paragraph_dedup(docs, id_col="id", text_col="text").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    out["degenerate_paragraph_dedup"] = round(_t.perf_counter() - t0, 3)
     return out
 
 
