@@ -302,3 +302,16 @@ def plan_compaction(
         F.sum(bytes_col).over(wb).cast("bigint").alias("bin_bytes"),
         F.count("*").over(wb).cast("bigint").alias("n_bin_files"),
     )
+
+
+def read_orc(spark, path: str):
+    """ORC source — the other columnar lake format this engine reads
+    natively (predicate pushdown + column pruning work the same as
+    parquet's; Spark ships the reader built-in)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zlib") -> None:
+    """ORC sink (zlib default, snappy/zstd accepted) — for downstreams
+    standardized on Hive/ORC rather than parquet."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)

@@ -64,3 +64,25 @@ def test_zordered_layout_prunes_both_dimensions(spark, tmp_path):
     back = spark.read.parquet(zpath)
     assert back.count() == 4096
     assert back.agg(F.sum("payload")).collect()[0][0] == sum(range(4096))
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from rss_feed_etl_spark.sources import parquet as pq
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    path = str(tmp_path / "orc_out")
+    pq.write_orc(df, path)
+    back = pq.read_orc(spark, path)
+    assert back.count() == 500
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # predicate reaches the ORC scan
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(F.col("k") == 3).explain("formatted")
+    assert "PushedFilters" in buf.getvalue()
