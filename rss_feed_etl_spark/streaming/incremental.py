@@ -177,3 +177,61 @@ def incremental_dedup_ingest(
     else:
         writer = writer.trigger(processingTime="15 seconds")
     return writer.start()
+
+
+def incremental_stats_sink(
+    stream: DataFrame,
+    agg_path: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    available_now: bool = True,
+):
+    """foreachBatch aggregate-table maintenance: every micro-batch folds
+    into a stored per-key (n, total, vmin, vmax, mean) table via
+    ``sketches.combine_aggregates`` — the streaming twin of the batch
+    operator, and the materialized-view pattern for plain parquet: the
+    stored aggregate is the ONLY state, history facts are never re-read,
+    and each batch's cost is batch-size + |keys|.
+
+    localCheckpoint pins the combined snapshot before the overwrite (the
+    same read-then-overwrite barrier the SCD1 sink uses — the lineage
+    reads the files the write replaces).  Returns the StreamingQuery.
+    """
+    from pyspark.sql import types as T
+
+    from ..operators.sketches import combine_aggregates
+
+    spark = stream.sparkSession
+    agg_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("vmin", T.DoubleType()),
+            T.StructField("vmax", T.DoubleType()),
+            T.StructField("mean", T.DoubleType()),
+        ]
+    )
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        stored = read_or_empty(spark, agg_path, agg_schema).select(
+            key_col, "n", "total", "vmin", "vmax"
+        )
+        combined = combine_aggregates(
+            stored, batch_df, key_col=key_col, value_col=value_col
+        )
+        combined.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            agg_path
+        )
+
+    writer = stream.writeStream.foreachBatch(fold_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="15 seconds")
+    return writer.start()

@@ -615,3 +615,54 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     assert streamed == expected
     assert (100, 200) in streamed and (101, 201) in streamed
     assert all(b != 202 for _, b in streamed)
+
+
+def test_incremental_stats_sink_folds_to_batch_equivalence(spark, tmp_path):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rss_feed_etl_spark.streaming.incremental import incremental_stats_sink
+
+    landing = tmp_path / "stats_landing"
+    schema = "event_id long, event_type string, value double"
+    batches = [
+        [(1, "a", 10.25), (2, "a", 4.5), (3, "b", 7.0)],
+        [(4, "a", 1.75), (5, "c", 2.0)],
+        [(6, "b", 100.5), (7, "c", 3.25), (8, "c", 0.5)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(landing / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing / "*"))
+    )
+    agg_path = str(tmp_path / "stats_agg")
+    q = incremental_stats_sink(
+        stream, agg_path, str(tmp_path / "stats_ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {r["event_type"]: r for r in spark.read.parquet(agg_path).collect()}
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    )
+    want = {
+        r["event_type"]: r
+        for r in union.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.round(F.sum("value") / F.count("*"), 6).alias("mean"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n"] == want[k]["n"]
+        assert math.isclose(got[k]["total"], want[k]["total"], abs_tol=0.011)
+        assert got[k]["vmin"] == want[k]["vmin"]
+        assert got[k]["vmax"] == want[k]["vmax"]
