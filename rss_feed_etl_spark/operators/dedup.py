@@ -916,3 +916,73 @@ def bow_fingerprint_dedup(
         )
         .select(id_col, text_col, "n_dups")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Directed near-duplicate pairs by n-gram CONTAINMENT —
+    |A∩B| / |A| — the asymmetric companion to ``ngram_jaccard_pairs``:
+    a 50-token excerpt quoted inside a 5000-token article has containment
+    ≈ 1.0 but Jaccard ≈ 0.01, so symmetric dedup never sees it.  This is
+    how excerpt/quote/subset duplication is actually caught.
+
+    Output is directed: (src, dst, containment) = how much of ``src``'s
+    shingle set lives inside ``dst``; both directions are emitted when
+    both clear the threshold.
+
+    Plan shape (100 TB): identical to the jaccard path — one Arrow
+    shingle-code pass, one bucket groupBy with the ``max_df`` hot-shingle
+    cap, in-bucket array pair expansion, sizes joined back — the only
+    change is the final arithmetic (divide by the SRC size instead of
+    the union).
+    """
+    ex = _shingle_codes_arrow(df, id_col, text_col, n).select(
+        "id", F.explode("codes").alias("shingle")
+    )
+    buckets = ex.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    if max_df is not None:
+        buckets = buckets.filter(F.size("ids") <= max_df)
+    sizes = (
+        buckets.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    m = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.greatest(F.size(m) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pairs = (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.id_a") < F.col("p.id_b"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    j = pairs.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
+    ).join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+    fwd = j.select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        F.round(F.col("common") / F.col("n_a"), 6).alias("containment"),
+    )
+    rev = j.select(
+        F.col("id_b").alias("src"),
+        F.col("id_a").alias("dst"),
+        F.round(F.col("common") / F.col("n_b"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

@@ -1216,3 +1216,58 @@ def vocab_drift_terms(
         .orderBy(F.abs(F.col("log2_ratio")).desc(), F.col("term").asc())
         .limit(top)
     )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 200,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-source language divergence: KL(source unigram ‖ corpus
+    unigram) over the corpus's top-``vocab_size`` terms (with add-½
+    smoothing and an OOV bucket) — one scalar per source saying how far
+    that source's word distribution sits from the corpus mixture.  The
+    source-grain complement of ``vocab_drift_terms`` (that names the
+    words; this ranks the sources) — the signal for "which feed is
+    polluting the mix".
+
+    Plan shape (100 TB): the vocab is a TakeOrdered top-V broadcast; term
+    counts aggregate at (source, term) grain with map-side combine; the
+    KL fold runs at that grain.  Corpus scanned twice (vocab, counts),
+    shuffled only at term grain.
+    """
+    toks = df.select(
+        F.col(group_col).alias("g"), F.explode(_tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term")
+    )
+    tagged = toks.join(
+        F.broadcast(vocab.withColumn("__v", F.lit(1))), "term", "left"
+    ).select(
+        "g", F.when(F.col("__v").isNotNull(), F.col("term")).otherwise(F.lit("<oov>")).alias("term")
+    )
+    per_source = tagged.groupBy("g", "term").agg(F.count("*").alias("sc"))
+    corpus = per_source.groupBy("term").agg(F.sum("sc").alias("cc"))
+    totals_s = per_source.groupBy("g").agg(F.sum("sc").alias("st"))
+    total_c = corpus.agg(F.sum("cc").cast("double").alias("ct"))
+    k = vocab_size + 1
+    joined = (
+        per_source.join(F.broadcast(corpus), "term")
+        .join(F.broadcast(totals_s), "g")
+        .crossJoin(F.broadcast(total_c))
+    )
+    p = (F.col("sc") + 0.5) / (F.col("st") + 0.5 * k)
+    q = (F.col("cc") + 0.5) / (F.col("ct") + 0.5 * k)
+    return (
+        joined.groupBy("g")
+        .agg(F.round(F.sum(p * F.log(p / q)), decimals).alias("kl_bits_nat"))
+        .select(F.col("g").alias(group_col), "kl_bits_nat")
+    )
