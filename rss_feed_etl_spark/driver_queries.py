@@ -655,6 +655,7 @@ from . import driver_queries_wave52  # noqa: E402, F401  (registers wave-52 quer
 from . import driver_queries_wave53  # noqa: E402, F401  (registers wave-53 queries)
 from . import driver_queries_wave54  # noqa: E402, F401  (registers wave-54 queries)
 from . import driver_queries_wave55  # noqa: E402, F401  (registers wave-55 queries)
+from . import driver_queries_wave56  # noqa: E402, F401  (registers wave-56 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The

@@ -432,3 +432,47 @@ def bloom_prune_join(
         .drop("__bloom", "__m", "__k")
     )
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)
+
+
+def scd2_interval_enrich(
+    facts: DataFrame,
+    versions: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    start_col: str = "effective_start",
+    end_col: str = "effective_end",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Temporal enrichment: attach to every fact row the dimension
+    version that was effective AT the fact's event time —
+    ``start <= ts < end`` (NULL end = open) — the point-in-time join
+    every SCD2 history exists to serve.
+
+    Plan shape (100 TB): an equi-join on the KEY carries the interval
+    predicate as a join condition, so the only fan-out is the per-key
+    version count (bounded by change frequency, not corpus size) and the
+    containment filter prunes it back to ≤1 row per fact — never a
+    time-bucket explosion, never a cross product.  Facts with no
+    effective version (before the key's first insert, or inside a
+    deleted gap) keep NULL dimension values via the left join.
+    """
+    value_cols = value_cols or [
+        c for c in versions.columns
+        if c not in (key, start_col, end_col, "current_flag")
+    ]
+    v = versions.select(
+        F.col(key).alias("__k"),
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    cond = (
+        (facts[key] == v["__k"])
+        & (facts[ts_col] >= v["__s"])
+        & (v["__e"].isNull() | (facts[ts_col] < v["__e"]))
+    )
+    out = facts.join(v, cond, "left")
+    return out.select(
+        *[facts[c] for c in facts.columns],
+        *[F.col(f"__v_{c}").alias(f"dim_{c}") for c in value_cols],
+    )
