@@ -120,6 +120,22 @@ def bench_degenerate_dedup(spark) -> dict[str, float]:
         "overwrite"
     ).format("noop").save()
     out["degenerate_paragraph_dedup"] = round(_t.perf_counter() - t0, 3)
+
+    # templated-corpus decontamination: 8k train x 2k holdout docs all
+    # sharing every shingle would emit 16M join rows PER SHINGLE unguarded;
+    # the max_df cap drops the universal buckets before the join
+    from rss_feed_etl_spark.operators import sampling
+
+    tmpl = spark.range(10000).select(
+        F.col("id"),
+        F.when(F.col("id") % 5 == 0, F.lit("test")).otherwise(F.lit("train")).alias("split"),
+        F.lit("identical boilerplate text shared by every document in the corpus").alias("text"),
+    )
+    t0 = _t.perf_counter()
+    sampling.cross_split_contamination(tmpl, max_df=1000).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    out["degenerate_decontaminate_guarded"] = round(_t.perf_counter() - t0, 3)
     return out
 
 
@@ -131,6 +147,13 @@ SCALE_QUERIES = [
     "semantic_dedup_pairs",
     "boilerplate_removed",
     "paragraph_dedup",
+    # retrieval/ANN/decontamination path (round 4): the r3 verdict's
+    # suspicious movers — the curve proves the plans, not just the dedup ones,
+    # stay ≲ linear in data volume
+    "bm25_search",
+    "ann_cosine_topk_ivf",
+    "int8_ann_topk",
+    "decontaminate_splits",
 ]
 
 SCALE_FACTOR = 10

@@ -656,87 +656,101 @@ from . import driver_queries_wave53  # noqa: E402, F401  (registers wave-53 quer
 from . import driver_queries_wave54  # noqa: E402, F401  (registers wave-54 queries)
 from . import driver_queries_wave55  # noqa: E402, F401  (registers wave-55 queries)
 from . import driver_queries_wave56  # noqa: E402, F401  (registers wave-56 queries)
+from . import driver_queries_wave57  # noqa: E402, F401  (registers wave-57 queries)
 
 
-# Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02).  The
+# Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02 ∪ r03),
+# MINUS queries whose code changed this round (they must re-verify).  The
 # driver's per-round check covers the first N names in dict order, so
 # queries() surfaces not-yet-green entries first to rotate coverage across
 # rounds — every registered query keeps its entry either way.  Refresh this
 # set each round from the latest CORRECTNESS_rNN.json.
 _GREEN_R01 = {
-    # --- r02 greens -------------------------------------------------------
-    "sessionize", "json_props_summary", "simhash_neardup",
-    "url_canonical_dedup", "unigram_logppl", "incremental_dedup_exact",
-    "deterministic_shuffle", "snapshot_diff", "image_resize_meta",
-    "volume_shipping", "market_share", "nation_profit",
-    "discount_opportunity", "tz_convert_format", "token_counts",
-    "ann_cosine_topk_ivf", "events_distinct_daily", "value_percentiles",
-    "corpus_quality_filter", "neardup_drop_list", "repetition_ratio",
-    "returned_revenue_topk", "click_purchase_window", "corpus_top_terms",
-    "neardup_components", "sliding_event_windows", "event_type_pivot",
-    "daily_revenue_wow", "train_val_test_split", "lang_quota_sample",
-    "pii_redact", "source_mixture_sample", "promo_revenue_ratio",
-    "gmean_value_udaf", "label_centroid_confusion", "inverted_index",
-    "bm25_search", "daily_gapfill", "weighted_doc_sample",
-    "decontaminate_splits", "kmeans_clusters", "pmi_top_pairs",
-    "hard_negatives", "value_outliers", "incremental_neardup",
-    "document_chunks", "retention_cohorts",
-    # --- r01 greens -------------------------------------------------------
-    "filter_pipeline", "scd1_merge", "merge_upsert", "scd2_merge",
-    "dedup_keep_last", "union_dedup_keep_first", "provenance_outer_join",
-    "anti_join_removed", "semi_join_updated", "lookup_join_notes",
-    "merge_counts", "date_window_filter", "nonempty_content_filter",
-    "keyword_exclusion_filter", "pricing_summary", "topk_per_user",
-    "dedup_exact", "ngram_jaccard_neardup", "minhash_lsh_neardup",
-    "simhash_fingerprint", "text_quality_stats", "lang_id",
-    "doc_fingerprint", "ann_cosine_topk", "embedding_cosine_neardup",
-    "tfidf_cosine_pairs", "skills_match", "lenient_timestamp_parse",
-    "stringify_sink", "conform_schema_repair", "numeric_extraction",
-    "scd2_current_view", "shipping_priority_top10", "regional_revenue",
-    "asof_latest_order", "revenue_rollup", "order_stats_cube",
-    "events_grouping_sets", "running_totals", "users_click_not_purchase",
-    "users_click_and_purchase", "image_decode_meta", "video_frames_meta",
-    "incremental_merge_fold", "ann_cosine_topk_lsh", "llm_match_scores",
-    "daily_event_windows", "html_clean",
+    "ann_cosine_topk", "ann_cosine_topk_ivf", "ann_cosine_topk_lsh",
+    "anti_join_removed", "asof_latest_order", "audio_features",
+    "bigram_logppl", "bm25_search", "boilerplate_removed",
+    "bpe_merge_candidates", "brand_supplier_counts",
+    "canonical_per_component", "churned_users", "click_purchase_window",
+    "conform_schema_repair", "corpus_quality_filter", "corpus_top_terms",
+    "curriculum_shards", "customer_order_distribution",
+    "daily_count_anomalies", "daily_event_windows", "daily_gapfill",
+    "daily_revenue_wow", "daily_stickiness", "date_window_filter",
+    "decayed_popularity", "dedup_exact", "dedup_keep_last",
+    "deterministic_shuffle", "discount_opportunity",
+    "disjunctive_brand_revenue", "doc_fingerprint", "document_chunks",
+    "dominant_share_suppliers", "embedding_cosine_neardup",
+    "embedding_random_projection", "event_type_lift", "event_type_pivot",
+    "events_distinct_daily", "events_grouping_sets", "filter_pipeline",
+    "funnel_stages", "fuzzy_name_pairs", "global_percent_rank",
+    "gmean_value_udaf", "hard_negatives", "hot_shingle_spans",
+    "html_clean", "idle_rich_customers", "image_decode_meta",
+    "image_resize_meta", "important_part_values",
+    "incremental_dedup_exact", "incremental_merge_fold",
+    "incremental_neardup", "inverted_index", "item_pagerank",
+    "json_props_summary", "keyword_exclusion_filter", "kmeans_clusters",
+    "label_centroid_confusion", "lang_id", "lang_quota_sample",
+    "large_order_customers", "last_touch_attribution",
+    "leakage_safe_split", "lenient_timestamp_parse", "llm_match_scores",
+    "lookup_join_notes", "market_share", "merge_counts", "merge_upsert",
+    "merged_corpus_stats", "min_cost_supplier", "minhash_lsh_neardup",
+    "nation_profit", "neardup_components", "neardup_drop_list",
+    "new_vs_returning", "ngram_jaccard_neardup",
+    "nonempty_content_filter", "numeric_extraction", "oov_rate_scores",
+    "order_decile_rank", "order_priority_late", "order_stats_cube",
+    "pii_redact", "pmi_top_pairs", "pricing_summary",
+    "promo_revenue_ratio", "provenance_outer_join", "regional_revenue",
+    "repetition_ratio", "retention_cohorts", "returned_revenue_topk",
+    "revenue_rollup", "running_totals", "scd1_merge", "scd2_current_view",
+    "scd2_merge", "semantic_dedup_pairs", "semi_join_updated",
+    "sequence_packing", "session_paths_top", "sessionize",
+    "shingle_novelty_scores", "ship_latency_priority",
+    "shipping_priority_top10", "simhash_fingerprint", "simhash_neardup",
+    "skills_match", "sliding_event_windows", "small_quantity_revenue",
+    "snapshot_diff", "sole_late_suppliers", "source_lang_chi2",
+    "source_mixture_sample", "source_zscore_keep", "stringify_sink",
+    "temperature_mixture_sample", "text_quality_stats",
+    "tfidf_cosine_pairs", "token_budget_select", "token_counts",
+    "token_entropy_scores", "top_bigrams", "top_supplier_quarter",
+    "topk_per_user", "train_val_test_split", "tz_convert_format",
+    "unigram_logppl", "union_dedup_keep_first", "url_canonical_dedup",
+    "users_click_and_purchase", "users_click_not_purchase",
+    "value_deciles", "value_histogram", "value_outliers",
+    "value_percentiles", "video_frames_meta", "volume_shipping",
+    "weighted_doc_sample", "zipf_corpus_fit",
 }
 
 
-# checked-and-fixed or newly added queries that must land inside the
-# driver's per-round check window ahead of the long never-checked tail.
-# Round 3: the three r02 reds (now fixed) + the 14 wave-13/15 names that
-# have never had a CORRECTNESS row.
+# Round 4 window: queries changed this round (stale green cache) + the new
+# repair query, then every name the driver has NEVER sampled (69 as of r3;
+# the first ~50 land in CORRECTNESS_r04, the tail plus anything red lands
+# in r05 — cumulative coverage of all registered names).
 _PRIORITY = [
-    "funnel_stages", "sequence_packing", "audio_features",
-    "value_histogram", "value_deciles", "top_bigrams",
-    "last_touch_attribution", "order_priority_late",
-    "customer_order_distribution", "small_quantity_revenue",
-    "large_order_customers", "disjunctive_brand_revenue",
-    "top_supplier_quarter", "brand_supplier_counts", "sole_late_suppliers",
-    "idle_rich_customers", "order_decile_rank",
-    # wave 20 (new this round)
-    "min_cost_supplier", "important_part_values", "ship_latency_priority",
-    "dominant_share_suppliers",
-    # wave 21 (new this round)
-    "temperature_mixture_sample", "leakage_safe_split",
-    # wave 22 (new this round)
-    "token_budget_select",
-    # wave 23 (new this round)
-    "semantic_dedup_pairs", "canonical_per_component", "fuzzy_name_pairs",
-    # wave 24 (new this round)
-    "bigram_logppl", "bpe_merge_candidates",
-    # wave 25 (new this round)
-    "oov_rate_scores", "token_entropy_scores", "zipf_corpus_fit",
-    "hot_shingle_spans", "boilerplate_removed",
-    # wave 26 (new this round)
-    "item_pagerank", "shingle_novelty_scores", "source_zscore_keep",
-    "session_paths_top", "approx_distinct_rollup",
-    # wave 27 (new this round)
-    "daily_stickiness", "churned_users", "new_vs_returning",
-    "event_type_lift",
-    # wave 28 (new this round)
-    "embedding_random_projection", "global_percent_rank",
-    # wave 29 (new this round)
-    "daily_count_anomalies", "source_lang_chi2", "merged_corpus_stats",
+    "decontaminate_splits", "incremental_agg_maintenance",
+    "time_decay_attribution", "llm_response_repair", "scd2_snapshot_asof",
+    "cdc_to_scd2", "golden_record", "ann_recall_lsh", "compaction_plan",
+    "decontaminate_broadcast_holdout", "importance_weights",
+    "int8_ann_topk", "length_bucket_batches", "countmin_estimates",
+    "winnow_fingerprints", "doc_keywords", "rrf_fusion",
+    "clustering_kappa", "unicode_normalized", "bootstrap_mean_ci",
+    "dp_event_counts", "dow_anomaly_days", "budget_allocation",
+    "trending_items", "dedup_rate_by_source", "dedup_pair_recall",
+    "daily_trend_slope", "ks_value_drift", "winsorized_means",
+    "ngram_diversity", "fk_profile_lineitem_orders", "key_skew_report",
+    "dq_assertion_report", "cdc_apply_ordered", "hashed_quality_scores",
+    "paragraph_dedup", "km_survival", "time_decay_attribution",
+    "embedding_covariance", "pca_projection", "epoch_upsample",
+    "search_rank_metrics", "bloom_prune_revenue", "prefix_clone_pairs",
+    "ema_daily_revenue", "woe_value_bins", "incremental_agg_maintenance",
+    "join_cardinality_estimate", "ann_rerank_exact",
+    "bow_fingerprint_dedup", "time_weighted_average",
+    "item_triangle_count", "wilson_rate_intervals",
+    "event_transition_probs", "funnel_latency", "quantile_normalize",
+    "seasonal_naive_mase", "theil_sen_trend", "psi_value_drift",
+    "score_calibration", "diff_in_diff", "ordered_pair_episodes",
+    "grid_density_clusters", "span_corruption", "benford_digit_test",
+    "sorted_neighborhood_pairs", "cohort_ltv", "vocab_drift_terms",
+    "star_join_advisor", "dup_cluster_sizes", "ngram_containment_pairs",
+    "source_kl_divergence", "scd2_pointwise_enrich",
 ]
 
 

@@ -112,8 +112,9 @@ _register(
     "time_decay_attribution",
     _q_tda,
     f"""
-WITH t0 AS (SELECT min(ts) AS t0 FROM events),
-e AS (SELECT events.*, (epoch(ts) - epoch(t0)) / 86400.0 AS d FROM events, t0),
+WITH e AS (SELECT events.*,
+        (epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id)) / 86400.0 AS d
+      FROM events),
 r AS (SELECT *,
         sum(CASE WHEN event_type = 'view' THEN pow(2.0, d / {_TDA_HL})
                  ELSE 0.0 END) OVER w AS rs0,

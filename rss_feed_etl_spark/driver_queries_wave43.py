@@ -61,7 +61,10 @@ def _q_combine_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = ev.filter(F.to_date("ts") >= F.lit(_AGG_SPLIT))
     old_agg = old.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("value").alias("total"),
+        # decimal total: exact, so stored+batch addition in
+        # combine_aggregates is order-independent (mirrors the oracle's
+        # CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE))
+        F.sum(F.col("value").cast("decimal(30,10)")).alias("total"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
@@ -76,10 +79,10 @@ _register(
     f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS total,
+       round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 2) AS total,
        min(value) AS vmin,
        max(value) AS vmax,
-       round(sum(value) / count(*), 6) AS mean
+       round(CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS mean
 FROM events GROUP BY 1
 """,
 )

@@ -157,6 +157,7 @@ LIMIT {_WS_K}
 
 _DECON_SALT = "split-v1"
 _MIN_SHARED = 3
+_DECON_MAX_DF = 1000
 
 
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,14 +167,27 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     observable and recall is verifiable."""
     aug = _aug_docs(spark, sf_dir)
     split = sampling.deterministic_split(aug, key_col="id", salt=_DECON_SALT)
-    return sampling.cross_split_contamination(split, min_shared=_MIN_SHARED)
+    return sampling.cross_split_contamination(
+        split, min_shared=_MIN_SHARED, max_df=_DECON_MAX_DF
+    )
+
+
+def _q_decontaminate_bc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-sized-holdout variant: the capped holdout bucket table is
+    broadcast, removing the corpus-side shuffle (plan pinned in
+    test_plan_shapes.py)."""
+    aug = _aug_docs(spark, sf_dir)
+    split = sampling.deterministic_split(aug, key_col="id", salt=_DECON_SALT)
+    return sampling.cross_split_contamination(
+        split,
+        min_shared=_MIN_SHARED,
+        max_df=_DECON_MAX_DF,
+        broadcast_holdout=True,
+    )
 
 
 _DECON_BUCKET = _hexfold(f"('{_DECON_SALT}:' || CAST(id AS VARCHAR))") + " % 100"
-_register(
-    "decontaminate_splits",
-    _q_decontaminate,
-    f"""
+_DECON_SQL = f"""
 WITH {_AUG_SQL},
 lab AS (
   SELECT id, text,
@@ -181,11 +195,16 @@ lab AS (
               WHEN {_DECON_BUCKET} < 90 THEN 'val'
               ELSE 'test' END AS split
   FROM aug),
-sh AS (SELECT id, split, unnest({_SHINGLES.format(w=_W)}) AS shingle FROM lab)
+sh AS (SELECT id, split, unnest({_SHINGLES.format(w=_W)}) AS shingle FROM lab),
+hold AS (SELECT id, shingle FROM sh WHERE split = 'test'),
+keep AS (SELECT shingle FROM hold GROUP BY 1 HAVING count(*) <= {_DECON_MAX_DF})
 SELECT t.id AS train_id, h.id AS holdout_id, count(*) AS shared_shingles
-FROM sh t JOIN sh h ON t.shingle = h.shingle
-WHERE t.split = 'train' AND h.split = 'test'
+FROM sh t
+JOIN keep k ON t.shingle = k.shingle
+JOIN hold h ON t.shingle = h.shingle
+WHERE t.split = 'train'
 GROUP BY 1, 2
 HAVING count(*) >= {_MIN_SHARED}
-""",
-)
+"""
+_register("decontaminate_splits", _q_decontaminate, _DECON_SQL)
+_register("decontaminate_broadcast_holdout", _q_decontaminate_bc, _DECON_SQL)

@@ -585,25 +585,30 @@ def time_decay_attribution(
 
     Plan shape (100 TB): no touch×conversion pair join — the decayed sum
     telescopes: Σ 0.5^((T−t)/hl) = 0.5^(T/hl) · Σ 2^(t/hl), so one
-    per-user window per source carries a running sum of 2^(t/hl) (t in
-    days since the corpus min date, broadcast in as a 1-row aggregate, so
-    the exponent stays small) and each conversion reads its per-source
-    credit off the running sums in O(1).  One shuffle (the user window)
-    plus a tiny source-grain aggregate.
+    per-user window per source carries a running sum of 2^(t/hl) and each
+    conversion reads its per-source credit off the running sums in O(1).
+    One shuffle (the user window) plus a tiny source-grain aggregate.
+
+    The rebase t → t − min(t | user) is PER USER (a plain min over the
+    same user partition the running sums already shuffle on — no extra
+    exchange, no broadcast): shares are normalized within each
+    conversion, so the rebase cancels exactly, and the growth term
+    2^(d/hl) now only needs one USER's history span, not the corpus
+    span — a global rebase overflows to inf (NaN shares) once the corpus
+    spans ~1023·half_life days, which 100 TB of multi-year logs with a
+    7-day half-life would hit.
     """
-    t0 = events.agg(F.min(ts_col).alias("__t0"))
     # fractional-epoch cast, not unix_timestamp: the latter truncates
     # sub-second precision, and micros/1e6 is the same IEEE division the
     # oracle's epoch() performs — bit-identical inputs to the decay pow
-    days = (
-        F.col(ts_col).cast("double") - F.col("__t0").cast("double")
-    ) / F.lit(86400.0)
+    sec = F.col(ts_col).cast("double")
+    days = (sec - F.min(sec).over(Window.partitionBy(user_col))) / F.lit(86400.0)
     w = (
         Window.partitionBy(user_col)
         .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ev = events.crossJoin(F.broadcast(t0)).withColumn("__d", days)
+    ev = events.withColumn("__d", days)
     grow = F.pow(F.lit(2.0), F.col("__d") / F.lit(half_life_days))
     # one select for all running sums: separate withColumns leave separate
     # Window nodes in the plan; same spec in one projection collapses them

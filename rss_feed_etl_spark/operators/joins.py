@@ -360,8 +360,11 @@ def bloom_build(
         .agg(F.bit_or("mask").alias("bits"))
     )
     # densify to a fixed-length array so membership tests are one
-    # element_at + bit test; absent words are 0
-    dense = words.sparkSession.range(m // 64).select(
+    # element_at + bit test; absent words are 0.  Word count rounds UP:
+    # m // 64 would drop the final partial word for non-multiple-of-64
+    # sizes, making probes whose bit lands there element_at past the array
+    # end — an ANSI runtime error, or a NULL false negative with ANSI off
+    dense = words.sparkSession.range((m + 63) // 64).select(
         F.col("id").cast("int").alias("word")
     )
     return (

@@ -272,19 +272,34 @@ def cross_split_contamination(
     n: int = 3,
     min_shared: int = 3,
     broadcast_holdout: bool = False,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Train/holdout decontamination: find training documents that share
     ≥ ``min_shared`` word n-gram shingles with any held-out document —
     the standard benchmark-leakage check run before LLM training.
 
     Plan: shingle both sides of an already-split corpus (one scan — the
-    split column partitions the exploded stream), equi-join train shingles
-    to holdout shingles, count shared shingles per (train, holdout) pair.
+    split column partitions the exploded stream), collapse the holdout
+    side to one BUCKET row per shingle (``shingle → array<holdout_id>``),
+    join the train shingle stream 1:1 to the bucket table, explode the
+    bucket, count shared shingles per (train, holdout) pair.
     ``word_shingles`` emits distinct shingles, so ``count(*)`` IS the
-    shared-shingle count.  The join shuffles on the shingle value whose
-    cardinality is corpus-sized but uniform; when the holdout is
-    benchmark-sized (the usual case: a few thousand eval documents vs a
-    100 TB corpus), ``broadcast_holdout=True`` removes the corpus-side
+    shared-shingle count.
+
+    ``max_df`` is the hot-shingle guard, ON by default — the same cap
+    `ngram_jaccard_pairs` carries (``dedup.py``): holdout buckets holding
+    more than ``max_df`` documents are dropped before the join.  Without
+    it a boilerplate shingle present in T train docs and H holdout docs
+    emits T×H join rows *before* the pair aggregation — quadratic in
+    templated web text.  With it, fan-out per train shingle occurrence is
+    ≤ max_df, and a capped shingle's pairs can still reach ``min_shared``
+    through their rarer sibling shingles.  Pass ``None`` for the exact
+    unreduced baseline (test-only at scale).
+
+    The join shuffles on the shingle value (corpus-cardinality, uniform);
+    when the holdout is benchmark-sized (the usual case: a few thousand
+    eval documents vs a 100 TB corpus), ``broadcast_holdout=True``
+    broadcasts the capped bucket table and removes the corpus-side
     exchange entirely.
     """
     from ..functions.text import word_shingles
@@ -297,13 +312,18 @@ def cross_split_contamination(
     train = sh.filter(F.col("split") == train_label).select(
         F.col("id").alias("train_id"), "shingle"
     )
-    holdout = sh.filter(F.col("split") == holdout_label).select(
-        F.col("id").alias("holdout_id"), "shingle"
+    buckets = (
+        sh.filter(F.col("split") == holdout_label)
+        .groupBy("shingle")
+        .agg(F.collect_list("id").alias("__h"))
     )
+    if max_df is not None:
+        buckets = buckets.filter(F.size("__h") <= max_df)
     if broadcast_holdout:
-        holdout = F.broadcast(holdout)
+        buckets = F.broadcast(buckets)
     return (
-        train.join(holdout, "shingle")
+        train.join(buckets, "shingle")
+        .select("train_id", F.explode("__h").alias("holdout_id"))
         .groupBy("train_id", "holdout_id")
         .agg(F.count("*").alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= min_shared)

@@ -678,22 +678,30 @@ def combine_aggregates(
     then costs |keys|, never |history|.  The history FACTS are never read
     — that is the point.
     """
+    # Totals accumulate as decimal(30,10): stored + batch is then a pure
+    # function of the value multiset, never of double addition order — the
+    # same guard diff_in_diff carries (double partial sums can flip
+    # round(·,2)/round(·,6) on boundary values).  Callers that persist the
+    # aggregate should keep the decimal total; the rounded double columns
+    # below are display values.
+    dec = "decimal(30,10)"
     fresh = batch.groupBy(F.col(key_col).alias("k")).agg(
         F.count("*").cast("bigint").alias("bn"),
-        F.sum(value_col).alias("btotal"),
+        F.sum(F.col(value_col).cast(dec)).alias("btotal"),
         F.min(value_col).alias("bmin"),
         F.max(value_col).alias("bmax"),
     )
     stored = old_agg.select(
         F.col(key_col).alias("k"),
         F.col("n").alias("on_"),
-        F.col("total").alias("ototal"),
+        F.col("total").cast(dec).alias("ototal"),
         F.col("vmin").alias("omin"),
         F.col("vmax").alias("omax"),
     )
     merged = stored.join(fresh, "k", "full_outer")
     n = F.coalesce("on_", F.lit(0)) + F.coalesce("bn", F.lit(0))
-    total = F.coalesce("ototal", F.lit(0.0)) + F.coalesce("btotal", F.lit(0.0))
+    zero = F.lit(0).cast("decimal(30,10)")
+    total = (F.coalesce("ototal", zero) + F.coalesce("btotal", zero)).cast("double")
     return merged.select(
         F.col("k").alias(key_col),
         n.cast("bigint").alias("n"),

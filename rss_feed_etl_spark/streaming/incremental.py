@@ -179,6 +179,46 @@ def incremental_dedup_ingest(
     return writer.start()
 
 
+def fold_stats_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    agg_path: str,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> bool:
+    """One effectively-once fold of a micro-batch into the stored per-key
+    aggregate table (the foreachBatch body of ``incremental_stats_sink``,
+    exposed so the replay guard is directly testable).  Returns True when
+    the batch was applied, False when it was empty or already applied.
+    """
+    from ..operators.sketches import combine_aggregates
+
+    agg_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("vmin", T.DoubleType()),
+            T.StructField("vmax", T.DoubleType()),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("__epoch", T.LongType()),
+        ]
+    )
+    if not batch_df.take(1):
+        return False
+    snap = read_or_empty(spark, agg_path, agg_schema)
+    last = snap.agg(F.max("__epoch")).first()[0]
+    if last is not None and epoch_id <= last:
+        return False
+    stored = snap.select(key_col, "n", "total", "vmin", "vmax")
+    combined = combine_aggregates(
+        stored, batch_df, key_col=key_col, value_col=value_col
+    ).withColumn("__epoch", F.lit(epoch_id).cast("long"))
+    combined.localCheckpoint(eager=True).write.mode("overwrite").parquet(agg_path)
+    return True
+
+
 def incremental_stats_sink(
     stream: DataFrame,
     agg_path: str,
@@ -197,34 +237,20 @@ def incremental_stats_sink(
     localCheckpoint pins the combined snapshot before the overwrite (the
     same read-then-overwrite barrier the SCD1 sink uses — the lineage
     reads the files the write replaces).  Returns the StreamingQuery.
+
+    foreachBatch is at-least-once: a micro-batch replayed after a failure
+    between the parquet overwrite and the checkpoint commit would fold
+    into the stored aggregate twice, permanently double-counting n/total.
+    The last-applied ``__epoch`` rides in the aggregate table itself (one
+    constant column, one tiny max() to read back — no extra state store),
+    and batches with ``epoch_id <= last`` are skipped, making the fold
+    effectively-once.
     """
-    from pyspark.sql import types as T
-
-    from ..operators.sketches import combine_aggregates
-
     spark = stream.sparkSession
-    agg_schema = T.StructType(
-        [
-            T.StructField(key_col, T.StringType()),
-            T.StructField("n", T.LongType()),
-            T.StructField("total", T.DoubleType()),
-            T.StructField("vmin", T.DoubleType()),
-            T.StructField("vmax", T.DoubleType()),
-            T.StructField("mean", T.DoubleType()),
-        ]
-    )
 
     def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        stored = read_or_empty(spark, agg_path, agg_schema).select(
-            key_col, "n", "total", "vmin", "vmax"
-        )
-        combined = combine_aggregates(
-            stored, batch_df, key_col=key_col, value_col=value_col
-        )
-        combined.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            agg_path
+        fold_stats_batch(
+            spark, batch_df, epoch_id, agg_path, key_col=key_col, value_col=value_col
         )
 
     writer = stream.writeStream.foreachBatch(fold_batch).option(

@@ -575,3 +575,20 @@ def test_span_corruption_map_only(spark):
     s = _plan(_queries()["span_corruption"](spark, SF_DIR))
     assert "Exchange" not in s
     assert "Join" not in s
+
+
+def test_decontaminate_broadcast_holdout_no_corpus_shuffle(spark):
+    s = _plan(_queries()["decontaminate_broadcast_holdout"](spark, SF_DIR))
+    # the capped holdout bucket table broadcasts; the train shingle stream
+    # joins 1:1 with no corpus-side exchange before the join
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_llm_response_repair_map_only(spark):
+    s = _plan(_queries()["llm_response_repair"](spark, SF_DIR))
+    # regexp repair ladder is pure projection: no exchange, no join, no UDF
+    assert "Exchange" not in s
+    assert "Join" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s

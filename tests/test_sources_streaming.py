@@ -666,3 +666,23 @@ def test_incremental_stats_sink_folds_to_batch_equivalence(spark, tmp_path):
         assert math.isclose(got[k]["total"], want[k]["total"], abs_tol=0.011)
         assert got[k]["vmin"] == want[k]["vmin"]
         assert got[k]["vmax"] == want[k]["vmax"]
+
+
+def test_incremental_stats_sink_skips_replayed_epoch(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch redelivered after a failure
+    between the overwrite and the checkpoint commit must not double-fold."""
+    from rss_feed_etl_spark.streaming.incremental import fold_stats_batch
+
+    schema = "event_id long, event_type string, value double"
+    agg_path = str(tmp_path / "agg")
+    b1 = spark.createDataFrame([(1, "a", 10.0)], schema)
+    b2 = spark.createDataFrame([(2, "a", 5.0), (3, "b", 2.0)], schema)
+    assert fold_stats_batch(spark, b1, 0, agg_path)
+    assert fold_stats_batch(spark, b2, 1, agg_path)
+    # redelivery of epoch 1 is a no-op — the stored aggregate is unchanged
+    assert not fold_stats_batch(spark, b2, 1, agg_path)
+    got = {r["event_type"]: r for r in spark.read.parquet(agg_path).collect()}
+    assert got["a"]["n"] == 2 and got["a"]["total"] == 15.0
+    assert got["b"]["n"] == 1 and got["b"]["total"] == 2.0
+    # empty batch is also a no-op
+    assert not fold_stats_batch(spark, b1.limit(0), 2, agg_path)

@@ -66,6 +66,19 @@ def test_bloom_membership_negative_word_bit_zero(spark):
     assert n_hit == 30000  # every probe true on a saturated filter
 
 
+def test_bloom_non_multiple_of_64_bits_keeps_final_word(spark):
+    # regression: range(m // 64) dropped the final partial word for
+    # num_bits % 64 != 0, so a probe whose bit lands there read past the
+    # array end — ANSI runtime error, or NULL (a silent false negative)
+    m = 100  # words 0..1 needed; old code densified only word 0
+    keys = spark.range(500).select(F.col("id").alias("k"))
+    bf = joins.bloom_build(keys, "k", num_bits=m, num_hashes=3)
+    assert len(bf.collect()[0]["__bloom"]) == 2
+    probe = keys.join(F.broadcast(bf))
+    n_hit = probe.filter(joins.bloom_might_contain("k", m=m)).count()
+    assert n_hit == 500  # no false negative, no out-of-bounds probe
+
+
 def test_bloom_prune_filter_runs_before_join_exchange(spark):
     fact = spark.range(10000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
     dim = spark.range(0, 10000, 100).select(F.col("id").alias("dk"))
