@@ -285,6 +285,13 @@ def test_boilerplate_removal_joins_broadcast_only(spark):
     # broadcast; the doc bodies are never exchanged on a shingle key
     assert "SortMergeJoin" not in s
     assert "CartesianProduct" not in s
+    # single-scan shape (round 4): one shingle posexplode feeds both the
+    # hot-set decision and the start lists, so only two consumers read the
+    # corpus (shingle stream + body re-read for the strip).  The aug input
+    # is a 2-scan union, so the plan holds exactly 4 parquet scans — the
+    # old two-pass shape had 6
+    assert s.count("Scan parquet") <= 4
+    assert "Window" not in s  # hot filter is an array computation, not a window
 
 
 def test_pagerank_iteration_state_is_checkpointed(spark):
