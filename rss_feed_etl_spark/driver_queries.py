@@ -668,7 +668,7 @@ from . import driver_queries_wave57  # noqa: E402, F401  (registers wave-57 quer
 _GREEN_R01 = {
     "ann_cosine_topk", "ann_cosine_topk_ivf", "ann_cosine_topk_lsh",
     "anti_join_removed", "asof_latest_order", "audio_features",
-    "bigram_logppl", "bm25_search", "boilerplate_removed",
+    "bigram_logppl", "bm25_search",
     "bpe_merge_candidates", "brand_supplier_counts",
     "canonical_per_component", "churned_users", "click_purchase_window",
     "conform_schema_repair", "corpus_quality_filter", "corpus_top_terms",
@@ -683,7 +683,7 @@ _GREEN_R01 = {
     "events_distinct_daily", "events_grouping_sets", "filter_pipeline",
     "funnel_stages", "fuzzy_name_pairs", "global_percent_rank",
     "gmean_value_udaf", "hard_negatives", "hot_shingle_spans",
-    "html_clean", "idle_rich_customers", "image_decode_meta",
+    "idle_rich_customers", "image_decode_meta",
     "image_resize_meta", "important_part_values",
     "incremental_dedup_exact", "incremental_merge_fold",
     "incremental_neardup", "inverted_index", "item_pagerank",
@@ -726,7 +726,8 @@ _GREEN_R01 = {
 # in r05 — cumulative coverage of all registered names).
 _PRIORITY = [
     "decontaminate_splits", "incremental_agg_maintenance",
-    "time_decay_attribution", "llm_response_repair", "scd2_snapshot_asof",
+    "time_decay_attribution", "llm_response_repair", "html_clean",
+    "boilerplate_removed", "scd2_snapshot_asof",
     "cdc_to_scd2", "golden_record", "ann_recall_lsh", "compaction_plan",
     "decontaminate_broadcast_holdout", "importance_weights",
     "int8_ann_topk", "length_bucket_batches", "countmin_estimates",

@@ -601,7 +601,11 @@ def _q_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = F.concat(
         F.lit('<p>Job: <b>'),
         F.col("text"),
-        F.lit('</b></p><script type="text/javascript">var x = 1;</script>&amp; more &lt;stuff&gt;'),
+        F.lit('</b> <a href="https://example.com/apply?id='),
+        F.col("doc_id").cast("string"),
+        F.lit('">apply here</a></p>'
+              '<script type="text/javascript">var x = 1;</script>'
+              "&amp; more &lt;stuff&gt;"),
     )
     return docs.select("doc_id", html_to_text_udf()(raw).alias("text_clean"))
 
@@ -613,15 +617,19 @@ _register(
 WITH h AS (
   SELECT doc_id,
          '<p>Job: <b>' || text ||
-         '</b></p><script type="text/javascript">var x = 1;</script>&amp; more &lt;stuff&gt;'
+         '</b> <a href="https://example.com/apply?id=' || CAST(doc_id AS VARCHAR) ||
+         '">apply here</a></p>' ||
+         '<script type="text/javascript">var x = 1;</script>&amp; more &lt;stuff&gt;'
            AS raw
   FROM documents)
 SELECT doc_id,
        trim(regexp_replace(
          replace(replace(replace(replace(replace(replace(
            regexp_replace(
-             regexp_replace(raw,
-               '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g'),
+             regexp_replace(
+               regexp_replace(raw,
+                 '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?is)<a\s[^>]*?href="([^"]*)"[^>]*>(.*?)</a>', '\2 (\1)', 'g'),
              '<[^>]+>', ' ', 'g'),
            '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
            '&quot;', '"'), '&#39;', chr(39)),

@@ -124,6 +124,10 @@ def redact_pii(col: Column | str) -> Column:
 
 _TAG = re.compile(r"<[^>]+>")
 _SCRIPT = re.compile(r"(?is)<(script|style)[^>]*>.*?</\1>")
+# anchors render as "text (url)" BEFORE the generic tag strip — the
+# reference keeps link targets (html_utils.py:12-14, ignore_links=False);
+# pattern stays in the RE2-compatible subset so the oracle replays it
+_ANCHOR = re.compile(r'(?is)<a\s[^>]*?href="([^"]*)"[^>]*>(.*?)</a>')
 _ENTITIES = {
     "&nbsp;": " ",
     "&amp;": "&",
@@ -136,10 +140,12 @@ _ENTITIES = {
 
 def html_to_text(raw: str | None) -> str:
     """Deterministic HTML → text (reference X1: html_utils.py:8-37 drops
-    images/emphasis, keeps text, collapses whitespace)."""
+    images/emphasis, keeps text AND link targets — ignore_links=False —
+    collapses whitespace).  Anchors surface as ``text (url)``."""
     if raw is None:
         return ""
     s = _SCRIPT.sub(" ", raw)
+    s = _ANCHOR.sub(r"\2 (\1)", s)
     s = _TAG.sub(" ", s)
     for ent, rep in _ENTITIES.items():
         s = s.replace(ent, rep)
@@ -156,6 +162,7 @@ def html_to_text_udf():
     from pyspark.sql.functions import pandas_udf
 
     script_re = _SCRIPT
+    anchor_re = _ANCHOR
     tag_re = _TAG
     entities = dict(_ENTITIES)
 
@@ -167,6 +174,7 @@ def html_to_text_udf():
             if v is None:
                 return ""
             x = script_re.sub(" ", v)
+            x = anchor_re.sub(r"\2 (\1)", x)
             x = tag_re.sub(" ", x)
             for ent, rep in entities.items():
                 x = x.replace(ent, rep)

@@ -98,3 +98,20 @@ def test_pipeline_end_to_end(stage, spark):
     rows = {r["link"] for r in out.collect()}
     assert rows == {"a", "h", "z"}
     assert out.filter(F.col("link") == "a").first()["AS_OF_DT"] == ts(AS_OF)
+
+
+def test_html_to_text_preserves_link_targets():
+    """Reference parity (html_utils.py:12-14, ignore_links=False): link
+    TEXT and TARGET both survive cleaning, rendered as 'text (url)'."""
+    from rss_feed_etl_spark.functions.text import html_to_text
+
+    raw = (
+        '<p>Apply <a class="btn" href="https://example.com/j?id=7">here '
+        "now</a> today</p><script>var x=1;</script>"
+    )
+    out = html_to_text(raw)
+    assert out == "Apply here now (https://example.com/j?id=7) today"
+    # anchor without href falls through to the plain tag strip (text kept)
+    assert html_to_text("<a name='x'>anchor text</a>") == "anchor text"
+    # nested emphasis inside the anchor is stripped, url kept
+    assert html_to_text('<a href="u"><b>bold link</b></a>') == "bold link (u)"
