@@ -126,11 +126,20 @@ def running_user_totals(
     shuffles only its own rows (one exchange) and touches only the state
     of keys present in the batch.
 
-    Environment note: the transformWithState Python state server speaks
-    protobuf; running it requires a working ``google.protobuf`` install
-    (raises ImportError here at plan time otherwise — the declared
-    dependency, not a stub).  ``sessionize_stream`` above covers the same
-    stateful ground on the older protobuf-free API.
+    Environment notes:
+    - the transformWithState Python state server speaks protobuf in BOTH
+      the driver and worker processes; a working ``google.protobuf`` must
+      be importable (raises ImportError here at plan time otherwise — the
+      declared dependency, not a stub).  On machines without a protobuf
+      wheel, ``tools/pbshim`` (exported on PYTHONPATH so spawned workers
+      see it too) wires in a vendored runtime — that path is what the
+      integration test runs in this container.
+    - the state store must support multiple column families: set
+      ``spark.sql.streaming.stateStore.providerClass`` to
+      ``...state.RocksDBStateStoreProvider`` before starting the query
+      (the default HDFS-backed provider rejects transformWithState).
+    ``sessionize_stream`` above covers the same stateful ground on the
+    older protobuf-free API.
     """
     from google.protobuf import descriptor  # noqa: F401 — fail fast, clearly
     import pandas as pd

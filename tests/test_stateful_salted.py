@@ -76,20 +76,34 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
-def test_running_user_totals_folds_across_batches(spark, tmp_path):
+def test_running_user_totals_folds_across_batches(spark, tmp_path, request):
     import pytest
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
+    from conftest import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
         pytest.skip(
-            "transformWithStateInPandas needs a working google.protobuf "
-            "(its state server speaks protobuf); not available here"
+            "transformWithStateInPandas needs a google.protobuf runtime and "
+            "none is importable or vendored on this machine (see tools/pbshim)"
         )
     from pyspark.sql import functions as F
 
     from rss_feed_etl_spark.streaming.stateful import running_user_totals
 
+    # transformWithState requires a multi-column-family state store
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def _restore():
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    request.addfinalizer(_restore)
     landing = tmp_path / "landing2"
     schema = "event_id long, user_id long, value double"
     b1 = spark.createDataFrame(
