@@ -657,6 +657,8 @@ from . import driver_queries_wave54  # noqa: E402, F401  (registers wave-54 quer
 from . import driver_queries_wave55  # noqa: E402, F401  (registers wave-55 queries)
 from . import driver_queries_wave56  # noqa: E402, F401  (registers wave-56 queries)
 from . import driver_queries_wave57  # noqa: E402, F401  (registers wave-57 queries)
+from . import driver_queries_wave58  # noqa: E402, F401  (registers wave-58 queries)
+from . import driver_queries_wave59  # noqa: E402, F401  (registers wave-59 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02 ∪ r03),

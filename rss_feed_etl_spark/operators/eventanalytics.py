@@ -602,12 +602,15 @@ def time_decay_attribution(
     # sub-second precision, and micros/1e6 is the same IEEE division the
     # oracle's epoch() performs — bit-identical inputs to the decay pow
     sec = F.col(ts_col).cast("double")
-    days = (sec - F.min(sec).over(Window.partitionBy(user_col))) / F.lit(86400.0)
     w = (
         Window.partitionBy(user_col)
         .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the per-user rebase min uses the SAME window spec as the running
+    # sums: over ts-ascending rows the running min IS the partition min,
+    # and sharing the spec means one sort + one exchange for all windows
+    days = (sec - F.min(sec).over(w)) / F.lit(86400.0)
     ev = events.withColumn("__d", days)
     grow = F.pow(F.lit(2.0), F.col("__d") / F.lit(half_life_days))
     # one select for all running sums: separate withColumns leave separate

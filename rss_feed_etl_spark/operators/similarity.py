@@ -998,3 +998,109 @@ def rerank_exact(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def matryoshka_truncation_eval(
+    emb: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Matryoshka-style truncation quality: how well cosine similarity
+    computed on the first ``d`` dimensions tracks full-dimension cosine
+    (Kusupati et al. 2022) — the eval a pipeline runs before storing
+    truncated embeddings to cut ANN index cost 2-8x.
+
+    Pair set: each vector with its id+1 successor — deterministic,
+    corpus-sized, and id-local (one co-partitioned equi-join, no pair
+    explosion).  Per truncation dim: mean absolute cosine error vs the
+    full vectors and the mean truncated cosine.  Per-pair cosines round
+    to 4dp FIRST and the means accumulate as decimal(20,10), so the
+    aggregate is a pure function of the pair multiset on every engine.
+    """
+    right = emb.select(
+        (F.col(id_col) + 1).alias("__rid"), F.col(vec_col).alias("__v2")
+    )
+    pairs = emb.join(right, F.col(id_col) == F.col("__rid")).select(
+        F.col(vec_col).alias("__v1"), "__v2"
+    )
+    staged = pairs.select(
+        F.explode(F.array(*[F.lit(d) for d in dims])).alias("d"), "__v1", "__v2"
+    )
+    full = cosine(F.col("__v1"), F.col("__v2"))
+    trunc = cosine(
+        F.slice("__v1", F.lit(1), F.col("d")), F.slice("__v2", F.lit(1), F.col("d"))
+    )
+    dec = "decimal(20,10)"
+    scored = staged.select(
+        "d",
+        F.abs(full - trunc).cast(dec).alias("err"),
+        trunc.cast(dec).alias("ct"),
+    )
+    return (
+        scored.groupBy("d")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round((F.sum("err") / F.count("*")).cast("double"), decimals).alias(
+                "mean_abs_err"
+            ),
+            F.round((F.sum("ct") / F.count("*")).cast("double"), decimals).alias(
+                "mean_trunc_cosine"
+            ),
+        )
+        .select(F.col("d").cast("int").alias("dim"), "n_pairs", "mean_abs_err", "mean_trunc_cosine")
+    )
+
+
+def int8_quantization_error(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 9,
+) -> DataFrame:
+    """Per-label reconstruction error of symmetric int8 quantization —
+    the storage-format eval run before shipping a quantized ANN corpus
+    (`int8_ann_topk` is the retrieval twin; this measures what the
+    format costs in raw geometry).
+
+    Per vector: scale = max|x|/127, q_i = clamp(floor(x_i/scale + 0.5)),
+    mse = mean((x_i − q_i·scale)²) — all array expressions (map-only
+    until the tiny label-grain aggregate).  floor(x+0.5) is used instead
+    of round() so halfway cases tie-break identically on every engine,
+    and per-vector mse rounds to 10dp before the decimal-exact mean.
+    """
+    v = F.col(vec_col)
+    maxabs = F.aggregate(
+        v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x.cast("double")))
+    )
+    scale = F.greatest(maxabs, F.lit(1e-12)) / F.lit(127.0)
+    staged = emb.select(F.col(label_col).alias("label"), v.alias("__v"), scale.alias("__s"))
+    q = lambda x: F.least(  # noqa: E731 — local expression builder
+        F.lit(127.0),
+        F.greatest(F.lit(-127.0), F.floor(x.cast("double") / F.col("__s") + F.lit(0.5))),
+    )
+    # square with e*e, never pow(e, 2): libm pow implementations differ in
+    # the last ulp between engines, e*e is a single identical IEEE multiply
+    errs = F.transform(F.col("__v"), lambda x: x.cast("double") - q(x) * F.col("__s"))
+    sq_err = F.aggregate(errs, F.lit(0.0), lambda acc, e: acc + e * e)
+    per_vec = staged.select(
+        "label",
+        (sq_err / F.size("__v")).alias("mse"),
+        F.col("__s").alias("scale"),
+    )
+    dec = "decimal(25,10)"
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(
+                (F.sum(F.round("mse", 10).cast(dec)) / F.count("*")).cast("double"),
+                decimals,
+            ).alias("mean_mse"),
+            F.round(
+                (F.sum(F.round("scale", 10).cast(dec)) / F.count("*")).cast("double"),
+                decimals,
+            ).alias("mean_scale"),
+        )
+    )

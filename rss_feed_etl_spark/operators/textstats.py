@@ -1289,3 +1289,115 @@ def source_kl_divergence(
         .agg(F.round(F.sum(p * F.log(p / q)), decimals).alias("kl_bits_nat"))
         .select(F.col("g").alias(group_col), "kl_bits_nat")
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1) — the
+    heuristic gate LLM curation runs before any model-based scoring: word
+    count bounds, mean word length in [3, 10], ≥80% of words containing an
+    alphabetic character, and at least two distinct common stopwords (the
+    "is this prose at all" test).
+
+    Everything is a pure array expression per row — map-only, no UDF, no
+    exchange (plan-pinned), so at 100 TB this is a free rider on whatever
+    scan already reads the text.  Flags are emitted as 0/1 ints (not
+    booleans) plus the underlying metrics, so downstream mixtures can
+    re-threshold without recomputing.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(toks, lambda t: F.lower(t)),
+            F.array(*[F.lit(s) for s in stopwords]),
+        )
+    )
+    mean_len = sum_len / n.cast("double")
+    alpha_frac = n_alpha / n.cast("double")
+    f_count = ((n >= min_words) & (n <= max_words)).cast("int")
+    f_mean = ((mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)).cast(
+        "int"
+    )
+    f_alpha = (alpha_frac >= min_alpha_frac).cast("int")
+    f_stop = (n_stop >= min_stopwords).cast("int")
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        f_count.alias("flag_word_count"),
+        f_mean.alias("flag_mean_word_len"),
+        f_alpha.alias("flag_alpha"),
+        f_stop.alias("flag_stopwords"),
+        (f_count * f_mean * f_alpha * f_stop).alias("keep"),
+    )
+
+
+def repeated_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition metrics per document: the duplicated-n-gram
+    fraction (1 − distinct/total sliding word n-grams) and the share of
+    the single most repeated n-gram — the signals that catch keyword-stuffed
+    and loop-generated text that plain length/stopword gates miss.
+
+    Plan: sliding (non-distinct) n-grams build array-side, explode at doc
+    grain, ONE (doc, gram) groupBy whose partial aggregation collapses
+    within-doc repeats map-side, then a doc-grain fold.  Both exchanges
+    carry doc-grain or (doc, gram)-grain counts — never text bodies.
+    Documents shorter than ``n`` words are excluded (no n-gram exists).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    ex = (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+    )
+    per = ex.groupBy("id", "g").agg(F.count("*").alias("cnt"))
+    return (
+        per.groupBy("id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("total_ngrams"),
+            F.count("*").alias("n_distinct"),
+            F.max("cnt").alias("mx"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "total_ngrams",
+            F.round(
+                (F.col("total_ngrams") - F.col("n_distinct"))
+                / F.col("total_ngrams").cast("double"),
+                4,
+            ).alias("dup_frac"),
+            F.round(F.col("mx") / F.col("total_ngrams").cast("double"), 4).alias(
+                "top_frac"
+            ),
+        )
+    )

@@ -457,13 +457,15 @@ def test_kaplan_meier_horizon_is_broadcast(spark):
 
 def test_time_decay_single_user_window_no_pair_join(spark):
     s = _plan(_queries()["time_decay_attribution"](spark, SF_DIR))
-    # the telescoped running sums replace the touch×conversion join: the
-    # only join is the broadcast of the 1-row t0 aggregate, and BOTH
-    # per-source running sums share one Window node (one sort, one shuffle)
+    # the telescoped running sums replace the touch×conversion join, and
+    # the round-4 per-user rebase removed even the broadcast t0 join: NO
+    # join of any kind remains.  The rebase min shares the running-sum
+    # window spec (running min over ts-asc rows IS the partition min), so
+    # the two Window nodes share ONE sort and one user-key exchange.
     import re
 
-    assert "SortMergeJoin" not in s
-    assert len(re.findall(r"\(\d+\) Window", s)) == 1
+    assert "Join" not in s
+    assert len(re.findall(r"\(\d+\) Window", s)) == 2
     assert len(re.findall(r"\(\d+\) Sort\b", s)) == 1
     assert "CartesianProduct" not in s
 
