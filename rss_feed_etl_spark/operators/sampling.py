@@ -535,3 +535,111 @@ def epoch_upsample(
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n")
     )
+
+
+def exact_substring_contamination(
+    split_docs: DataFrame,
+    holdout_label: str = "test",
+    train_label: str = "train",
+    id_col: str = "id",
+    text_col: str = "text",
+    needle_len: int = 64,
+) -> DataFrame:
+    """Exact-match benchmark contamination: training documents that contain
+    a held-out document's leading ``needle_len``-char substring verbatim —
+    the strict complement of the shingle-overlap check
+    (``cross_split_contamination``): zero false positives, catches only
+    literal copies.
+
+    Plan: the needle set is HOLDOUT-sized by construction (benchmarks are
+    thousands of documents, never corpus-scale), so it broadcasts and the
+    scan is map-only — every train document is checked against every
+    needle with a JVM ``contains`` (broadcast nested loop, no shuffle of
+    the corpus).  At 100 TB the cost is needle_count × scan, which is the
+    optimal shape for a small needle set; corpus-scale needle sets belong
+    in the shingle-join variant instead.  Documents shorter than
+    ``needle_len`` chars contribute no needle (a short prefix would
+    over-match).
+    """
+    needles = (
+        split_docs.filter(F.col("split") == holdout_label)
+        .select(
+            F.col(id_col).alias("holdout_id"),
+            F.substring(F.col(text_col), 1, needle_len).alias("__needle"),
+        )
+        .filter(F.length("__needle") >= needle_len)
+    )
+    train = split_docs.filter(F.col("split") == train_label).select(
+        F.col(id_col).alias("train_id"), F.col(text_col).alias("__t")
+    )
+    return (
+        train.crossJoin(F.broadcast(needles))
+        .filter(F.col("__t").contains(F.col("__needle")))
+        .select("train_id", "holdout_id")
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    decimals: int = 4,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection via
+    Importance Resampling"): score every document by how target-like its
+    hashed-bigram distribution is — log w(x) = Σ_b c_x(b) · (ln p̂_target(b)
+    − ln p̂_raw(b)) with add-one smoothing over ``n_buckets`` hashed word
+    bigram features.  The standard cheap way to upweight domain-relevant
+    text when mixing a 100 TB crawl toward a small high-quality target.
+
+    Plan: two passes over the exploded bigram stream — (1) the feature
+    models, one map-side-combined groupBy collapsing to ``n_buckets`` rows
+    (the model is O(buckets), broadcast back along with the 1-row totals);
+    (2) the per-doc fold, a broadcast join + doc-grain sum.  Neither pass
+    shuffles text.  Per-bucket log-ratios round to 8dp and the per-doc sum
+    accumulates as decimal, so the fold is order-independent across
+    engines.  Documents with fewer than 2 words carry no bigram and are
+    excluded.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n2 = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, n2),
+        F.slice(toks, 2, n2),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    from ..functions.hashing import md5_bucket
+
+    ex = (
+        df.filter(F.size(toks) >= 2)
+        .select(F.col(id_col).alias("id"), target.alias("tgt"), F.explode(grams).alias("g"))
+        .select("id", "tgt", (md5_bucket(F.col("g")) % n_buckets).alias("b"))
+    )
+    counts = ex.groupBy("b").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("__T"), F.sum("cr").alias("__R")
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log((F.col("ct") + 1.0) / (F.col("__T") + F.lit(float(n_buckets))))
+            - F.log((F.col("cr") + 1.0) / (F.col("__R") + F.lit(float(n_buckets)))),
+            8,
+        ).alias("lr"),
+    )
+    return (
+        ex.join(F.broadcast(model), "b")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_features"),
+            F.round(
+                F.sum(F.col("lr").cast("decimal(20,10)")).cast("double"), decimals
+            ).alias("log_weight"),
+        )
+        .select(F.col("id").alias(id_col), "n_features", "log_weight")
+    )

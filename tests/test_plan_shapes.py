@@ -601,3 +601,11 @@ def test_llm_response_repair_map_only(spark):
     assert "Exchange" not in s
     assert "Join" not in s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_dsir_model_join_is_broadcast(spark):
+    s = _plan(_queries()["dsir_importance_weights"](spark, SF_DIR))
+    # the bucket model is O(n_buckets) and broadcasts; the bigram stream
+    # never sort-merge-joins
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
