@@ -341,3 +341,27 @@ def star_join_advisor(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def k_anonymity_violations(
+    df: DataFrame,
+    quasi_cols: list,
+    k: int = 5,
+) -> DataFrame:
+    """Quasi-identifier groups smaller than ``k`` — the privacy audit run
+    before releasing event-level data: any combination of quasi-identifier
+    values shared by fewer than ``k`` individuals re-identifies its
+    members (Sweeney's k-anonymity).  Returns the violating groups with
+    their sizes, smallest first.
+
+    Plan shape: one partial-aggregated groupBy at quasi-identifier grain —
+    map-side combine collapses each partition to its distinct QI
+    combinations before the exchange, so the shuffle carries group
+    cardinality, not row count.  At 100 TB this is the same shape as any
+    rollup; the output is by definition small (only sub-``k`` groups).
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").cast("bigint").alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )

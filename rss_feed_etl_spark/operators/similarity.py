@@ -1042,10 +1042,13 @@ def matryoshka_truncation_eval(
         scored.groupBy("d")
         .agg(
             F.count("*").cast("bigint").alias("n_pairs"),
-            F.round((F.sum("err") / F.count("*")).cast("double"), decimals).alias(
+            # cast the exact decimal SUM to double BEFORE dividing — the
+            # oracle divides a double by a count, and decimal division
+            # rounds at a different scale
+            F.round(F.sum("err").cast("double") / F.count("*"), decimals).alias(
                 "mean_abs_err"
             ),
-            F.round((F.sum("ct") / F.count("*")).cast("double"), decimals).alias(
+            F.round(F.sum("ct").cast("double") / F.count("*"), decimals).alias(
                 "mean_trunc_cosine"
             ),
         )
@@ -1095,12 +1098,90 @@ def int8_quantization_error(
         .agg(
             F.count("*").cast("bigint").alias("n_vecs"),
             F.round(
-                (F.sum(F.round("mse", 10).cast(dec)) / F.count("*")).cast("double"),
+                F.sum(F.round("mse", 10).cast(dec)).cast("double") / F.count("*"),
                 decimals,
             ).alias("mean_mse"),
             F.round(
-                (F.sum(F.round("scale", 10).cast(dec)) / F.count("*")).cast("double"),
+                F.sum(F.round("scale", 10).cast(dec)).cast("double") / F.count("*"),
                 decimals,
             ).alias("mean_scale"),
         )
+    )
+
+
+def bitext_mining_pairs(
+    emb: DataFrame,
+    label_a: int,
+    label_b: int,
+    k: int = 4,
+    margin_threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019): align vectors
+    of group A to their best match in group B, scored by cosine divided by
+    the mean of each side's top-``k`` neighborhood cosines — the ratio
+    cancels hubness, which raw-cosine mining drowns in.  This is the
+    CCMatrix/LASER pipeline step that mines parallel sentence pairs from
+    two monolingual embedding pools.
+
+    Plan: B broadcasts onto A (mining runs one language PAIR at a time —
+    the candidate pool is a single language's embeddings, the small side
+    by construction at mining time; a corpus×corpus sweep would compose
+    this with the IVF cell join in `cosine_topk_ivf`).  Neighborhood
+    means use top-k windows per side; cosines round to 4dp first and the
+    k-neighbor means accumulate as decimal, so margins are pure functions
+    of the vector sets.  Output: one best-margin match per A vector above
+    ``margin_threshold``.
+    """
+    a = emb.filter(F.col(label_col) == label_a).select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va")
+    )
+    b = emb.filter(F.col(label_col) == label_b).select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb")
+    )
+    scored = a.crossJoin(F.broadcast(b)).select(
+        "a_id", "b_id", cosine(F.col("__va"), F.col("__vb")).alias("cos")
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("cos"), F.asc("b_id"))
+    wb = Window.partitionBy("b_id").orderBy(F.desc("cos"), F.asc("a_id"))
+    dec = "decimal(10,6)"
+    ranked = scored.select(
+        "a_id",
+        "b_id",
+        "cos",
+        F.row_number().over(wa).alias("__ra"),
+        F.row_number().over(wb).alias("__rb"),
+    )
+    na = (
+        ranked.filter(F.col("__ra") <= k)
+        .groupBy("a_id")
+        .agg(
+            (F.sum(F.col("cos").cast(dec)).cast("double") / F.count("*")).alias("__ma")
+        )
+    )
+    nb = (
+        ranked.filter(F.col("__rb") <= k)
+        .groupBy("b_id")
+        .agg(
+            (F.sum(F.col("cos").cast(dec)).cast("double") / F.count("*")).alias("__mb")
+        )
+    )
+    margins = (
+        scored.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("cos") / ((F.col("__ma") + F.col("__mb")) / F.lit(2.0)), 6
+            ).alias("margin"),
+        )
+    )
+    best = Window.partitionBy("a_id").orderBy(F.desc("margin"), F.asc("b_id"))
+    return (
+        margins.withColumn("__r", F.row_number().over(best))
+        .filter((F.col("__r") == 1) & (F.col("margin") > margin_threshold))
+        .select("a_id", "b_id", "margin")
     )
