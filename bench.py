@@ -66,6 +66,19 @@ HEADLINE = [
     "search_rank_metrics",
     "embedding_covariance",
     "time_decay_attribution",
+    # round-4 flagships: guarded decontamination (broadcast variant),
+    # Gopher gates, repetition metrics, DSIR selection, exact contamination,
+    # embedding format evals, bitext mining, CCNet tiers, response repair
+    "decontaminate_broadcast_holdout",
+    "gopher_quality_flags",
+    "repeated_ngram_stats",
+    "dsir_importance_weights",
+    "exact_contamination",
+    "matryoshka_truncation_eval",
+    "int8_quantization_error",
+    "bitext_mining_pairs",
+    "ccnet_ppl_buckets",
+    "llm_response_repair",
 ]
 
 

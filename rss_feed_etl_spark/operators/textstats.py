@@ -1401,3 +1401,39 @@ def repeated_ngram_stats(
             ),
         )
     )
+
+
+def ccnet_ppl_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    LANGUAGE, rank documents by their LM log-perplexity and cut the
+    distribution into head / middle / tail terciles — the standard
+    pre-mixing quality tiers (train mostly on head+middle, sample tail).
+
+    Composes ``unigram_logppl`` (corpus-trained add-one unigram LM) with
+    one per-language percent_rank window — the window partitions by
+    language, so no global sort exists and each language ranks in
+    parallel.  Ranks are (logppl, id)-ordered for deterministic ties, and
+    the tercile test uses exact integer rank arithmetic.
+    """
+    scored = unigram_logppl(df, id_col=id_col, text_col=text_col)
+    langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    w = Window.partitionBy("lang").orderBy(F.asc("logppl"), F.asc(id_col))
+    pr = F.percent_rank().over(w)
+    return (
+        scored.join(langs, id_col)
+        .withColumn("__pr", pr)
+        .select(
+            F.col(id_col),
+            "lang",
+            "logppl",
+            F.when(F.col("__pr") < 1.0 / 3, "head")
+            .when(F.col("__pr") < 2.0 / 3, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

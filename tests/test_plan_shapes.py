@@ -609,3 +609,10 @@ def test_dsir_model_join_is_broadcast(spark):
     # never sort-merge-joins
     assert "BroadcastHashJoin" in s
     assert "SortMergeJoin" not in s
+
+
+def test_ccnet_buckets_window_is_per_language(spark):
+    s = _plan(_queries()["ccnet_ppl_buckets"](spark, SF_DIR))
+    # the tercile rank partitions by language — no corpus-global sort
+    assert "windowspecdefinition(lang" in s
+    assert "CartesianProduct" not in s

@@ -44,3 +44,24 @@ def test_k_anonymity_flags_small_groups_only(spark):
         ).collect()
     }
     assert out == {("b", 2): 2, ("c", 3): 1}
+
+
+def test_ccnet_buckets_tiers_by_language(spark):
+    from pyspark.sql import Row
+
+    from rss_feed_etl_spark.operators import textstats
+
+    # language A: three docs with increasingly rare vocabulary; language B:
+    # one doc (degenerate partition -> percent_rank 0 -> head)
+    rows = [
+        Row(doc_id=1, lang="en", text="common common common common"),
+        Row(doc_id=2, lang="en", text="common common rare1 rare2"),
+        Row(doc_id=3, lang="en", text="rare3 rare4 rare5 rare6"),
+        Row(doc_id=4, lang="de", text="einzig artig"),
+    ]
+    out = {r["doc_id"]: r for r in textstats.ccnet_ppl_buckets(spark.createDataFrame(rows)).collect()}
+    assert out[1]["bucket"] == "head"      # most common vocabulary
+    assert out[2]["bucket"] == "middle"
+    assert out[3]["bucket"] == "tail"      # rarest vocabulary
+    assert out[4]["bucket"] == "head"      # singleton language partition
+    assert out[1]["logppl"] < out[3]["logppl"]
