@@ -1365,41 +1365,44 @@ def repeated_ngram_stats(
     the single most repeated n-gram — the signals that catch keyword-stuffed
     and loop-generated text that plain length/stopword gates miss.
 
-    Plan: sliding (non-distinct) n-grams build array-side, explode at doc
-    grain, ONE (doc, gram) groupBy whose partial aggregation collapses
-    within-doc repeats map-side, then a doc-grain fold.  Both exchanges
-    carry doc-grain or (doc, gram)-grain counts — never text bodies.
-    Documents shorter than ``n`` words are excluded (no n-gram exists).
+    Plan: MAP-ONLY — every metric is an array computation on the doc's own
+    gram list, so the operator is a free rider on whatever scan reads the
+    text (no exchange of any kind; the earlier shape shuffled the full
+    (doc, gram) occurrence stream).  total = size, distinct =
+    size(array_distinct), and the top multiplicity is a run-length fold
+    over the SORTED gram array (equal grams are adjacent after sort, so
+    the longest run IS the max count — O(g log g) per doc).  The DuckDB
+    oracle keeps the unnest + GROUP BY formulation: same semantics,
+    different physical shape, which is exactly what the parity gate is
+    for.  Documents shorter than ``n`` words are excluded (no n-gram
+    exists).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    ex = (
-        df.filter(F.size(toks) >= n)
-        .select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+    sorted_g = F.array_sort(grams)
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("mx"),
     )
-    per = ex.groupBy("id", "g").agg(F.count("*").alias("cnt"))
-    return (
-        per.groupBy("id")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("total_ngrams"),
-            F.count("*").alias("n_distinct"),
-            F.max("cnt").alias("mx"),
+
+    def step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            g.alias("prev"), run.alias("run"), F.greatest(acc["mx"], run).alias("mx")
         )
-        .select(
-            F.col("id").alias(id_col),
-            "total_ngrams",
-            F.round(
-                (F.col("total_ngrams") - F.col("n_distinct"))
-                / F.col("total_ngrams").cast("double"),
-                4,
-            ).alias("dup_frac"),
-            F.round(F.col("mx") / F.col("total_ngrams").cast("double"), 4).alias(
-                "top_frac"
-            ),
-        )
+
+    mx = F.aggregate(sorted_g, acc0, step, lambda acc: acc["mx"])
+    total = F.size(grams).cast("bigint")
+    distinct = F.size(F.array_distinct(grams))
+    return df.filter(F.size(toks) >= n).select(
+        F.col(id_col),
+        total.alias("total_ngrams"),
+        F.round((total - distinct) / total.cast("double"), 4).alias("dup_frac"),
+        F.round(mx / total.cast("double"), 4).alias("top_frac"),
     )
 
 

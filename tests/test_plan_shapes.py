@@ -616,3 +616,10 @@ def test_ccnet_buckets_window_is_per_language(spark):
     # the tercile rank partitions by language — no corpus-global sort
     assert "windowspecdefinition(lang" in s
     assert "CartesianProduct" not in s
+
+
+def test_repeated_ngram_stats_map_only(spark):
+    s = _plan(_queries()["repeated_ngram_stats"](spark, SF_DIR))
+    # every metric is an array computation per doc: no exchange, no join
+    assert "Exchange" not in s
+    assert "Join" not in s
