@@ -1,0 +1,205 @@
+"""Data-layout operators: z-order clustering evaluation and balanced
+shard assignment.
+
+At 100 TB the dominant cost of most queries is the scan, and the scan
+cost is set by the LAYOUT — which rows share a file decides which files a
+predicate can skip (parquet/Delta min-max pruning) and whether shards are
+balanced enough that the slowest task doesn't set the wall clock.  These
+operators make layout decisions measurable and deterministic:
+
+* ``zorder_key``            — bit-interleave two grid coordinates (the
+                              Morton/Z curve Delta's OPTIMIZE ZORDER uses).
+* ``zorder_scan_advisor``   — measure, per candidate layout, the expected
+                              fraction of files a point predicate touches.
+* ``shard_assign_balanced`` — deterministic sorted round-robin sharding
+                              by a weight (token count), the LPT-style
+                              assignment that bounds shard imbalance.
+
+Reference: the reference engine has no layout tooling (its tables are
+thousand-row Sheets snapshots — src/etl/rss_feed_etl.py); these operators
+are the scale path the survey's §6 commentary calls for when the same
+pipeline targets a datalake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def zorder_key(gx: Column, gy: Column, bits: int = 8) -> Column:
+    """Morton (Z-order) interleave of two already-quantized grid
+    coordinates in ``[0, 2**bits)``: x's bit i lands at position 2i+1,
+    y's at 2i.  Pure JVM bit arithmetic — map-side, codegen-friendly,
+    no UDF.
+    """
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(gx.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(gy.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return key
+
+
+def zorder_scan_advisor(
+    df: DataFrame,
+    dim_x: str,
+    dim_y: str,
+    natural_col: str,
+    n_files: int = 64,
+    grid_bits: int = 8,
+    decimals: int = 6,
+) -> DataFrame:
+    """Compare the file-skipping power of the table's NATURAL order (rows
+    laid out by ``natural_col``, the ingest-order proxy) against a
+    Z-ORDER layout on ``(dim_x, dim_y)``: for each layout, split the
+    sorted cell stream into ``n_files`` equal-row files, take per-file
+    min/max of both dims, and report the expected fraction of files a
+    uniform point predicate on each dim must read (the min-max pruning
+    model parquet readers and Delta data skipping actually use).
+
+    Output: one row per layout —
+    ``(layout, n_files, scan_frac_x, scan_frac_y)``.  A dim the layout
+    clusters well has a small fraction (few files cover any given value);
+    a dim the layout ignores tends to 1.0 (every file spans the whole
+    range, nothing skips).
+
+    Plan / 100 TB: everything row-grain is map-side — grid quantization
+    is integer arithmetic against a broadcast 1-row min/max aggregate,
+    and the only fact-grain shuffle is ONE groupBy to cell grain (grid
+    cells are bounded by 4**grid_bits, not by the corpus; partial
+    aggregation collapses each map partition first).  The cumulative
+    window that orders cells into files runs at cell grain, partitioned
+    by layout tag — never over facts.  File assignment is pure integer
+    math (``below * n_files DIV total``), so the result is deterministic
+    and engine-portable (no float division until the final per-file
+    average).  To evaluate layouts for a real 100 TB rewrite you'd run
+    this on a row sample; the metric is cell-grain so sampling only
+    widens confidence bands, it doesn't bias the shape.
+    """
+    b = 1 << grid_bits
+    cells_nat = b * b  # natural layout gets the same cell resolution
+    st = F.broadcast(
+        df.agg(
+            F.min(dim_x).cast("long").alias("mnx"),
+            F.max(dim_x).cast("long").alias("mxx"),
+            F.min(dim_y).cast("long").alias("mny"),
+            F.max(dim_y).cast("long").alias("mxy"),
+            F.min(natural_col).cast("long").alias("mno"),
+            F.max(natural_col).cast("long").alias("mxo"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+    def grid(col: str, mn: str, mx: str, buckets: int) -> Column:
+        # exact integer math: (v - mn) * B DIV (mx - mn + 1) ∈ [0, B)
+        return F.expr(
+            f"CAST((CAST({col} AS BIGINT) - {mn}) * {buckets} "
+            f"DIV ({mx} - {mn} + 1) AS BIGINT)"
+        )
+
+    base = df.select(dim_x, dim_y, natural_col).crossJoin(st)
+    zcell = zorder_key(
+        grid(dim_x, "mnx", "mxx", b), grid(dim_y, "mny", "mxy", b), grid_bits
+    )
+    ncell = grid(natural_col, "mno", "mxo", cells_nat)
+    tagged = base.select(
+        F.lit("zorder").alias("layout"), zcell.alias("cell"),
+        F.col(dim_x).cast("long").alias("x"), F.col(dim_y).cast("long").alias("y"),
+        "mnx", "mxx", "mny", "mxy", "n_rows",
+    ).unionByName(
+        base.select(
+            F.lit("natural").alias("layout"), ncell.alias("cell"),
+            F.col(dim_x).cast("long").alias("x"), F.col(dim_y).cast("long").alias("y"),
+            "mnx", "mxx", "mny", "mxy", "n_rows",
+        )
+    )
+    cells = tagged.groupBy("layout", "cell").agg(
+        F.count("*").alias("cnt"),
+        F.min("x").alias("cmnx"), F.max("x").alias("cmxx"),
+        F.min("y").alias("cmny"), F.max("y").alias("cmxy"),
+        F.first("mnx").alias("mnx"), F.first("mxx").alias("mxx"),
+        F.first("mny").alias("mny"), F.first("mxy").alias("mxy"),
+        F.first("n_rows").alias("n_rows"),
+    )
+    # integer file id: rows-before-this-cell * n_files DIV total — the
+    # window runs at CELL grain, partitioned by layout (never over facts)
+    filed = cells.withColumn(
+        "file",
+        F.expr(f"(sum(cnt) OVER (PARTITION BY layout ORDER BY cell "
+               f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) "
+               f"* {n_files} DIV n_rows"),
+    )
+    files = filed.groupBy("layout", "file").agg(
+        F.min("cmnx").alias("fmnx"), F.max("cmxx").alias("fmxx"),
+        F.min("cmny").alias("fmny"), F.max("cmxy").alias("fmxy"),
+        F.first("mnx").alias("mnx"), F.first("mxx").alias("mxx"),
+        F.first("mny").alias("mny"), F.first("mxy").alias("mxy"),
+    )
+    # sum of integer widths stays exact; ONE double division at the end
+    return files.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.round(
+            F.sum(F.col("fmxx") - F.col("fmnx") + 1).cast("double")
+            / (F.count("*") * (F.first("mxx") - F.first("mnx") + 1)).cast("double"),
+            decimals,
+        ).alias("scan_frac_x"),
+        F.round(
+            F.sum(F.col("fmxy") - F.col("fmny") + 1).cast("double")
+            / (F.count("*") * (F.first("mxy") - F.first("mny") + 1)).cast("double"),
+            decimals,
+        ).alias("scan_frac_y"),
+    )
+
+
+def shard_assign_balanced(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic weight-balanced shard assignment: rank rows by
+    (weight DESC, id ASC) and deal them round-robin — the distributed
+    analog of LPT scheduling.  Sorting big rows first means every shard's
+    total lands within one max-row-weight of the mean, which is what
+    keeps 100 TB training shards (and the tasks that read them) balanced;
+    hash sharding ignores weight and leaves heavy-tailed token counts
+    skewed.
+
+    Output: ``(shard, n_docs, tok_total)`` — one row per shard.
+
+    Plan / 100 TB: the global rank is decomposed so NO fact-grain global
+    window exists: rank = (# rows with strictly greater weight) + (rank
+    among weight-ties).  The first term is a cumulative count over the
+    DISTINCT-weight table (bounded by the weight domain — token counts —
+    not the corpus), broadcast back; the second is a window partitioned
+    by weight, which shuffles facts by weight value.  Weight-tie
+    partitions are the one skew risk (many equal-length docs); the tie
+    window is a plain row_number, so Spark's AQE skew split handles a hot
+    weight value.
+    """
+    wc = df.select(F.col(id_col).alias("id"), weight.cast("long").alias("w"))
+    per_w = wc.groupBy("w").agg(F.count("*").alias("cnt"))
+    cum = Window.orderBy(F.col("w").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    above = per_w.select(
+        "w", (F.sum("cnt").over(cum) - F.col("cnt")).alias("above")
+    )
+    tie = Window.partitionBy("w").orderBy("id")
+    ranked = (
+        wc.join(F.broadcast(above), "w")
+        .select(
+            "w",
+            (F.col("above") + F.row_number().over(tie)).alias("rk"),
+        )
+    )
+    return (
+        ranked.groupBy(((F.col("rk") - 1) % n_shards).cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("tok_total"),
+        )
+    )
