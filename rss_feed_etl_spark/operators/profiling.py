@@ -17,7 +17,7 @@ reports here are built so the expensive pass happens once:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOP_K = 10
@@ -364,4 +364,49 @@ def k_anonymity_violations(
         df.groupBy(*quasi_cols)
         .agg(F.count("*").cast("bigint").alias("group_size"))
         .filter(F.col("group_size") < k)
+    )
+
+
+def loso_source_influence(
+    docs: DataFrame,
+    weight: Column,
+    source_col: str = "source",
+    decimals: int = 6,
+) -> DataFrame:
+    """Leave-one-source-out data valuation: how much does dropping each
+    source move a corpus-level metric (here the mean of ``weight``, e.g.
+    tokens per document)?  influence > 0 means the corpus metric RISES
+    without the source — the cheap first-pass valuation a data-mixing
+    decision starts from before anything model-based (Shapley, DSIR).
+
+    Output per source: ``(source, n_docs, mean_overall, mean_without,
+    influence)``.
+
+    Plan / 100 TB: ONE fact scan to per-source integer sums; the global
+    total is a whole-table window over that SOURCE-GRAIN table (source
+    cardinality rows — a cross-join-back would re-scan the facts, which
+    the plan test pins against).  All sums are exact bigint; the only
+    float ops are two final divisions, mirrored verbatim in the oracle.
+    """
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(weight).cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    w = Window.partitionBy()
+    tot = per.select(
+        "source", "s", "n",
+        F.sum("s").over(w).cast("long").alias("ts"),
+        F.sum("n").over(w).cast("long").alias("tn"),
+    )
+    mean_all = F.col("ts").cast("double") / F.col("tn")
+    mean_wo = F.when(
+        F.col("tn") > F.col("n"),
+        (F.col("ts") - F.col("s")).cast("double") / (F.col("tn") - F.col("n")),
+    )
+    return tot.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(mean_all, decimals).alias("mean_overall"),
+        F.round(mean_wo, decimals).alias("mean_without"),
+        F.round(mean_wo - mean_all, decimals).alias("influence"),
     )

@@ -450,3 +450,79 @@ def psi_drift(
         F.round(p_cur, decimals).alias("p_cur"),
         F.round(contrib, decimals).alias("psi_contrib"),
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    drift_k: float = 0.5,
+    alarm_h: float = 4.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detection on each series' daily counts
+    — the classic Page (1954) drift detector a corpus-ingest monitor runs
+    per feed: a sustained level shift accumulates while transient noise
+    resets, which a plain per-day z-score can't distinguish.
+
+    The textbook recurrence s+_t = max(0, s+_{t-1} + z_t − k) is
+    SEQUENTIAL; here it's telescoped to pure window algebra via
+    s+_t = R_t − min(0, min_{j≤t} R_j) with R the prefix sum of (z − k)
+    — the same running-min trick ``time_decay_attribution`` uses — so no
+    per-series fold, no UDF, no collected arrays.  Series whose daily
+    counts are constant (std = 0) carry no signal and are dropped.
+
+    Output per series: ``(event_type, n_days, max_cusum_pos,
+    max_cusum_neg, n_alarm_days, first_alarm_day)``.
+
+    Plan / 100 TB: facts collapse to (type, day) grain in ONE shuffle
+    with map-side partial counts; every window after that runs over
+    day-grain rows partitioned BY SERIES (years of days is still only
+    thousands of rows per series).  Per-series mean/std come from exact
+    integer sums joined back broadcast (series-cardinality table).
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = events.groupBy(F.col(type_col).alias("t"), day.alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    st = daily.groupBy("t").agg(
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sq"),
+        F.count("*").cast("long").alias("c"),
+    )
+    j = daily.join(F.broadcast(st), "t")
+    mean = F.col("s").cast("double") / F.col("c")
+    var = F.col("sq").cast("double") / F.col("c") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (F.col("n").cast("double") - mean) / F.col("std")
+    w = (
+        Window.partitionBy("t")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        j.withColumn("std", std)
+        .filter(F.col("std") > 0)
+        .select(
+            "t",
+            "day",
+            F.sum(z - F.lit(drift_k)).over(w).alias("rp"),
+            F.sum(-z - F.lit(drift_k)).over(w).alias("rn"),
+        )
+        .select(
+            "t",
+            "day",
+            (F.col("rp") - F.least(F.min("rp").over(w), F.lit(0.0))).alias("sp"),
+            (F.col("rn") - F.least(F.min("rn").over(w), F.lit(0.0))).alias("sn"),
+        )
+    )
+    alarm = (F.col("sp") > alarm_h) | (F.col("sn") > alarm_h)
+    return scored.groupBy(F.col("t").alias(type_col)).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.max("sp"), decimals).alias("max_cusum_pos"),
+        F.round(F.max("sn"), decimals).alias("max_cusum_neg"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("bigint").alias("n_alarm_days"),
+        F.date_format(
+            F.min(F.when(alarm, F.col("day"))), "yyyy-MM-dd"
+        ).alias("first_alarm_day"),
+    )
