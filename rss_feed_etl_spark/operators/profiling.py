@@ -410,3 +410,36 @@ def loso_source_influence(
         F.round(mean_wo, decimals).alias("mean_without"),
         F.round(mean_wo - mean_all, decimals).alias("influence"),
     )
+
+
+def l_diversity_violations(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """Quasi-identifier groups whose SENSITIVE attribute takes fewer than
+    ``l`` distinct values — the companion audit to
+    ``k_anonymity_violations``: a group can be large (k-anonymous) yet
+    still leak, because every member shares the same sensitive value.
+    Groups failing either test are what a release pipeline must suppress
+    or generalize.
+
+    Output: the quasi columns + ``(group_size, n_sensitive)`` for each
+    violating group.
+
+    Plan / 100 TB: ONE shuffle to (quasi…, sensitive) grain with map-side
+    partial counts, then a second aggregation at quasi grain over the
+    already-collapsed table (distinct-combination cardinality, not corpus
+    rows).  count_distinct over raw facts would carry a per-group hash
+    set through the shuffle instead.
+    """
+    qs = [F.col(c) for c in quasi_cols]
+    fine = df.groupBy(*qs, F.col(sensitive_col).alias("__sv")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    grp = fine.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.sum("n").cast("bigint").alias("group_size"),
+        F.count("*").cast("bigint").alias("n_sensitive"),
+    )
+    return grp.filter(F.col("n_sensitive") < l)

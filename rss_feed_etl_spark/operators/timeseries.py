@@ -526,3 +526,75 @@ def cusum_changepoints(
             F.min(F.when(alarm, F.col("day"))), "yyyy-MM-dd"
         ).alias("first_alarm_day"),
     )
+
+
+def daily_autocorrelation(
+    events: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 14,
+    decimals: int = 6,
+) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..max_lag
+    — the periodicity detector that finds weekly (lag-7) ingest cycles a
+    moving-average monitor mistakes for anomalies.
+
+    acf(k) = Σ(x_t−m)(x_{t+k}−m) / Σ(x_t−m)² with the numerator EXPANDED
+    to integer cross-products (Σ x_t·x_{t+k}, Σ x_t, Σ x_{t+k}, n_k):
+    every distributed sum is an exact bigint, and the float arithmetic
+    happens once per lag on the 1-row aggregates — so the result cannot
+    drift with partitioning or engine (float-sum order is the #7 parity
+    pitfall).  Missing days pair by CALENDAR offset (an integer day-index
+    join), not by row adjacency, so gaps don't shift the lag.
+
+    Output: ``(lag, n_pairs, acf)`` for lags with at least 2 pairs.
+
+    Plan / 100 TB: facts collapse to day grain in one shuffle; the lag
+    self-join and the lag fan-out (×max_lag) run on the DAY-GRAIN table
+    (years ≈ thousands of rows).  The global mean/variance aggregate is
+    broadcast back to the per-lag table.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = events.groupBy(day.alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    mn = daily.agg(F.min("day").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(mn)).select(
+        F.datediff("day", "d0").cast("long").alias("di"), "x"
+    )
+    glob = idx.agg(
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sq"),
+        F.count("*").cast("long").alias("c"),
+    )
+    lags = idx.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = idx.select(F.col("di").alias("di1"), F.col("x").alias("x1"))
+    b = idx.select(F.col("di").alias("di2"), F.col("x").alias("x2"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("di2") == F.col("di1") + F.col("lag"))
+    )
+    per_lag = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sxy"),
+        F.sum("x1").cast("long").alias("sx"),
+        F.sum("x2").cast("long").alias("sy"),
+    )
+    m = F.col("s").cast("double") / F.col("c")
+    den = F.col("sq").cast("double") - F.col("c") * m * m
+    num = (
+        F.col("sxy").cast("double")
+        - m * F.col("sx").cast("double")
+        - m * F.col("sy").cast("double")
+        + F.col("n_pairs") * m * m
+    )
+    return (
+        per_lag.crossJoin(F.broadcast(glob))
+        .filter((F.col("n_pairs") >= 2) & (den > 0))
+        .select(
+            "lag",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round(num / den, decimals).alias("acf"),
+        )
+    )
