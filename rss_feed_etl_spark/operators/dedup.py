@@ -986,3 +986,41 @@ def ngram_containment_pairs(
         F.round(F.col("common") / F.col("n_b"), 6).alias("containment"),
     )
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+def lsh_sensitivity_curve(
+    spark,
+    n_minhash: int = N_MINHASH,
+    n_bands: int = LSH_BANDS,
+    step: float = 0.05,
+    decimals: int = 6,
+):
+    """The analytic S-curve of the configured MinHash-LSH scheme:
+    P(candidate | jaccard = s) = 1 − (1 − s^r)^b with r = n_minhash /
+    n_bands rows per band — the operating-point table that says, for the
+    banding this engine actually runs (32 hashes, 8×4 default), which
+    similarity levels are reliably caught and which slip through.  The
+    companion MEASURED number is ``dedup_pair_recall``; this is the
+    theoretical curve it should track.
+
+    Powers are expanded to literal multiplication chains (s*s*s*s), not
+    ``pow`` — libm pow differs across engines in the last ulp (verify
+    skill, round-4 pitfalls), a plain multiply does not.
+
+    Output: ``(s, p_band, p_detect)`` per similarity grid point.
+    """
+    r = n_minhash // n_bands
+    s = F.round(F.col("id").cast("double") * F.lit(step), 2)
+    grid = spark.range(1, int(round(1.0 / step))).select(s.alias("s"))
+    p_band = F.col("s")
+    for _ in range(r - 1):
+        p_band = p_band * F.col("s")
+    miss = F.lit(1.0) - p_band
+    p_miss_all = miss
+    for _ in range(n_bands - 1):
+        p_miss_all = p_miss_all * miss
+    return grid.select(
+        "s",
+        F.round(p_band, decimals).alias("p_band"),
+        F.round(F.lit(1.0) - p_miss_all, decimals).alias("p_detect"),
+    )

@@ -598,3 +598,63 @@ def daily_autocorrelation(
             F.round(num / den, decimals).alias("acf"),
         )
     )
+
+
+def series_correlation_matrix(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    decimals: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation between the daily-count series of
+    every pair of event types — the co-movement matrix that separates "all
+    feeds dipped together" (upstream outage) from "one feed dipped alone"
+    (source-specific break) when a volume monitor fires.
+
+    Only days where BOTH series have rows pair up (inner calendar join),
+    so a type that starts late correlates over its shared span.  All
+    distributed sums are exact bigints; Pearson's formula runs once per
+    pair on the aggregated scalars (cast to double first — at extreme
+    daily volumes the c·Σxy cross terms exceed bigint even though each
+    sum fits).
+
+    Output: ``(type_a, type_b, n_days, corr)`` for a < b.
+
+    Plan / 100 TB: one fact-grain shuffle to (type, day) counts; the
+    day-grain self-join and pair aggregation run over series-cardinality
+    × calendar rows.  No windows, no fact self-join.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = events.groupBy(
+        F.col(type_col).alias("t"), day.alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    a = daily.select(F.col("t").alias("ta"), "day", F.col("n").alias("x"))
+    b = daily.select(F.col("t").alias("tb"), "day", F.col("n").alias("y"))
+    pairs = a.join(b, "day").filter(F.col("ta") < F.col("tb"))
+    agg = pairs.groupBy("ta", "tb").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    cd = F.col("c").cast("double")
+    num = cd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    denx = cd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    deny = cd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return (
+        agg.filter((F.col("c") >= 2) & (denx > 0) & (deny > 0))
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("c").cast("bigint").alias("n_days"),
+            F.round(num / F.sqrt(denx * deny), decimals).alias("corr"),
+        )
+    )
