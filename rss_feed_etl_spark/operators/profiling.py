@@ -443,3 +443,49 @@ def l_diversity_violations(
         F.count("*").cast("bigint").alias("n_sensitive"),
     )
     return grp.filter(F.col("n_sensitive") < l)
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    cutoff: float = 3.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Robust per-group outliers via the median-absolute-deviation rule:
+    |x − median| / (1.4826·MAD) > cutoff.  Unlike the mean/std z-score
+    (``value_outliers``' family), the breakdown point is 50% — a batch of
+    corrupt values shifts a mean-based gate but leaves the median gate
+    standing, which is why ingest-quality screens prefer MAD.
+
+    Output: ``(event_id, event_type, value, robust_z)`` for flagged rows.
+
+    Plan / 100 TB: inherently two-pass (the deviation median needs the
+    median first) — each pass is one groupBy at GROUP grain plus a
+    broadcast join back; the fact table is never shuffled.  Exact
+    ``percentile`` buffers each group's values per task: fine at
+    few-groups/many-rows shape; at extreme group cardinality swap in
+    ``percentile_approx`` (same caveat as ``key_skew_report``).
+    Groups with MAD = 0 (over half the values identical) are excluded
+    rather than dividing by zero.
+    """
+    med = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("med")
+    )
+    d = df.join(F.broadcast(med), df[group_col] == med["g"]).select(
+        F.col(id_col), F.col(group_col), F.col(value_col),
+        F.abs(F.col(value_col) - F.col("med")).alias("dev"),
+    )
+    mad = d.groupBy(F.col(group_col).alias("g2")).agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    z = F.col("dev") / (F.lit(1.4826) * F.col("mad"))
+    return (
+        d.join(F.broadcast(mad), d[group_col] == mad["g2"])
+        .filter((F.col("mad") > 0) & (z > cutoff))
+        .select(
+            id_col, group_col, value_col,
+            F.round(z, decimals).alias("robust_z"),
+        )
+    )

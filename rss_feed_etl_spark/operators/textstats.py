@@ -1440,3 +1440,58 @@ def ccnet_ppl_buckets(
             .alias("bucket"),
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the Gopher-era quality signal
+    that catches BOTH failure modes the token-level stats miss: heavily
+    templated/looping text compresses to almost nothing (ratio → 0) and
+    random/encoded garbage doesn't compress at all (ratio → 1); natural
+    prose sits in between.  Flags mirror the drop-both-tails rule.
+
+    Output: ``(doc_id, n_bytes, z_bytes, ratio, flag_repetitive,
+    flag_incompressible)``; blank docs carry NULL ratio and no flags.
+
+    Plan / 100 TB: map-only ``mapInPandas`` (zlib is C-speed and the
+    Python stdlib — no codec dependency); no shuffle, no state, batch
+    memory bounded by Arrow batch size.  Deliberately NOT an oracle query
+    (DuckDB has no zlib) — the driver's rows-only check plus golden
+    pytest values (the test recomputes ratios with the same zlib) cover
+    it, like ``pca_projection``.
+    """
+    import pandas as pd  # noqa: F401  (worker-side import)
+
+    out_schema = (
+        f"{id_col} long, n_bytes long, z_bytes long, ratio double, "
+        "flag_repetitive int, flag_incompressible int"
+    )
+
+    def _part(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n = raw.str.len().astype("int64")
+            z = raw.map(lambda b: len(zlib.compress(b, level))).astype("int64")
+            ratio = (z / n).where(n > 0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "n_bytes": n,
+                    "z_bytes": z,
+                    "ratio": ratio.round(6),
+                    "flag_repetitive": ((n > 0) & (ratio < 0.3)).astype("int32"),
+                    "flag_incompressible": ((n > 0) & (ratio > 0.9)).astype(
+                        "int32"
+                    ),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_part, out_schema)
