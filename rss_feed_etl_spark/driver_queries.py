@@ -669,6 +669,7 @@ from . import driver_queries_wave66  # noqa: E402, F401  (registers wave-66 quer
 from . import driver_queries_wave67  # noqa: E402, F401  (registers wave-67 queries)
 from . import driver_queries_wave68  # noqa: E402, F401  (registers wave-68 queries)
 from . import driver_queries_wave69  # noqa: E402, F401  (registers wave-69 queries)
+from . import driver_queries_wave70  # noqa: E402, F401  (registers wave-70 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02 ∪ r03),

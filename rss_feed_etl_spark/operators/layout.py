@@ -203,3 +203,98 @@ def shard_assign_balanced(
             F.sum("w").cast("bigint").alias("tok_total"),
         )
     )
+
+
+def zorder_clustering_depth(
+    df: DataFrame,
+    dim_x: str,
+    dim_y: str,
+    natural_col: str,
+    n_files: int = 64,
+    grid_bits: int = 8,
+    decimals: int = 6,
+) -> DataFrame:
+    """Clustering-depth metric for a layout (Delta OPTIMIZE's health
+    number): for each file, how many files' Z-KEY ranges overlap it
+    (including itself)?  Depth 1 everywhere = perfectly clustered on the
+    z-curve; depth ≈ n_files = every file spans the whole key space and a
+    z-range predicate can skip nothing.  Run after appends to decide when
+    a re-cluster pays for itself — the companion to
+    ``zorder_scan_advisor`` (which prices candidate layouts up front).
+
+    Output: ``(layout, n_files, avg_depth, max_depth)``.
+
+    Plan / 100 TB: same shape as the advisor — one fact-grain groupBy to
+    grid cells, file assembly and the overlap self-join at FILE grain
+    (n_files² comparisons, driver-trivial).  All depth sums are integer.
+    """
+    b = 1 << grid_bits
+    cells_nat = b * b
+    st = F.broadcast(
+        df.agg(
+            F.min(dim_x).cast("long").alias("mnx"),
+            F.max(dim_x).cast("long").alias("mxx"),
+            F.min(dim_y).cast("long").alias("mny"),
+            F.max(dim_y).cast("long").alias("mxy"),
+            F.min(natural_col).cast("long").alias("mno"),
+            F.max(natural_col).cast("long").alias("mxo"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+    def grid(col: str, mn: str, mx: str, buckets: int) -> Column:
+        return F.expr(
+            f"CAST((CAST({col} AS BIGINT) - {mn}) * {buckets} "
+            f"DIV ({mx} - {mn} + 1) AS BIGINT)"
+        )
+
+    base = df.select(dim_x, dim_y, natural_col).crossJoin(st)
+    zcell = zorder_key(
+        grid(dim_x, "mnx", "mxx", b), grid(dim_y, "mny", "mxy", b), grid_bits
+    )
+    ncell = grid(natural_col, "mno", "mxo", cells_nat)
+    tagged = base.select(
+        F.lit("zorder").alias("layout"), zcell.alias("cell"),
+        zcell.alias("z"), "n_rows",
+    ).unionByName(
+        base.select(
+            F.lit("natural").alias("layout"), ncell.alias("cell"),
+            zcell.alias("z"), "n_rows",
+        )
+    )
+    cells = tagged.groupBy("layout", "cell").agg(
+        F.count("*").alias("cnt"),
+        F.min("z").alias("czmn"), F.max("z").alias("czmx"),
+        F.first("n_rows").alias("n_rows"),
+    )
+    filed = cells.withColumn(
+        "fid",
+        F.expr(f"(sum(cnt) OVER (PARTITION BY layout ORDER BY cell "
+               f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) "
+               f"* {n_files} DIV n_rows"),
+    )
+    files = filed.groupBy("layout", "fid").agg(
+        F.min("czmn").alias("zmn"), F.max("czmx").alias("zmx")
+    )
+    a = files.select(F.col("layout"), F.col("fid"), F.col("zmn"), F.col("zmx"))
+    c = files.select(
+        F.col("layout").alias("layout2"),
+        F.col("zmn").alias("zmn2"), F.col("zmx").alias("zmx2"),
+    )
+    depth = (
+        a.join(
+            c,
+            (F.col("layout") == F.col("layout2"))
+            & (F.col("zmn") <= F.col("zmx2"))
+            & (F.col("zmn2") <= F.col("zmx")),
+        )
+        .groupBy("layout", "fid")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    return depth.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.round(
+            F.sum("d").cast("double") / F.count("*").cast("double"), decimals
+        ).alias("avg_depth"),
+        F.max("d").cast("bigint").alias("max_depth"),
+    )

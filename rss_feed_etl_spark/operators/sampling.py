@@ -643,3 +643,69 @@ def dsir_importance_weights(
         )
         .select(F.col("id").alias(id_col), "n_features", "log_weight")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    weight: Column,
+    budget: int = 1000,
+    decimals: int = 6,
+) -> DataFrame:
+    """Optimal (Neyman) sample-size allocation across strata: n_h ∝
+    N_h·σ_h — strata that are bigger OR more variable get more of the
+    eval/annotation budget, the classical fix for proportional sampling
+    wasting budget on large-but-homogeneous strata.
+
+    Output per stratum: ``(stratum, n_docs, sd, alloc_neyman,
+    alloc_proportional)`` — the proportional column is printed alongside
+    so the reallocation is visible.
+
+    Determinism note: the cross-stratum normalizer Σ N_h·σ_h would be a
+    float sum whose ORDER differs between engines; N_h·σ_h is therefore
+    quantized to integer micro-units first, so the distributed sum is
+    exact and the final division is the only float op (pitfall #7).
+
+    Plan / 100 TB: one fact scan to per-stratum integer sums; totals via
+    a whole-table window over the STRATUM-grain table (same single-scan
+    shape as ``loso_source_influence``).
+    """
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(weight).cast("long").alias("s"),
+        F.sum(weight * weight).cast("long").alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        F.greatest(F.col("sq").cast("double") / F.col("n") - mean * mean, F.lit(0.0))
+    )
+    scaled = per.select(
+        "stratum", "n",
+        sd.alias("sd"),
+        F.floor(F.col("n").cast("double") * sd * F.lit(1000000.0))
+        .cast("long")
+        .alias("wh"),
+    )
+    w = Window.partitionBy()
+    tot = scaled.select(
+        "stratum", "n", "sd", "wh",
+        F.sum("wh").over(w).cast("long").alias("tw"),
+        F.sum("n").over(w).cast("long").alias("tn"),
+    )
+    return tot.select(
+        "stratum",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("sd"), decimals).alias("sd"),
+        F.floor(
+            (F.lit(budget) * F.col("wh")).cast("double") / F.col("tw").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("alloc_neyman"),
+        F.floor(
+            (F.lit(budget) * F.col("n")).cast("double") / F.col("tn").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("alloc_proportional"),
+    )
