@@ -79,6 +79,13 @@ HEADLINE = [
     "bitext_mining_pairs",
     "ccnet_ppl_buckets",
     "llm_response_repair",
+    # waves 64-70: layout advisor, hashed features, robust outliers,
+    # changepoints, Arrow compression-ratio path
+    "zorder_layout_advisor",
+    "feature_hash_encode",
+    "mad_outliers",
+    "cusum_changepoints",
+    "compression_ratio_stats",
 ]
 
 
@@ -167,6 +174,11 @@ SCALE_QUERIES = [
     "ann_cosine_topk_ivf",
     "int8_ann_topk",
     "decontaminate_splits",
+    # Arrow map-only path (wave 69): zlib ratio per doc — the curve should
+    # be ~linear since the operator never shuffles
+    "compression_ratio_stats",
+    # doc-grain feature hashing (wave 65): explode + one (doc, bucket) agg
+    "feature_hash_encode",
 ]
 
 SCALE_FACTOR = 10
