@@ -489,3 +489,51 @@ def mad_outliers(
             F.round(z, decimals).alias("robust_z"),
         )
     )
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str = "user_id",
+    n_arms: int = 2,
+    critical: float = 3.841,
+    decimals: int = 6,
+) -> DataFrame:
+    """Sample-ratio-mismatch check for a hash-split experiment: assign
+    each unit to an arm by the engine's PORTABLE hash (md5-prefix fold,
+    the same bucketing the deterministic splitters use), compare observed
+    arm sizes to the uniform expectation with a chi-square statistic, and
+    flag when it exceeds the critical value — the first guardrail any A/B
+    readout runs, because a biased split invalidates everything after it.
+
+    Output (one row): ``(n_units, arm_counts…, chi2, srm_flag)``.
+
+    Plan / 100 TB: unit dedup is one groupBy at unit grain; arm counts
+    ride a second aggregate over the (already tiny) distinct-unit table's
+    conditional sums.  The chi-square arithmetic happens once on the
+    1-row aggregate.
+    """
+    from ..functions.hashing import token_code
+
+    units = df.select(F.col(unit_col).alias("u")).distinct()
+    arm = (token_code(F.col("u").cast("string")) % n_arms).cast("int")
+    counts = units.select(arm.alias("arm")).agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum(F.when(F.col("arm") == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"arm{i}")
+            for i in range(n_arms)
+        ],
+    )
+    e = F.col("n").cast("double") / F.lit(float(n_arms))
+    chi2 = None
+    for i in range(n_arms):
+        d = F.col(f"arm{i}").cast("double") - e
+        term = d * d / e
+        chi2 = term if chi2 is None else chi2 + term
+    return counts.select(
+        F.col("n").cast("bigint").alias("n_units"),
+        *[F.col(f"arm{i}").cast("bigint").alias(f"arm{i}") for i in range(n_arms)],
+        F.round(chi2, decimals).alias("chi2"),
+        F.when(chi2 > critical, 1).otherwise(0).cast("int").alias("srm_flag"),
+    )

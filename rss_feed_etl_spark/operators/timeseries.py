@@ -658,3 +658,82 @@ def series_correlation_matrix(
             F.round(num / F.sqrt(denx * deny), decimals).alias("corr"),
         )
     )
+
+
+def holt_forecast(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Holt double-exponential smoothing per daily-count series: level +
+    trend state folded sequentially over the calendar, the capacity
+    forecast ("how many events will this feed produce next week?") that a
+    plain EMA can't answer because it has no trend term.
+
+    Unlike ``ema_smoothing`` (telescoped closed form, documented horizon
+    bound) the Holt recursion couples two states and does not telescope;
+    it runs as an explicit SEQUENTIAL FOLD over the collected series —
+    ``F.aggregate`` on Spark, ``list_reduce`` in the DuckDB oracle — with
+    init l₁ = x₁, b₁ = x₂ − x₁.  Both engines execute the identical IEEE
+    op sequence, so results are bit-mirrorable.  The fold also
+    accumulates the one-step-ahead |error| BEFORE each update, yielding
+    in-sample MAE for free.
+
+    Output per series: ``(event_type, n_days, level, trend,
+    forecast_h, mae)``; series shorter than 2 days are dropped and MAE is
+    NULL when no held-out step exists.
+
+    Plan / 100 TB: one fact shuffle to (type, day) counts, one groupBy to
+    series grain.  The collected array is DAY-grain (years ≈ thousands of
+    doubles per series) — bounded by the calendar, not the corpus, the
+    same contract as every other per-series operator here.
+    """
+    a, ombeta, omalpha = float(alpha), 1.0 - float(beta), 1.0 - float(alpha)
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = events.groupBy(F.col(type_col).alias("t"), day.alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ser = daily.groupBy("t").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"].cast("double"),
+        ).alias("xs")
+    ).filter(F.size("xs") >= 2)
+    x1 = F.element_at("xs", 1)
+    x2 = F.element_at("xs", 2)
+    zero = F.struct(
+        x1.alias("l"),
+        (x2 - x1).alias("b"),
+        F.lit(0.0).alias("ae"),
+        F.lit(0.0).alias("k"),
+    )
+    rest = F.slice("xs", 3, F.greatest(F.size("xs") - 2, F.lit(0)))
+
+    def step(acc, x):
+        fc = acc["l"] + acc["b"]
+        l2 = F.lit(a) * x + F.lit(omalpha) * fc
+        b2 = F.lit(float(beta)) * (l2 - acc["l"]) + F.lit(ombeta) * acc["b"]
+        return F.struct(
+            l2.alias("l"),
+            b2.alias("b"),
+            (acc["ae"] + F.abs(x - fc)).alias("ae"),
+            (acc["k"] + F.lit(1.0)).alias("k"),
+        )
+
+    r = F.aggregate(rest, zero, step)
+    return ser.select(
+        F.col("t").alias(type_col),
+        F.size("xs").cast("bigint").alias("n_days"),
+        F.round(r["l"], decimals).alias("level"),
+        F.round(r["b"], decimals).alias("trend"),
+        F.round(r["l"] + F.lit(float(horizon)) * r["b"], decimals).alias(
+            "forecast_h"
+        ),
+        F.round(
+            F.when(r["k"] > 0, r["ae"] / r["k"]), decimals
+        ).alias("mae"),
+    )
