@@ -537,3 +537,64 @@ def srm_check(
         F.round(chi2, decimals).alias("chi2"),
         F.when(chi2 > critical, 1).otherwise(0).cast("int").alias("srm_flag"),
     )
+
+
+def tukey_fences(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    k: float = 1.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group boxplot profile: quartiles, IQR, the Tukey fences
+    q1 − k·IQR / q3 + k·IQR, and how much of the group lies beyond them —
+    the distribution summary a data-quality dashboard renders per source,
+    and the third member of the outlier family (z-score: fast, fooled by
+    heavy tails; MAD: robust, needs two medians; Tukey: the boxplot
+    convention reviewers expect).
+
+    Output per group: ``(group, n, q1, q3, iqr, lo_fence, hi_fence,
+    n_low, n_high, outlier_rate)``.
+
+    Plan / 100 TB: two passes by construction (fences must exist before
+    rows can be counted against them) — each is one group-grain
+    aggregate, facts never shuffle; the fence table rides back broadcast.
+    Exact ``percentile`` buffers per group (same scale caveat as
+    ``mad_outliers``).
+    """
+    q = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.percentile(value_col, F.lit(0.25)).alias("q1"),
+        F.percentile(value_col, F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fenced = q.select(
+        "g", "q1", "q3",
+        (F.col("q1") - F.lit(float(k)) * iqr).alias("lo"),
+        (F.col("q3") + F.lit(float(k)) * iqr).alias("hi"),
+    )
+    j = df.join(F.broadcast(fenced), df[group_col] == fenced["g"])
+    v = F.col(value_col)
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.first("q1"), decimals).alias("q1"),
+            F.round(F.first("q3"), decimals).alias("q3"),
+            F.round(F.first("q3") - F.first("q1"), decimals).alias("iqr"),
+            F.round(F.first("lo"), decimals).alias("lo_fence"),
+            F.round(F.first("hi"), decimals).alias("hi_fence"),
+            F.sum(F.when(v < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(v > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+        )
+        .withColumn(
+            "outlier_rate",
+            F.round(
+                (F.col("n_low") + F.col("n_high")).cast("double") / F.col("n"),
+                decimals,
+            ),
+        )
+    )

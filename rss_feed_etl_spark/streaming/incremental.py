@@ -261,3 +261,40 @@ def incremental_stats_sink(
     else:
         writer = writer.trigger(processingTime="15 seconds")
     return writer.start()
+
+
+def enrich_stream_to_parquet(
+    stream: DataFrame,
+    dim_path: str,
+    on: str,
+    target_path: str,
+    checkpoint_path: str,
+):
+    """Stream-static enrichment with PER-BATCH dimension refresh: each
+    micro-batch re-reads the dimension parquet inside ``foreachBatch`` and
+    broadcast-joins it, so a slowly-changing dim updated between batches
+    enriches the NEXT batch with current attributes — the property a
+    plain stream-static join only gives you by accident of file listing,
+    made explicit and testable here.
+
+    Left join: stream rows with no dim match flow through with NULL
+    attributes (an enrichment must never drop facts).  Appends to
+    ``target_path``; exactly-once via the checkpoint + availableNow
+    trigger, same contract as ``incremental_scd1``.
+
+    100 TB: the dim re-read is per-BATCH, not per-row; broadcast keeps
+    the join shuffle-free so stream throughput is scan-bound.
+    """
+
+    def _enrich(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dim = spark.read.parquet(dim_path)
+        out = batch_df.join(F.broadcast(dim), on, "left")
+        out.write.mode("append").parquet(target_path)
+
+    return (
+        stream.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,72 @@
+"""Wave 72: Tukey fences and per-batch-refreshed stream enrichment."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from rss_feed_etl_spark.operators import profiling
+from rss_feed_etl_spark.streaming.incremental import enrich_stream_to_parquet
+
+
+def test_tukey_fences_known_quartiles(spark):
+    # 1..11 plus outliers 100 and -50: q1=3.5, q3=8.5 over the 13 values?
+    # keep it simple: uniform 0..100 grid + two gross outliers
+    vals = [float(v) for v in range(0, 101, 10)] + [1000.0, -1000.0]
+    rows = [Row(event_id=i, event_type="t", value=v) for i, v in enumerate(vals)]
+    out = profiling.tukey_fences(spark.createDataFrame(rows)).collect()[0]
+    assert out["n"] == 13
+    assert out["q1"] < out["q3"]
+    assert out["lo_fence"] == out["q1"] - 1.5 * out["iqr"] or abs(
+        out["lo_fence"] - (out["q1"] - 1.5 * out["iqr"])
+    ) < 1e-5
+    assert out["n_low"] == 1 and out["n_high"] == 1
+    assert abs(out["outlier_rate"] - round(2 / 13, 6)) < 1e-6
+
+
+def test_tukey_fences_per_group_independent(spark):
+    rows = [Row(event_id=i, event_type="narrow", value=50.0 + (i % 3)) for i in range(30)]
+    rows += [Row(event_id=100 + i, event_type="wide", value=float(i * 40)) for i in range(30)]
+    out = {r["event_type"]: r for r in profiling.tukey_fences(spark.createDataFrame(rows)).collect()}
+    assert out["narrow"]["iqr"] < out["wide"]["iqr"]
+    # narrow group: all mass within its own fences
+    assert out["narrow"]["n_low"] == 0 and out["narrow"]["n_high"] == 0
+
+
+def test_stream_enrich_refreshes_dim_between_batches(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    dim_path = str(tmp_path / "dim")
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # dim v1
+    spark.createDataFrame(
+        [Row(source="a", tier="bronze"), Row(source="b", tier="silver")]
+    ).write.mode("overwrite").parquet(dim_path)
+    # batch 1
+    spark.createDataFrame(
+        [Row(doc_id=1, source="a"), Row(doc_id=2, source="zzz")]
+    ).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema("doc_id long, source string").parquet(landing)
+    )
+    q = enrich_stream_to_parquet(stream, dim_path, "source", target, ckpt)
+    q.awaitTermination(120)
+    t1 = {r["doc_id"]: r["tier"] for r in spark.read.parquet(target).collect()}
+    assert t1 == {1: "bronze", 2: None}  # left join: no-match flows through
+
+    # dim updated BETWEEN batches: a promotes to gold
+    spark.createDataFrame(
+        [Row(source="a", tier="gold"), Row(source="b", tier="silver")]
+    ).write.mode("overwrite").parquet(dim_path)
+    # batch 2: another 'a' doc
+    spark.createDataFrame([Row(doc_id=3, source="a")]).write.mode("append").parquet(
+        landing
+    )
+    stream2 = (
+        spark.readStream.schema("doc_id long, source string").parquet(landing)
+    )
+    q2 = enrich_stream_to_parquet(stream2, dim_path, "source", target, ckpt)
+    q2.awaitTermination(120)
+    t2 = {r["doc_id"]: r["tier"] for r in spark.read.parquet(target).collect()}
+    # old rows keep their as-of enrichment; the new row sees the NEW dim
+    assert t2[1] == "bronze" and t2[3] == "gold"
