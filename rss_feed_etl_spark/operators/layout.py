@@ -105,16 +105,20 @@ def zorder_scan_advisor(
         grid(dim_x, "mnx", "mxx", b), grid(dim_y, "mny", "mxy", b), grid_bits
     )
     ncell = grid(natural_col, "mno", "mxo", cells_nat)
+    # ONE fact scan: explode a 2-element (layout, cell) array per row
+    # instead of unioning two scans of the same relation
     tagged = base.select(
-        F.lit("zorder").alias("layout"), zcell.alias("cell"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("zorder").alias("layout"), zcell.alias("cell")),
+                F.struct(F.lit("natural").alias("layout"), ncell.alias("cell")),
+            )
+        ).alias("lc"),
         F.col(dim_x).cast("long").alias("x"), F.col(dim_y).cast("long").alias("y"),
         "mnx", "mxx", "mny", "mxy", "n_rows",
-    ).unionByName(
-        base.select(
-            F.lit("natural").alias("layout"), ncell.alias("cell"),
-            F.col(dim_x).cast("long").alias("x"), F.col(dim_y).cast("long").alias("y"),
-            "mnx", "mxx", "mny", "mxy", "n_rows",
-        )
+    ).select(
+        F.col("lc.layout").alias("layout"), F.col("lc.cell").alias("cell"),
+        "x", "y", "mnx", "mxx", "mny", "mxy", "n_rows",
     )
     cells = tagged.groupBy("layout", "cell").agg(
         F.count("*").alias("cnt"),
@@ -253,14 +257,18 @@ def zorder_clustering_depth(
         grid(dim_x, "mnx", "mxx", b), grid(dim_y, "mny", "mxy", b), grid_bits
     )
     ncell = grid(natural_col, "mno", "mxo", cells_nat)
+    # ONE fact scan via explode (see zorder_scan_advisor)
     tagged = base.select(
-        F.lit("zorder").alias("layout"), zcell.alias("cell"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("zorder").alias("layout"), zcell.alias("cell")),
+                F.struct(F.lit("natural").alias("layout"), ncell.alias("cell")),
+            )
+        ).alias("lc"),
         zcell.alias("z"), "n_rows",
-    ).unionByName(
-        base.select(
-            F.lit("natural").alias("layout"), ncell.alias("cell"),
-            zcell.alias("z"), "n_rows",
-        )
+    ).select(
+        F.col("lc.layout").alias("layout"), F.col("lc.cell").alias("cell"),
+        "z", "n_rows",
     )
     cells = tagged.groupBy("layout", "cell").agg(
         F.count("*").alias("cnt"),
@@ -273,9 +281,12 @@ def zorder_clustering_depth(
                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) "
                f"* {n_files} DIV n_rows"),
     )
+    # lazy localCheckpoint: the overlap self-join references this tiny
+    # (≤ 2·n_files rows) table on BOTH sides — without it each side
+    # re-evaluates the whole fact pipeline (two extra corpus scans)
     files = filed.groupBy("layout", "fid").agg(
         F.min("czmn").alias("zmn"), F.max("czmx").alias("zmx")
-    )
+    ).localCheckpoint(eager=False)
     a = files.select(F.col("layout"), F.col("fid"), F.col("zmn"), F.col("zmx"))
     c = files.select(
         F.col("layout").alias("layout2"),

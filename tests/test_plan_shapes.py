@@ -623,3 +623,22 @@ def test_repeated_ngram_stats_map_only(spark):
     # every metric is an array computation per doc: no exchange, no join
     assert "Exchange" not in s
     assert "Join" not in s
+
+
+def test_zorder_advisor_single_fact_scan(spark):
+    s = _plan(_queries()["zorder_layout_advisor"](spark, SF_DIR))
+    # stats pass + ONE fact pass: the two layouts share a single scan via
+    # an exploded (layout, cell) array, not a union of two scans
+    assert s.count("Scan parquet ") <= 4  # 2 nodes x (tree + detail)
+    assert "Generate (" in s
+    assert "Union" not in s
+
+
+def test_zorder_depth_single_fact_scan(spark):
+    s = _plan(_queries()["zorder_clustering_depth"](spark, SF_DIR))
+    # the file table is lazily localCheckpointed before the overlap
+    # self-join, so the fact pipeline appears ONCE (behind the checkpoint
+    # boundary the explain shows no parquet scans at all) and the join
+    # runs over the materialized ≤2·n_files rows
+    assert s.count("Scan parquet ") == 0
+    assert "Union" not in s
