@@ -974,3 +974,160 @@ def cohort_ltv(
             .alias("cum_revenue_per_user"),
         )
     )
+
+
+def cuped_adjustment(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    decimals: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction for a hash-split A/B readout: per user,
+    split the window at the corpus midpoint into pre/post value sums,
+    estimate θ = cov(pre, post)/var(pre) POOLED across arms, and report
+    each arm's adjusted mean  post − θ·(pre − mean(pre))  plus the
+    variance-reduction percentage — the standard trick that shrinks
+    experiment runtimes by regressing out pre-period behavior
+    (Deng et al., WSDM'13).
+
+    Determinism: per-user pre/post sums accumulate as decimal(30,10) and
+    quantize to integer CENTS, so every cross-user aggregate (Σx, Σxx,
+    Σxy…) is an exact bigint and θ, means, and variances are a fixed
+    sequence of scalar double ops — no float-sum ordering anywhere
+    (pitfall #7).  Arm assignment uses the portable md5 hash (same as
+    ``srm_check``), so the split itself is oracle-reproducible.
+
+    Output per arm: ``(arm, n_users, mean_post, mean_adj,
+    var_reduction_pct)`` in original value units.
+
+    Plan / 100 TB: one fact-grain shuffle to user grain, one aggregate to
+    ARM grain (2 rows), pooled sums via a window over those 2 rows.
+    Integer headroom: cents² sums bound corpus value sums ≲ 3·10⁹ per
+    user at bigint safety; rescale the quantization for larger ledgers.
+    """
+    from ..functions.hashing import token_code
+
+    dec = "decimal(30,10)"
+    e = F.col(ts_col).cast("double")
+    bounds = F.broadcast(
+        events.agg(
+            F.min(e).alias("e0"), F.max(e).alias("e1")
+        )
+    )
+    ev = events.crossJoin(bounds)
+    mid = (F.col("e0") + F.col("e1")) / F.lit(2.0)
+    v = F.col(value_col).cast(dec)
+    per_user = ev.groupBy(F.col(user_col).alias("u")).agg(
+        F.sum(F.when(e < mid, v).otherwise(F.lit(0).cast(dec))).alias("pre"),
+        F.sum(F.when(e >= mid, v).otherwise(F.lit(0).cast(dec))).alias("post"),
+    )
+    cents = per_user.select(
+        (token_code(F.col("u").cast("string")) % 2).cast("int").alias("arm"),
+        F.round(F.col("pre") * 100, 0).cast("long").alias("pc"),
+        F.round(F.col("post") * 100, 0).cast("long").alias("qc"),
+    )
+    arms = cents.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pc").cast("long").alias("sx"),
+        F.sum("qc").cast("long").alias("sy"),
+        F.sum(F.col("pc") * F.col("pc")).cast("long").alias("sxx"),
+        F.sum(F.col("qc") * F.col("qc")).cast("long").alias("syy"),
+        F.sum(F.col("pc") * F.col("qc")).cast("long").alias("sxy"),
+    )
+    w = Window.partitionBy()
+    g = arms.select(
+        "*",
+        F.sum("n").over(w).cast("long").alias("gn"),
+        F.sum("sx").over(w).cast("long").alias("gsx"),
+        F.sum("sy").over(w).cast("long").alias("gsy"),
+        F.sum("sxx").over(w).cast("long").alias("gsxx"),
+        F.sum("sxy").over(w).cast("long").alias("gsxy"),
+    )
+    gnd = F.col("gn").cast("double")
+    theta = (
+        gnd * F.col("gsxy").cast("double")
+        - F.col("gsx").cast("double") * F.col("gsy").cast("double")
+    ) / (
+        gnd * F.col("gsxx").cast("double")
+        - F.col("gsx").cast("double") * F.col("gsx").cast("double")
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    gmx = F.col("gsx").cast("double") / gnd
+    var_post = F.col("syy").cast("double") / nd - my * my
+    var_pre = F.col("sxx").cast("double") / nd - mx * mx
+    cov = F.col("sxy").cast("double") / nd - mx * my
+    var_adj = var_post + theta * theta * var_pre - F.lit(2.0) * theta * cov
+    return g.select(
+        F.col("arm"),
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(my / F.lit(100.0), decimals).alias("mean_post"),
+        F.round((my - theta * (mx - gmx)) / F.lit(100.0), decimals).alias(
+            "mean_adj"
+        ),
+        F.round(
+            F.lit(100.0) * (F.lit(1.0) - var_adj / var_post), decimals
+        ).alias("var_reduction_pct"),
+    )
+
+
+def interevent_burstiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    decimals: int = 6,
+) -> DataFrame:
+    """Burstiness index B = (σ−μ)/(σ+μ) of per-user inter-event gaps,
+    pooled per event type (Goh & Barabási, 2008): B ≈ −1 for metronomic
+    traffic, ≈ 0 for Poisson arrivals, → +1 for heavy bursts — the
+    arrival-process fingerprint that tells a capacity planner whether a
+    feed's daily mean is even usable.
+
+    Gaps quantize to integer SECONDS (via exact integer microseconds →
+    DIV), so all cross-row sums are exact bigints and σ/μ/B are scalar
+    double math — deterministic under any partitioning.
+
+    Output per type: ``(event_type, n_gaps, mean_gap_s, burstiness)``;
+    types whose gaps are all identical (σ = 0) report B = −1 exactly.
+
+    Plan / 100 TB: one window (lag) partitioned by (user, type) — the
+    same shuffle sessionization uses — then one aggregate to type grain
+    with map-side partials.  Gap² sums bound gaps ≲ 3·10⁶ s at bigint
+    safety for 10⁶-row partitions; at larger horizons bucket gaps first.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        F.col(ts_col).asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        events.select(
+            F.col(type_col).alias("t"),
+            (us - F.lag(us).over(w)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select("t", F.expr("CAST(gap_us DIV 1000000 AS BIGINT)").alias("g"))
+    )
+    agg = gaps.groupBy(F.col("t").alias(type_col)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("sq"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd
+    sig = F.sqrt(
+        F.greatest(F.col("sq").cast("double") / nd - mu * mu, F.lit(0.0))
+    )
+    return agg.filter(F.col("n") >= 2).select(
+        type_col,
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(mu, decimals).alias("mean_gap_s"),
+        F.round(
+            F.when((sig + mu) > 0, (sig - mu) / (sig + mu)).otherwise(
+                F.lit(0.0)
+            ),
+            decimals,
+        ).alias("burstiness"),
+    )
