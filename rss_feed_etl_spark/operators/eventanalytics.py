@@ -1131,3 +1131,179 @@ def interevent_burstiness(
             decimals,
         ).alias("burstiness"),
     )
+
+
+def peak_concurrency(
+    events: DataFrame,
+    ts_col: str = "ts",
+    session_seconds: int = 1800,
+    decimals: int = 6,
+) -> DataFrame:
+    """Peak simultaneous sessions per day via the classic sweep-line:
+    every event opens a session ``[ts, ts + W)``, each session emits a +1
+    at its (day-clipped) start and a −1 at its end, and the running sum
+    of deltas ordered by time is the live-session count — its daily max
+    is the number that sizes connection pools and rate limits.
+
+    Sessions crossing midnight are split per day (a 30-min session spans
+    ≤ 2 days, so the explode fan-out is bounded by 2×2 rows/event).
+    Tie order is pinned at (ts, delta): a −1 sorts before a +1 at the
+    same instant, the half-open-interval convention, so back-to-back
+    sessions never double-count.  Max-of-running-sum is insensitive to
+    ordering WITHIN an equal (ts, delta) group, so the result is
+    deterministic.
+
+    Output per day: ``(day, n_started, peak_concurrent)``.
+
+    Plan / 100 TB: the only window is partitioned BY DAY over boundary
+    rows (≤ 4× the day's events) — no global ordering exists anywhere.
+    A hot day is a skew unit; AQE splits it, or pre-aggregate equal
+    timestamps first.
+    """
+    s = F.col(ts_col)
+    e = s + F.expr(f"INTERVAL {int(session_seconds)} SECONDS")
+    days = F.sequence(
+        F.date_trunc("day", s),
+        F.date_trunc("day", e - F.expr("INTERVAL 1 MICROSECOND")),
+        F.expr("INTERVAL 1 DAY"),
+    )
+    per_day = events.select(
+        s.alias("s"), e.alias("e"), F.explode(days).alias("day")
+    )
+    bounds = per_day.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.greatest(F.col("s"), F.col("day")).alias("t"),
+                    F.lit(1).alias("d"),
+                ),
+                F.struct(
+                    F.least(
+                        F.col("e"), F.col("day") + F.expr("INTERVAL 1 DAY")
+                    ).alias("t"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("b"),
+    ).select("day", F.col("b.t").alias("t"), F.col("b.d").alias("d"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("d").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = bounds.select("day", "d", F.sum("d").over(w).alias("live"))
+    return run.groupBy("day").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boundaries_in"),
+        F.max("live").cast("bigint").alias("peak_concurrent"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_boundaries_in").alias("n_started"),
+        "peak_concurrent",
+    )
+
+
+def positional_attribution(
+    events: DataFrame,
+    source_types: list[str],
+    conversion_type: str = "purchase",
+    max_age_days: int = 7,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """U-shaped (position-based) attribution, completing the family with
+    ``last_touch_attribution`` and ``time_decay_attribution``: within each
+    conversion's touch path, the FIRST and LAST source touches take 40%
+    each and the middles split the remaining 20%; single-touch paths take
+    100%, two-touch paths 50/50.  Conversions with no fresh-enough touch
+    credit 'direct'.
+
+    Touches bind to their user's NEXT conversion via one backward-looking
+    window (first_value IGNORE NULLS over the following frame) — the
+    same no-range-join as-of pattern as last-touch, mirrored exactly in
+    the oracle.  Credited values quantize per summand to integer cents
+    BEFORE the cross-conversion sum, so aggregation order cannot move
+    the output (pitfall #7).
+
+    Output: ``(source, n_touches, credited_value)`` including the
+    'direct' row.
+
+    Plan / 100 TB: two windows over the same (user-partitioned) sort —
+    one binds touches to conversions, one ranks positions within a
+    (user, conversion) path — then one aggregate to source grain.
+    """
+    fwd = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    conv_id = F.when(F.col(type_col) == conversion_type, F.col(id_col))
+    conv_ts = F.when(F.col(type_col) == conversion_type, F.col(ts_col))
+    conv_val = F.when(F.col(type_col) == conversion_type, F.col(value_col))
+    tagged = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("typ"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).alias("val"),
+        F.first(conv_id, ignorenulls=True).over(fwd).alias("cid"),
+        F.first(conv_ts, ignorenulls=True).over(fwd).alias("cts"),
+        F.first(conv_val, ignorenulls=True).over(fwd).alias("cval"),
+    )
+    age_ok = F.col("cts").cast("double") - F.col("ts").cast("double") <= F.lit(
+        float(max_age_days * 86400)
+    )
+    touches = tagged.filter(
+        F.col("typ").isin(source_types)
+        & F.col("cid").isNotNull()
+        & (F.col("cid") != F.col("id"))
+        & age_ok
+    )
+    pw = Window.partitionBy("u", "cid").orderBy(F.col("ts").asc(), F.col("id").asc())
+    pwd = Window.partitionBy("u", "cid").orderBy(
+        F.col("ts").desc(), F.col("id").desc()
+    )
+    kw = Window.partitionBy("u", "cid")
+    ranked = touches.select(
+        "typ", "cval", "cid",
+        F.row_number().over(pw).alias("rn"),
+        F.row_number().over(pwd).alias("rd"),
+        F.count("*").over(kw).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when(F.col("rn") == 1, F.lit(0.4))
+        .when(F.col("rd") == 1, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2).cast("double"))
+    )
+    cents = F.round(credit * F.col("cval") * F.lit(100.0), 0).cast("long")
+    by_source = ranked.select(
+        F.col("typ").alias("source"), cents.alias("c")
+    ).groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.round(F.sum("c").cast("double") / F.lit(100.0), 2).alias(
+            "credited_value"
+        ),
+    )
+    matched = ranked.select("cid").distinct()
+    direct = (
+        events.filter(F.col(type_col) == conversion_type)
+        .join(matched, F.col(id_col) == matched["cid"], "left_anti")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.round(
+                F.sum(F.round(F.col(value_col) * F.lit(100.0), 0).cast("long"))
+                .cast("double")
+                / F.lit(100.0),
+                2,
+            ).alias("credited_value"),
+        )
+        .select(F.lit("direct").alias("source"), "n_touches", "credited_value")
+    )
+    return by_source.unionByName(direct)
