@@ -506,6 +506,39 @@ def trending_items(
     )
 
 
+def _survival_risk_table(
+    events: DataFrame,
+    censor_days: int,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Shared duration-grain risk table for the survival estimators:
+    per-user lifetimes with recency censoring, collapsed to
+    ``(duration_days, n_events, n_censored, n_risk)``."""
+    day = F.to_date(ts_col)
+    per_user = events.groupBy(user_col).agg(
+        F.min(day).alias("first_day"), F.max(day).alias("last_day")
+    )
+    horizon = events.agg(F.max(day).alias("max_day"))
+    flagged = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_day", "first_day").alias("duration_days"),
+        (
+            F.col("last_day") <= F.date_sub(F.col("max_day"), censor_days)
+        ).cast("int").alias("is_event"),
+    )
+    grain = flagged.groupBy("duration_days").agg(
+        F.sum("is_event").cast("bigint").alias("n_events"),
+        F.sum(1 - F.col("is_event")).cast("bigint").alias("n_censored"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("duration_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grain.withColumn(
+        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(w_desc)
+    )
+
+
 def kaplan_meier(
     events: DataFrame,
     censor_days: int = 3,
@@ -527,31 +560,10 @@ def kaplan_meier(
     horizon rides in as a broadcast 1-row aggregate, never a second scan
     of the facts.
     """
-    day = F.to_date(ts_col)
-    per_user = events.groupBy(user_col).agg(
-        F.min(day).alias("first_day"), F.max(day).alias("last_day")
-    )
-    horizon = events.agg(F.max(day).alias("max_day"))
-    flagged = per_user.crossJoin(F.broadcast(horizon)).select(
-        F.datediff("last_day", "first_day").alias("duration_days"),
-        (
-            F.col("last_day") <= F.date_sub(F.col("max_day"), censor_days)
-        ).cast("int").alias("is_event"),
-    )
-    grain = flagged.groupBy("duration_days").agg(
-        F.sum("is_event").cast("bigint").alias("n_events"),
-        F.sum(1 - F.col("is_event")).cast("bigint").alias("n_censored"),
-    )
-    w_desc = (
-        Window.orderBy(F.col("duration_days").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    at_risk = _survival_risk_table(events, censor_days, user_col, ts_col)
     w_asc = (
         Window.orderBy(F.col("duration_days").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    at_risk = grain.withColumn(
-        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(w_desc)
     )
     frac = F.col("n_events") / F.col("n_risk")
     term = F.when(F.col("n_events") < F.col("n_risk"), F.log(1.0 - frac))
@@ -1307,3 +1319,38 @@ def positional_attribution(
         .select(F.lit("direct").alias("source"), "n_touches", "credited_value")
     )
     return by_source.unionByName(direct)
+
+
+def nelson_aalen(
+    events: DataFrame,
+    censor_days: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    decimals: int = 6,
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard over the same censored user
+    lifetimes as ``kaplan_meier``: H(t) = Σ_{t'≤t} d/n with standard
+    error sqrt(Σ d/n²) — the estimator to use when hazard RATES (how
+    fast are we losing users at day t) matter more than the survival
+    level, and the numerically stabler input to a proportional-hazards
+    fit.
+
+    Plan: identical shape to KM (shared ``_survival_risk_table``) —
+    facts collapse to user grain once, everything after runs at
+    duration grain.  The cumulative float sums run in a fixed window
+    order, so they're deterministic (same contract as KM's Π(1−d/n)).
+    """
+    at_risk = _survival_risk_table(events, censor_days, user_col, ts_col)
+    w_asc = (
+        Window.orderBy(F.col("duration_days").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = F.col("n_events").cast("double")
+    n = F.col("n_risk").cast("double")
+    return at_risk.select(
+        "duration_days", "n_risk", "n_events", "n_censored",
+        F.round(F.sum(d / n).over(w_asc), decimals).alias("cum_hazard"),
+        F.round(
+            F.sqrt(F.sum(d / (n * n)).over(w_asc)), decimals
+        ).alias("hazard_se"),
+    )

@@ -598,3 +598,103 @@ def tukey_fences(
             ),
         )
     )
+
+
+def quantile_treatment_effect(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    value_col: str = "value",
+    decimals: int = 6,
+) -> DataFrame:
+    """Quantile treatment effects for the hash-split experiment: the
+    per-arm q25/q50/q75 of the outcome and their arm-1 − arm-0 deltas —
+    the distributional readout that catches an effect concentrated in
+    the tail that a mean comparison averages away.  Arms come from the
+    same portable md5 hash as ``srm_check``/``cuped_adjustment``, so the
+    whole A/B toolkit reads one consistent split.
+
+    Output (one row): per-arm quantiles + ``qte_25/50/75``.
+
+    Plan / 100 TB: ONE aggregate — conditional percentiles
+    (``percentile(CASE arm)``) ignore the other arm's NULLs, so no
+    second scan, no join, no pivot.
+    """
+    from ..functions.hashing import token_code
+
+    arm = (token_code(F.col(unit_col).cast("string")) % 2).cast("int")
+    v0 = F.when(arm == 0, F.col(value_col))
+    v1 = F.when(arm == 1, F.col(value_col))
+    qs = [0.25, 0.5, 0.75]
+    aggs = []
+    for q in qs:
+        tag = str(int(q * 100))
+        aggs += [
+            F.round(F.percentile(v0, F.lit(q)), decimals).alias(f"q{tag}_arm0"),
+            F.round(F.percentile(v1, F.lit(q)), decimals).alias(f"q{tag}_arm1"),
+            F.round(
+                F.percentile(v1, F.lit(q)) - F.percentile(v0, F.lit(q)),
+                decimals,
+            ).alias(f"qte_{tag}"),
+        ]
+    return events.agg(*aggs)
+
+
+def join_order_advisor(
+    a: DataFrame,
+    b: DataFrame,
+    c: DataFrame,
+    ab_keys: tuple[str, str],
+    bc_keys: tuple[str, str],
+    names: tuple[str, str, str] = ("a", "b", "c"),
+) -> DataFrame:
+    """Pre-flight advisor for the chain join A ⋈ B ⋈ C (A–B on
+    ``ab_keys``, B–C on ``bc_keys``): estimate the INTERMEDIATE row count
+    of each feasible order from exact key histograms — |A⋈B| = Σ_k
+    cntA(k)·cntB(k), likewise |B⋈C| — and recommend starting with the
+    smaller one.  The intermediate, not the final result, is what sizes
+    the shuffle the optimizer must buffer; misordering a chain join is
+    the classic way a 100 TB query 10×'s its shuffle volume.
+
+    Output: one row per order with ``(join_order, intermediate_rows,
+    recommended)``.
+
+    Plan / 100 TB: each estimate is two key-grain histograms joined at
+    key grain (the same machinery as ``join_cardinality_estimate``) —
+    the fact tables are never themselves joined.
+    """
+    ka, kb_a = ab_keys
+    kb_c, kc = bc_keys
+    ha = a.groupBy(F.col(ka).alias("k")).agg(F.count("*").alias("ca"))
+    hb_a = b.groupBy(F.col(kb_a).alias("k")).agg(F.count("*").alias("cb"))
+    hb_c = b.groupBy(F.col(kb_c).alias("k")).agg(F.count("*").alias("cb"))
+    hc = c.groupBy(F.col(kc).alias("k")).agg(F.count("*").alias("cc"))
+    est_ab = (
+        ha.join(hb_a, "k")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("rows"))
+        .select(
+            F.lit(f"({names[0]} JOIN {names[1]}) JOIN {names[2]}").alias(
+                "join_order"
+            ),
+            F.col("rows"),
+        )
+    )
+    est_bc = (
+        hb_c.join(hc, "k")
+        .agg(F.sum(F.col("cb") * F.col("cc")).cast("long").alias("rows"))
+        .select(
+            F.lit(f"({names[1]} JOIN {names[2]}) JOIN {names[0]}").alias(
+                "join_order"
+            ),
+            F.col("rows"),
+        )
+    )
+    u = est_ab.unionByName(est_bc)
+    w = Window.partitionBy()
+    return u.select(
+        "join_order",
+        F.col("rows").cast("bigint").alias("intermediate_rows"),
+        F.when(F.col("rows") == F.min("rows").over(w), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("recommended"),
+    )
