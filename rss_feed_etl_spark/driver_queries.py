@@ -675,6 +675,7 @@ from . import driver_queries_wave72  # noqa: E402, F401  (registers wave-72 quer
 from . import driver_queries_wave73  # noqa: E402, F401  (registers wave-73 queries)
 from . import driver_queries_wave74  # noqa: E402, F401  (registers wave-74 queries)
 from . import driver_queries_wave75  # noqa: E402, F401  (registers wave-75 queries)
+from . import driver_queries_wave76  # noqa: E402, F401  (registers wave-76 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02 ∪ r03),

@@ -715,3 +715,53 @@ def discount_opportunity(
             )
         )
     )
+
+
+def discount_elasticity(
+    lineitem: DataFrame,
+    decimals: int = 6,
+) -> DataFrame:
+    """Cross-sectional OLS of order quantity on discount level — "does a
+    deeper discount move more units?" — with slope, intercept, and R²
+    from the closed form over EXACT integer sums: discounts quantize to
+    whole percent (TPC-H discounts are exact hundredths) and quantities
+    are integers, so Σx, Σy, Σxy, Σxx, Σyy are all bigint and the
+    regression is a fixed scalar-double epilogue (no float-sum ordering,
+    pitfall #7).
+
+    Output (one row): ``(n, slope_per_pct, intercept, r2)`` — slope in
+    units per discount PERCENT.
+
+    Plan / 100 TB: a single partial-aggregated pass over the fact table.
+    """
+    x = F.round(F.col("l_discount") * 100, 0).cast("long")
+    y = F.col("l_quantity").cast("long")
+    agg = lineitem.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    denx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    deny = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    slope = num / denx
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / nd
+    r2 = (num / denx) * (num / deny)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, decimals).alias("slope_per_pct"),
+        F.round(intercept, decimals).alias("intercept"),
+        F.round(r2, decimals).alias("r2"),
+    )

@@ -698,3 +698,53 @@ def join_order_advisor(
         .cast("int")
         .alias("recommended"),
     )
+
+
+def exposure_gini(
+    events: DataFrame,
+    item_expr: Column | None = None,
+    type_col: str = "event_type",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-event-type Gini concentration of item exposure — 0 when every
+    item gets equal traffic, → 1 when a few items absorb it all.  The
+    catalog-balance number a recommender (or a training-data mixture) is
+    judged on: coverage says how many items appear at all, Gini says how
+    unequal the appearances are.
+
+    Gini = (2·Σ_i i·c_i) / (n·Σ_i c_i) − (n+1)/n over counts c sorted
+    ascending (rank i), the standard discrete formula.  Counts and
+    rank-weighted sums are exact integers; the two final divisions are
+    the only float ops.
+
+    Output per type: ``(event_type, n_items, n_events, gini)``.
+
+    Plan / 100 TB: one fact shuffle to (type, item) counts; the ranking
+    window runs per type over ITEM-grain rows (catalog-bounded).  Ties
+    rank deterministically by (count, item).
+    """
+    item = item_expr if item_expr is not None else F.get_json_object("props", "$.k")
+    counts = events.groupBy(
+        F.col(type_col).alias("t"), item.alias("item")
+    ).agg(F.count("*").cast("long").alias("c"))
+    w = Window.partitionBy("t").orderBy(F.col("c").asc(), F.col("item").asc())
+    ranked = counts.select(
+        "t", "c", F.row_number().over(w).cast("long").alias("i")
+    )
+    agg = ranked.groupBy(F.col("t").alias(type_col)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("i") * F.col("c")).cast("long").alias("ic"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("ic").cast("double")
+        / (nd * F.col("s").cast("double"))
+        - (nd + F.lit(1.0)) / nd
+    )
+    return agg.select(
+        type_col,
+        F.col("n").cast("bigint").alias("n_items"),
+        F.col("s").cast("bigint").alias("n_events"),
+        F.round(gini, decimals).alias("gini"),
+    )
