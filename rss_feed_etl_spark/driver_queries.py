@@ -676,6 +676,7 @@ from . import driver_queries_wave73  # noqa: E402, F401  (registers wave-73 quer
 from . import driver_queries_wave74  # noqa: E402, F401  (registers wave-74 queries)
 from . import driver_queries_wave75  # noqa: E402, F401  (registers wave-75 queries)
 from . import driver_queries_wave76  # noqa: E402, F401  (registers wave-76 queries)
+from . import driver_queries_wave77  # noqa: E402, F401  (registers wave-77 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02 ∪ r03),

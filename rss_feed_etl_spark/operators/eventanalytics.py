@@ -1354,3 +1354,81 @@ def nelson_aalen(
             F.sqrt(F.sum(d / (n * n)).over(w_asc)), decimals
         ).alias("hazard_se"),
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    decimals: int = 2,
+) -> DataFrame:
+    """RFM segmentation: per user, Recency (days since last activity),
+    Frequency (event count), Monetary (value sum), each scored 1–5 by
+    corpus quintile thresholds, users grouped into the R×F×M segment
+    grid — the classic lifecycle segmentation (at-risk whales vs new
+    low-spenders) marketing and retention teams run weekly.
+
+    Scores are threshold-based (score = 1 + #{quintile cuts the value
+    exceeds}), not rank-based: thresholds come from one exact
+    ``percentile`` aggregate over the USER-grain table and broadcast
+    back, so no global ordering of users exists anywhere and ties score
+    identically on both engines.  Scores ascend with the raw value
+    (R5 = LONGEST ago — invert downstream if you want 5 = best).
+    Monetary sums quantize to integer cents before aggregation.
+
+    Output per segment: ``(r_score, f_score, m_score, n_users,
+    avg_monetary)``.
+
+    Plan / 100 TB: one fact shuffle to user grain; one 1-row percentile
+    aggregate over users (exact percentile buffers the user metrics —
+    swap for approx at extreme user counts); map-side scoring; one
+    segment-grain rollup (≤125 rows).
+    """
+    dec = "decimal(30,10)"
+    day = F.to_date(ts_col)
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.max(day).alias("last_day"),
+        F.count("*").cast("long").alias("freq"),
+        F.round(F.sum(F.col(value_col).cast(dec)) * 100, 0)
+        .cast("long")
+        .alias("mon_c"),
+    )
+    horizon = events.agg(F.max(day).alias("max_day"))
+    pu = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("max_day", "last_day").cast("long").alias("rec"),
+        "freq", "mon_c",
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    cuts = F.broadcast(
+        pu.agg(
+            *[
+                F.percentile(c, F.lit(q)).alias(f"{c}_{int(q * 100)}")
+                for c in ("rec", "freq", "mon_c")
+                for q in qs
+            ]
+        )
+    )
+    j = pu.crossJoin(cuts)
+
+    def score(col: str):
+        s = F.lit(1)
+        for q in qs:
+            s = s + (F.col(col).cast("double") > F.col(f"{col}_{int(q * 100)}")).cast(
+                "int"
+            )
+        return s
+
+    scored = j.select(
+        score("rec").alias("r_score"),
+        score("freq").alias("f_score"),
+        score("mon_c").alias("m_score"),
+        "mon_c",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum("mon_c").cast("double") / F.count("*").cast("double") / F.lit(100.0),
+            decimals,
+        ).alias("avg_monetary"),
+    )

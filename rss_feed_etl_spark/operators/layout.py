@@ -309,3 +309,77 @@ def zorder_clustering_depth(
         ).alias("avg_depth"),
         F.max("d").cast("bigint").alias("max_depth"),
     )
+
+
+def partition_granularity_advisor(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_days: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Price time-partition granularity (day / week / month) against a
+    typical range query: for the LAST ``window_days`` of the corpus,
+    how many partitions does each granularity touch, how many rows do
+    those partitions hold, and what is the read amplification (rows
+    read ÷ rows actually matching)?  Coarse partitions mean fewer files
+    and cheaper listings but read whole months to answer a week; fine
+    partitions skip tightly but multiply small files — this makes the
+    trade measurable on the table's own distribution.
+
+    Output per granularity: ``(granularity, n_partitions,
+    partitions_read, rows_read, rows_matching, read_amplification)``.
+
+    Plan / 100 TB: one fact scan exploded ×3 granularities (map-side),
+    ONE groupBy to (granularity, partition) grain; everything after runs
+    at partition-count cardinality.  The query window rides in as a
+    broadcast 1-row max aggregate.
+    """
+    hi = F.broadcast(df.agg(F.max(F.col(ts_col)).alias("tmax")))
+    lo = F.col("tmax") - F.expr(f"INTERVAL {int(window_days)} DAYS")
+    tagged = (
+        df.select(ts_col)
+        .crossJoin(hi)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("day").alias("g"),
+                        F.date_trunc("day", F.col(ts_col)).alias("p"),
+                    ),
+                    F.struct(
+                        F.lit("week").alias("g"),
+                        F.date_trunc("week", F.col(ts_col)).alias("p"),
+                    ),
+                    F.struct(
+                        F.lit("month").alias("g"),
+                        F.date_trunc("month", F.col(ts_col)).alias("p"),
+                    ),
+                )
+            ).alias("gp"),
+            (F.col(ts_col) >= lo).cast("long").alias("in_win"),
+        )
+        .select(F.col("gp.g").alias("g"), F.col("gp.p").alias("p"), "in_win")
+    )
+    parts = tagged.groupBy("g", "p").agg(
+        F.count("*").cast("long").alias("rows"),
+        F.sum("in_win").cast("long").alias("match"),
+    )
+    agg = parts.groupBy(F.col("g").alias("granularity")).agg(
+        F.count("*").cast("bigint").alias("n_partitions"),
+        F.sum(F.when(F.col("match") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("partitions_read"),
+        F.sum(F.when(F.col("match") > 0, F.col("rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_read"),
+        F.sum("match").cast("bigint").alias("rows_matching"),
+    )
+    return agg.select(
+        "granularity", "n_partitions", "partitions_read", "rows_read",
+        "rows_matching",
+        F.round(
+            F.col("rows_read").cast("double")
+            / F.col("rows_matching").cast("double"),
+            decimals,
+        ).alias("read_amplification"),
+    )
