@@ -1432,3 +1432,92 @@ def rfm_segments(
             decimals,
         ).alias("avg_monetary"),
     )
+
+
+def simpsons_paradox_check(
+    events: DataFrame,
+    segment_col: str = "event_type",
+    unit_col: str = "user_id",
+    value_col: str = "value",
+    decimals: int = 6,
+) -> DataFrame:
+    """Simpson's-paradox audit for the hash-split experiment: compare the
+    arm-1 − arm-0 mean-value difference OVERALL against the same
+    difference WITHIN each segment.  When the overall sign disagrees
+    with the segments (the textbook aggregation reversal caused by
+    unequal arm mix across segments), a naive top-line readout draws the
+    wrong conclusion — this emits the per-segment evidence.
+
+    Output: one row per segment plus an ``OVERALL`` row —
+    ``(segment, n_arm0, n_arm1, mean_arm0, mean_arm1, diff,
+    agrees_with_overall)``.
+
+    Determinism: value sums quantize to integer cents per (segment, arm)
+    cell; every mean/diff is scalar double math over exact bigints; the
+    overall row reuses the SAME cell sums via a whole-table window over
+    the segment-grain table (single fact scan).
+    """
+    from ..functions.hashing import token_code
+
+    arm = (token_code(F.col(unit_col).cast("string")) % 2).cast("int")
+    dec = "decimal(30,10)"
+    cells = events.groupBy(
+        F.col(segment_col).alias("seg"), arm.alias("arm")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(F.col(value_col).cast(dec)) * 100, 0)
+        .cast("long")
+        .alias("sc"),
+    )
+    piv = cells.groupBy("seg").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("sc")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("sc")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+    )
+    w = Window.partitionBy()
+    tot = piv.select(
+        "*",
+        F.sum("n0").over(w).cast("long").alias("tn0"),
+        F.sum("n1").over(w).cast("long").alias("tn1"),
+        F.sum("s0").over(w).cast("long").alias("ts0"),
+        F.sum("s1").over(w).cast("long").alias("ts1"),
+    )
+
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n).cast("double") / F.lit(100.0)
+
+    d_seg = mean("s1", "n1") - mean("s0", "n0")
+    d_all = mean("ts1", "tn1") - mean("ts0", "tn0")
+    seg_rows = tot.filter((F.col("n0") > 0) & (F.col("n1") > 0)).select(
+        F.col("seg").alias("segment"),
+        F.col("n0").cast("bigint").alias("n_arm0"),
+        F.col("n1").cast("bigint").alias("n_arm1"),
+        F.round(mean("s0", "n0"), decimals).alias("mean_arm0"),
+        F.round(mean("s1", "n1"), decimals).alias("mean_arm1"),
+        F.round(d_seg, decimals).alias("diff"),
+        (F.signum(d_seg) == F.signum(d_all)).cast("int").alias(
+            "agrees_with_overall"
+        ),
+    )
+    overall = (
+        tot.limit(1)
+        .select(
+            F.lit("OVERALL").alias("segment"),
+            F.col("tn0").cast("bigint").alias("n_arm0"),
+            F.col("tn1").cast("bigint").alias("n_arm1"),
+            F.round(mean("ts0", "tn0"), decimals).alias("mean_arm0"),
+            F.round(mean("ts1", "tn1"), decimals).alias("mean_arm1"),
+            F.round(d_all, decimals).alias("diff"),
+            F.lit(1).cast("int").alias("agrees_with_overall"),
+        )
+    )
+    return seg_rows.unionByName(overall)

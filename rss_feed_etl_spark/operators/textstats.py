@@ -1495,3 +1495,39 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(_part, out_schema)
+
+
+def keyword_snippets(
+    df: DataFrame,
+    keyword: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    context_chars: int = 40,
+) -> DataFrame:
+    """Keyword-in-context extraction: for each document containing
+    ``keyword``, the first occurrence with ``context_chars`` of context
+    on each side — the search-result preview / human-review snippet a
+    corpus audit tool renders next to every hit.
+
+    Pure position arithmetic (``instr``/``substr``), no regex — regex
+    escaping and engine dialects (Java vs RE2) are exactly the kind of
+    cross-engine divergence snippets don't need.  Map-only; rides the
+    scan.
+
+    Output: ``(doc_id, pos, snippet)`` for matching docs.
+    """
+    pos = F.instr(F.col(text_col), F.lit(keyword))
+    start = F.greatest(pos - F.lit(context_chars), F.lit(1))
+    length = (
+        pos - start + F.lit(len(keyword)) + F.lit(context_chars)
+    )
+    return (
+        df.filter(pos > 0)
+        .select(
+            F.col(id_col),
+            pos.cast("bigint").alias("pos"),
+            F.substring(F.col(text_col), start.cast("int"), length.cast("int")).alias(
+                "snippet"
+            ),
+        )
+    )
