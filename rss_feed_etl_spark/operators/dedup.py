@@ -1024,3 +1024,82 @@ def lsh_sensitivity_curve(
         F.round(p_band, decimals).alias("p_band"),
         F.round(F.lit(1.0) - p_miss_all, decimals).alias("p_detect"),
     )
+
+
+def source_jaccard_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    n_perms: int = N_MINHASH,
+    decimals: int = 6,
+) -> DataFrame:
+    """Source-level content similarity via MERGEABLE MinHash: a source's
+    signature component i is min over ALL its docs' shingle codes of
+    (aᵢ·code + bᵢ) mod M — min-of-mins, so signatures aggregate in one
+    groupBy without ever materializing a source's shingle set.  Pairwise
+    signature agreement estimates the shingle-set Jaccard between
+    sources — the "which feeds mirror each other" rollup that doc-grain
+    near-dup can't see cheaply.
+
+    Same permutation family as the doc-grain LSH
+    (``minhash_signatures``), all engine-portable integer arithmetic.
+
+    Output: ``(source_a, source_b, n_perms, est_jaccard)`` for a < b.
+
+    Plan / 100 TB: one explode to (source, shingle-code) grain whose
+    groupBy computes all ``n_perms`` mins with map-side partials; the
+    signature self-join runs at source×perm grain (dimension-sized).
+    """
+    coeffs = [
+        ((2 * i + 1) * 2654435761 % MOD, (i * i + i + 41) % MOD)
+        for i in range(n_perms)
+    ]
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+            ),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    from ..functions.hashing import token_code
+
+    codes = df.select(
+        F.col(source_col).alias("src"), F.explode(grams).alias("g")
+    ).select("src", token_code(F.col("g")).alias("c"))
+    sig = codes.groupBy("src").agg(
+        *[
+            F.min((F.lit(a) * F.col("c") + F.lit(b)) % F.lit(MOD)).alias(f"m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    long = sig.select(
+        "src",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("perm"), F.col(f"m{i}").alias("mh"))
+                    for i in range(n_perms)
+                ]
+            )
+        ).alias("pm"),
+    ).select("src", F.col("pm.perm").alias("perm"), F.col("pm.mh").alias("mh"))
+    a = long.select(
+        F.col("src").alias("sa"), "perm", F.col("mh").alias("ma")
+    )
+    b = long.select(
+        F.col("src").alias("sb"), "perm", F.col("mh").alias("mb")
+    )
+    pairs = a.join(b, "perm").filter(F.col("sa") < F.col("sb"))
+    return pairs.groupBy(
+        F.col("sa").alias("source_a"), F.col("sb").alias("source_b")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_perms"),
+        F.round(
+            F.sum((F.col("ma") == F.col("mb")).cast("long")).cast("double")
+            / F.count("*").cast("double"),
+            decimals,
+        ).alias("est_jaccard"),
+    )

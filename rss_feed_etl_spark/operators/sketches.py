@@ -714,3 +714,54 @@ def combine_aggregates(
         ).alias("vmax"),
         F.round(total / n, 6).alias("mean"),
     )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str = "l_extendedprice",
+    weight_col: str = "l_quantity",
+    ps: tuple = (0.5, 0.9, 0.99),
+    decimals_value: int = 0,
+) -> DataFrame:
+    """Weight-aware percentiles via the inverse CDF over a QUANTIZED value
+    grid: the p-th weighted percentile is the smallest value whose
+    cumulative weight reaches p·W.  Spark has no weighted percentile
+    builtin; the usual workaround (explode each row weight times) is a
+    corpus multiplier — this is the scalable form: quantize, aggregate
+    weights per grid point, one cumulative window over the GRID (bounded
+    by the value domain, not the corpus), then one conditional-min
+    aggregate per requested percentile.
+
+    All weights and grid values are exact integers; the only float is
+    the p·W threshold, computed identically on both engines.
+
+    Output (one row): ``(w_total, wp50, wp90, wp99, …)``.
+    """
+    v = F.round(F.col(value_col), decimals_value).cast("long")
+    grid = df.groupBy(v.alias("v")).agg(
+        F.sum(F.col(weight_col).cast("long")).cast("long").alias("w")
+    )
+    cw = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tw = Window.partitionBy()
+    c = grid.select(
+        "v",
+        F.sum("w").over(cw).cast("long").alias("cum"),
+        F.sum("w").over(tw).cast("long").alias("wt"),
+    )
+    aggs = [F.max("wt").cast("bigint").alias("w_total")]
+    for p in ps:
+        tag = str(p).replace("0.", "").ljust(2, "0")
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum").cast("double")
+                    >= F.lit(float(p)) * F.col("wt").cast("double"),
+                    F.col("v"),
+                )
+            )
+            .cast("bigint")
+            .alias(f"wp{tag}")
+        )
+    return c.agg(*aggs)
