@@ -679,6 +679,7 @@ from . import driver_queries_wave76  # noqa: E402, F401  (registers wave-76 quer
 from . import driver_queries_wave77  # noqa: E402, F401  (registers wave-77 queries)
 from . import driver_queries_wave78  # noqa: E402, F401  (registers wave-78 queries)
 from . import driver_queries_wave79  # noqa: E402, F401  (registers wave-79 queries)
+from . import driver_queries_wave80  # noqa: E402, F401  (registers wave-80 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02 ∪ r03),

@@ -765,3 +765,88 @@ def discount_elasticity(
         F.round(intercept, decimals).alias("intercept"),
         F.round(r2, decimals).alias("r2"),
     )
+
+
+def revenue_bridge(
+    lineitem: DataFrame,
+    part: DataFrame,
+    decimals: int = 2,
+) -> DataFrame:
+    """Price-volume revenue bridge per brand between the corpus's two
+    ship-date halves: ΔRevenue decomposes exactly into
+    volume_effect = (q₂−q₁)·p₁  and  price_effect = q₂·(p₂−p₁)
+    (p = average unit price) — the FP&A waterfall that answers "did
+    revenue move because we sold MORE or because prices CHANGED?".
+    The two effects sum to the revenue delta by algebraic identity.
+
+    Eras split at the midpoint of the observed ship-date range, so the
+    query is self-contained and deterministic.  Revenue accumulates as
+    integer cents and quantity as integers; unit prices and effects are
+    the scalar-double epilogue.
+
+    Output per brand present in both eras: ``(brand, rev_old, rev_new,
+    volume_effect, price_effect, delta)``.
+
+    Plan / 100 TB: part is the broadcast dimension; one fact shuffle to
+    (brand, era) grain with map-side partials; the pivot and effect math
+    run at brand grain.
+    """
+    dec = "decimal(30,10)"
+    b = F.broadcast(
+        lineitem.agg(
+            F.min("l_shipdate").alias("d0"), F.max("l_shipdate").alias("d1")
+        )
+    )
+    j = (
+        lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
+        .crossJoin(b)
+    )
+    era = (
+        F.datediff(F.col("l_shipdate"), F.col("d0"))
+        * 2 >= F.datediff(F.col("d1"), F.col("d0"))
+    ).cast("int")
+    cells = j.groupBy(F.col("p_brand").alias("brand"), era.alias("era")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec))
+            * 100,
+            0,
+        )
+        .cast("long")
+        .alias("rc"),
+    )
+    piv = cells.groupBy("brand").agg(
+        F.sum(F.when(F.col("era") == 0, F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("q1"),
+        F.sum(F.when(F.col("era") == 1, F.col("q")).otherwise(0))
+        .cast("long")
+        .alias("q2"),
+        F.sum(F.when(F.col("era") == 0, F.col("rc")).otherwise(0))
+        .cast("long")
+        .alias("r1"),
+        F.sum(F.when(F.col("era") == 1, F.col("rc")).otherwise(0))
+        .cast("long")
+        .alias("r2"),
+    )
+    p1 = F.col("r1").cast("double") / F.col("q1").cast("double")
+    p2 = F.col("r2").cast("double") / F.col("q2").cast("double")
+    return piv.filter((F.col("q1") > 0) & (F.col("q2") > 0)).select(
+        "brand",
+        F.round(F.col("r1").cast("double") / F.lit(100.0), decimals).alias(
+            "rev_old"
+        ),
+        F.round(F.col("r2").cast("double") / F.lit(100.0), decimals).alias(
+            "rev_new"
+        ),
+        F.round(
+            (F.col("q2") - F.col("q1")).cast("double") * p1 / F.lit(100.0),
+            decimals,
+        ).alias("volume_effect"),
+        F.round(
+            F.col("q2").cast("double") * (p2 - p1) / F.lit(100.0), decimals
+        ).alias("price_effect"),
+        F.round(
+            (F.col("r2") - F.col("r1")).cast("double") / F.lit(100.0), decimals
+        ).alias("delta"),
+    )

@@ -1531,3 +1531,56 @@ def keyword_snippets(
             ),
         )
     )
+
+
+def fk_readability(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 4,
+) -> DataFrame:
+    """Flesch-Kincaid grade level per document from three pure-regex
+    counts — words (whitespace tokens), sentences (maximal ``[.!?]``
+    runs), syllables (maximal vowel-group runs, the standard cheap
+    approximation):  FK = 0.39·(W/S) + 11.8·(Syl/W) − 15.59.  The
+    readability axis of corpus quality: too LOW often means listicle /
+    keyword spam, far too HIGH means OCR garbage or run-on boilerplate.
+
+    Counting trick: #runs of class C = len(regexp_replace(s, C+, '#'))
+    − len(regexp_replace(s, C+, '')) — portable across Java and RE2
+    regex engines because only plain character classes appear.  Map-only.
+
+    Output: ``(doc_id, n_words, n_sentences, n_syllables, fk_grade)``
+    for docs with ≥1 word; a doc with no terminator counts as ONE
+    sentence (the readability-tool convention for fragments).
+    """
+
+    def runs(expr, cls: str):
+        marked = F.regexp_replace(expr, f"[{cls}]+", "#")
+        gone = F.regexp_replace(expr, f"[{cls}]+", "")
+        return (F.length(marked) - F.length(gone)).cast("long")
+
+    low = F.lower(F.col(text_col))
+    words = token_count(F.col(text_col)).cast("long")
+    sents = F.greatest(runs(F.col(text_col), r".!?"), F.lit(1).cast("long"))
+    syls = runs(low, "aeiouy")
+    wd = words.cast("double")
+    fk = (
+        F.lit(0.39) * (wd / sents.cast("double"))
+        + F.lit(11.8) * (syls.cast("double") / wd)
+        - F.lit(15.59)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            words.alias("n_words"),
+            sents.alias("n_sentences"),
+            syls.alias("n_syllables"),
+            fk.alias("__fk"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            id_col, "n_words", "n_sentences", "n_syllables",
+            F.round("__fk", decimals).alias("fk_grade"),
+        )
+    )
