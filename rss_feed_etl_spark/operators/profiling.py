@@ -748,3 +748,55 @@ def exposure_gini(
         F.col("s").cast("bigint").alias("n_events"),
         F.round(gini, decimals).alias("gini"),
     )
+
+
+def ab_sample_size_table(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    conversion_type: str = "purchase",
+    type_col: str = "event_type",
+    mdes: tuple = (0.01, 0.02, 0.05, 0.10),
+    decimals: int = 6,
+) -> DataFrame:
+    """Experiment sample-size planner: measure the corpus's own baseline
+    per-user conversion rate, then for each minimum detectable effect
+    (absolute lift δ) report the required users PER ARM at α = 0.05,
+    power = 0.8 (two-sided z-test on proportions):
+    n = 2·(z_{α/2}+z_β)²·p̄(1−p̄)/δ², z-constants 1.96 and 0.8416.
+    The "how long must this test run" table every experiment review
+    starts with, priced on the platform's real baseline.
+
+    Output per MDE: ``(mde, baseline_rate, n_per_arm, feasible_now)``
+    — feasible_now = does the corpus already hold 2n users.
+
+    Plan / 100 TB: one aggregate to user grain (converted-or-not), one
+    1-row rollup; the table is generated from that single row.
+    """
+    per_user = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.max((F.col(type_col) == conversion_type).cast("int")).alias("conv")
+    )
+    tot = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+    )
+    p = F.col("n_conv").cast("double") / F.col("n_users").cast("double")
+    z = 1.96 + 0.8416
+    rows = []
+    for mde in mdes:
+        n_arm = F.ceil(
+            F.lit(2.0 * z * z) * p * (F.lit(1.0) - p)
+            / F.lit(float(mde) * float(mde))
+        ).cast("long")
+        rows.append(
+            F.struct(
+                F.lit(float(mde)).alias("mde"),
+                F.round(p, decimals).alias("baseline_rate"),
+                n_arm.cast("bigint").alias("n_per_arm"),
+                (F.lit(2) * n_arm <= F.col("n_users"))
+                .cast("int")
+                .alias("feasible_now"),
+            )
+        )
+    return tot.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.mde", "r.baseline_rate", "r.n_per_arm", "r.feasible_now"
+    )

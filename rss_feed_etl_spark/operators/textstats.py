@@ -1584,3 +1584,84 @@ def fk_readability(
             F.round("__fk", decimals).alias("fk_grade"),
         )
     )
+
+
+def heaps_law_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 20,
+    decimals: int = 6,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: scanning the corpus in
+    ``id_col`` order, how does distinct vocabulary V grow with total
+    tokens N?  V(N) ≈ K·N^β with β ≈ 0.5 for natural text — the curve
+    that sizes tokenizer vocabularies and predicts how much NEW
+    vocabulary the next 10× of corpus will bring.
+
+    Scalable shape: a term's first occurrence is ``min(bucket)`` over
+    its postings (one groupBy at term grain — no ordered scan of the
+    corpus), buckets being ``n_buckets`` equal doc-id ranges; the curve
+    then cumulates at BUCKET grain.  All counts are exact integers.
+    β is estimated from the curve's endpoints (two points — no float
+    regression over the buckets): β = ln(V_last/V_first)/ln(N_last/
+    N_first), constant across rows.
+
+    Output per bucket: ``(bucket, n_tokens_cum, vocab_cum, beta_hat)``.
+    """
+    ids = F.broadcast(
+        df.agg(
+            F.min(F.col(id_col)).cast("long").alias("i0"),
+            F.max(F.col(id_col)).cast("long").alias("i1"),
+        )
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.filter(F.trim(F.col(text_col)) != "").crossJoin(ids).select(
+        F.expr(
+            f"CAST((CAST({id_col} AS BIGINT) - i0) * {n_buckets} "
+            f"DIV (i1 - i0 + 1) AS BIGINT)"
+        ).alias("b"),
+        F.explode(toks).alias("tok"),
+    )
+    tok_per_bucket = base.groupBy("b").agg(
+        F.count("*").cast("long").alias("n_tok")
+    )
+    first_bucket = base.groupBy("tok").agg(F.min("b").alias("fb"))
+    new_per_bucket = first_bucket.groupBy(F.col("fb").alias("b")).agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    j = tok_per_bucket.join(new_per_bucket, "b", "left").select(
+        "b", "n_tok", F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new")
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = j.select(
+        "b",
+        F.sum("n_tok").over(w).cast("long").alias("n_tokens_cum"),
+        F.sum("n_new").over(w).cast("long").alias("vocab_cum"),
+    )
+    tw = Window.partitionBy()
+    ends = cum.select(
+        "*",
+        F.first("n_tokens_cum").over(
+            Window.orderBy("b").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n1"),
+        F.first("vocab_cum").over(
+            Window.orderBy("b").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("v1"),
+        F.max("n_tokens_cum").over(tw).alias("n2"),
+        F.max("vocab_cum").over(tw).alias("v2"),
+    )
+    beta = F.log(
+        F.col("v2").cast("double") / F.col("v1").cast("double")
+    ) / F.log(F.col("n2").cast("double") / F.col("n1").cast("double"))
+    return ends.select(
+        F.col("b").cast("bigint").alias("bucket"),
+        "n_tokens_cum", "vocab_cum",
+        F.round(beta, decimals).alias("beta_hat"),
+    )
