@@ -800,3 +800,46 @@ def ab_sample_size_table(
     return tot.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.mde", "r.baseline_rate", "r.n_per_arm", "r.feasible_now"
     )
+
+
+def overdispersion_check(
+    events: DataFrame,
+    type_col: str = "event_type",
+    unit_col: str = "user_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Overdispersion audit of per-user event counts, per type: the
+    variance-to-mean (dispersion) index D = var/mean is 1 for Poisson
+    arrivals; D ≫ 1 means activity clumps on a subset of users, and any
+    "events per user" capacity estimate needs a negative-binomial, not
+    Poisson, model.  Companion to ``interevent_burstiness`` (that's
+    burstiness in TIME, this is concentration across USERS); also
+    reports the NB size parameter r̂ = mean²/(var − mean) when D > 1.
+
+    All cross-user sums are exact integers (counts and squared counts);
+    the index is a scalar-double epilogue.
+
+    Output per type: ``(event_type, n_users, mean_per_user, dispersion,
+    nb_r_hat)``.
+    """
+    per = events.groupBy(
+        F.col(type_col).alias("t"), F.col(unit_col).alias("u")
+    ).agg(F.count("*").cast("long").alias("c"))
+    agg = per.groupBy(F.col("t").alias(type_col)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = F.col("sq").cast("double") / nd - mean * mean
+    disp = var / mean
+    return agg.filter(F.col("s") > 0).select(
+        type_col,
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(mean, decimals).alias("mean_per_user"),
+        F.round(disp, decimals).alias("dispersion"),
+        F.round(
+            F.when(var > mean, mean * mean / (var - mean)), decimals
+        ).alias("nb_r_hat"),
+    )

@@ -765,3 +765,92 @@ def weighted_percentiles(
             .alias(f"wp{tag}")
         )
     return c.agg(*aggs)
+
+
+def histogram_percentile_error(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 100,
+    ps: tuple = (0.5, 0.9, 0.99),
+    decimals: int = 6,
+) -> DataFrame:
+    """Fixed-width-histogram percentiles with their MEASURED error
+    against the exact percentile — the proof that a mergeable histogram
+    (integer bucket counts, additively combinable across batches,
+    shards, and days) answers percentile queries within one bucket
+    width.  That mergeability is what an incremental pipeline needs:
+    exact percentiles cannot be maintained under appends, histograms
+    can.
+
+    Estimate = lower edge of the first bucket whose cumulative count
+    reaches ⌈p·N⌉ (a deterministic integer rule, no interpolation).
+    Guaranteed |est − exact| ≤ bin width whenever the exact percentile
+    lies in [lo, hi].
+
+    Output per (group, p): ``(event_type, p, est, exact, abs_err,
+    within_one_bin)``.
+
+    Plan / 100 TB: one shuffle to (group, bucket) integer counts; the
+    cumulative walk runs at bucket grain.  The exact baseline
+    (``percentile``) is computed alongside for the audit — in production
+    you'd drop it and keep only the histogram.
+    """
+    width = (hi - lo) / n_bins
+    b = F.width_bucket(F.col(value_col), F.lit(lo), F.lit(hi), F.lit(n_bins))
+    hist = events.groupBy(F.col(group_col).alias("g"), b.alias("bucket")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    cw = Window.partitionBy("g").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tw = Window.partitionBy("g")
+    cum = hist.select(
+        "g", "bucket",
+        F.sum("c").over(cw).cast("long").alias("cum"),
+        F.sum("c").over(tw).cast("long").alias("n"),
+    )
+    exact = events.groupBy(F.col(group_col).alias("g2")).agg(
+        *[
+            F.percentile(value_col, F.lit(p)).alias(f"ex{int(p * 100)}")
+            for p in ps
+        ]
+    )
+    rows = []
+    for p in ps:
+        tag = int(p * 100)
+        # first bucket whose cum reaches ceil(p*n); bucket k spans
+        # [lo + (k-1)w, lo + kw) -> estimate at the lower edge
+        est = F.min(
+            F.when(
+                F.col("cum")
+                >= F.ceil(F.lit(float(p)) * F.col("n").cast("double")),
+                F.lit(lo) + (F.col("bucket") - 1).cast("double") * F.lit(width),
+            )
+        )
+        rows.append((p, tag, est))
+    per_g = cum.groupBy("g").agg(
+        *[est.alias(f"est{tag}") for (_, tag, est) in rows]
+    )
+    j = per_g.join(F.broadcast(exact), per_g["g"] == exact["g2"])
+    out_rows = [
+        F.struct(
+            F.lit(float(p)).alias("p"),
+            F.round(F.col(f"est{tag}"), decimals).alias("est"),
+            F.round(F.col(f"ex{tag}"), decimals).alias("exact"),
+            F.round(F.abs(F.col(f"est{tag}") - F.col(f"ex{tag}")), decimals).alias(
+                "abs_err"
+            ),
+            (F.abs(F.col(f"est{tag}") - F.col(f"ex{tag}")) <= F.lit(width))
+            .cast("int")
+            .alias("within_one_bin"),
+        )
+        for (p, tag, _) in rows
+    ]
+    return j.select(
+        F.col("g").alias(group_col), F.explode(F.array(*out_rows)).alias("r")
+    ).select(
+        group_col, "r.p", "r.est", "r.exact", "r.abs_err", "r.within_one_bin"
+    )
