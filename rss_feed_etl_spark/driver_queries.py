@@ -682,6 +682,7 @@ from . import driver_queries_wave79  # noqa: E402, F401  (registers wave-79 quer
 from . import driver_queries_wave80  # noqa: E402, F401  (registers wave-80 queries)
 from . import driver_queries_wave81  # noqa: E402, F401  (registers wave-81 queries)
 from . import driver_queries_wave82  # noqa: E402, F401  (registers wave-82 queries)
+from . import driver_queries_wave83  # noqa: E402, F401  (registers wave-83 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02 ∪ r03),

@@ -843,3 +843,75 @@ def overdispersion_check(
             F.when(var > mean, mean * mean / (var - mean)), decimals
         ).alias("nb_r_hat"),
     )
+
+
+def spearman_rank_corr(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    value_col: str = "value",
+    decimals: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation between per-user ENGAGEMENT (event
+    count) and SPEND (value total, quantized to whole units) — the
+    robust monotone-association check: Pearson on raw spend is dragged
+    by whales; Spearman asks only "do heavier users spend more, rank
+    for rank?".
+
+    Exactness: average ranks with ties are half-integers, so DOUBLED
+    ranks (2·below + ties + 1) are exact integers; Spearman is invariant
+    under that scaling, so every distributed sum (Σr, Σr², Σrxy) is an
+    exact bigint and ρ is a scalar epilogue — no float-sum ordering.
+    Rank tables build from DISTINCT-value cumulative counts (value
+    domain, not corpus, passes the single-partition window — same trick
+    as ``global_percent_rank``).
+
+    Output (one row): ``(n_units, rho)``.
+    """
+    dec = "decimal(30,10)"
+    per = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.count("*").cast("long").alias("c"),
+        F.round(F.sum(F.col(value_col).cast(dec)), 0).cast("long").alias("d"),
+    )
+
+    def dranks(df: DataFrame, col: str, out: str) -> DataFrame:
+        grid = df.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        w = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        ranked = grid.select(
+            "v",
+            (
+                F.lit(2) * (F.sum("cnt").over(w) - F.col("cnt"))
+                + F.col("cnt")
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias(out),
+        )
+        return df.join(F.broadcast(ranked), df[col] == ranked["v"]).drop("v")
+
+    r = dranks(dranks(per, "c", "rx"), "d", "ry")
+    agg = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    dx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    dy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_units"),
+        F.round(num / F.sqrt(dx * dy), decimals).alias("rho"),
+    )

@@ -1665,3 +1665,61 @@ def heaps_law_curve(
         "n_tokens_cum", "vocab_cum",
         F.round(beta, decimals).alias("beta_hat"),
     )
+
+
+def langid_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Code-switching / mixed-language audit on top of the stopword
+    language-ID scores: per doc, the Shannon entropy of the normalized
+    per-language hit distribution and the top-1 vs top-2 margin.  A
+    clean monolingual doc has low entropy and wide margin; a
+    code-switched or machine-mixed doc scores hits in several profiles
+    at once — the docs a per-corpus language router mis-bins.
+
+    Same single-traversal lexicon fold as ``lang_id`` (one struct, one
+    projection); the entropy is a FIXED-ORDER scalar sum over the
+    (bounded) language set, so no float aggregation ordering exists.
+
+    Output for docs with ≥1 profile hit: ``(doc_id, pred_lang, n_hits,
+    entropy, margin)``.
+    """
+    staged = df.select(F.col(id_col), _lexicon_counts(text_col).alias("__cnt"))
+    cnt = F.col("__cnt")
+    scores = [cnt[f"s_{lang}"].cast("long") for lang in LANG_PROFILES]
+    staged = staged.select(
+        F.col(id_col),
+        _pred_lang(cnt).alias("pred_lang"),
+        *[s.alias(f"sc{i}") for i, s in enumerate(scores)],
+    )
+    total = None
+    for i in range(len(LANG_PROFILES)):
+        c = F.col(f"sc{i}")
+        total = c if total is None else total + c
+    td_ = total.cast("double")
+    ent = None
+    for i in range(len(LANG_PROFILES)):
+        p = F.col(f"sc{i}").cast("double") / td_
+        term = F.when(F.col(f"sc{i}") > 0, -(p * F.log(p))).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    arr = F.array_sort(
+        F.array(*[F.col(f"sc{i}") for i in range(len(LANG_PROFILES))])
+    )
+    best = F.element_at(arr, -1)
+    second = F.element_at(arr, -2)
+    return (
+        staged.withColumn("__t", total)
+        .filter(F.col("__t") > 0)
+        .select(
+            id_col,
+            "pred_lang",
+            F.col("__t").cast("bigint").alias("n_hits"),
+            F.round(ent, decimals).alias("entropy"),
+            F.round(
+                (best - second).cast("double") / td_, decimals
+            ).alias("margin"),
+        )
+    )
