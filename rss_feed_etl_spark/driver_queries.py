@@ -683,6 +683,7 @@ from . import driver_queries_wave80  # noqa: E402, F401  (registers wave-80 quer
 from . import driver_queries_wave81  # noqa: E402, F401  (registers wave-81 queries)
 from . import driver_queries_wave82  # noqa: E402, F401  (registers wave-82 queries)
 from . import driver_queries_wave83  # noqa: E402, F401  (registers wave-83 queries)
+from . import driver_queries_wave84  # noqa: E402, F401  (registers wave-84 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02 ∪ r03),

@@ -1521,3 +1521,58 @@ def simpsons_paradox_check(
         )
     )
     return seg_rows.unionByName(overall)
+
+
+def user_hour_divergence(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    top_k: int = 20,
+    min_events: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Bot / automation screen: the ``top_k`` users whose hour-of-day
+    activity histogram most diverges (KL) from the corpus's global
+    diurnal profile.  Humans share the site's day-night rhythm; crawlers
+    are uniform or spike at fixed hours — exactly what
+    KL(user ‖ global) over 24 hour-buckets ranks.
+
+    The per-user KL is a FIXED 24-term scalar expression over the
+    pivoted hour counts (one conditional-sum aggregate, no per-user
+    float accumulation order).  Global hour totals ride in broadcast.
+    Users below ``min_events`` are skipped (KL of a 3-event histogram is
+    noise).
+
+    Output: ``(user_id, n_events, kl)`` — top_k by (kl desc, user asc).
+    """
+    hrs = list(range(24))
+    h = F.hour(F.col(ts_col))
+    # lazy checkpoint: the global profile is an aggregate OF the user
+    # table; without it the crossJoin's second branch would rescan the
+    # facts.  A whole-table window here would SinglePartition the USER
+    # grain — fine at 10⁴ users, wrong at 10⁹ — the 1-row aggregate
+    # keeps partial aggregation distributed.
+    per = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum((h == i).cast("int")).cast("long").alias(f"h{i}")
+            for i in hrs
+        ],
+    ).localCheckpoint(eager=False)
+    tot = per.agg(
+        F.sum("n").cast("long").alias("gn"),
+        *[F.sum(f"h{i}").cast("long").alias(f"g{i}") for i in hrs],
+    )
+    g = per.crossJoin(F.broadcast(tot))
+    kl = None
+    for i in hrs:
+        p = F.col(f"h{i}").cast("double") / F.col("n").cast("double")
+        q = F.col(f"g{i}").cast("double") / F.col("gn").cast("double")
+        term = F.when(F.col(f"h{i}") > 0, p * F.log(p / q)).otherwise(F.lit(0.0))
+        kl = term if kl is None else kl + term
+    scored = g.filter(F.col("n") >= min_events).select(
+        F.col("u").alias(unit_col),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(kl, decimals).alias("kl"),
+    )
+    return scored.orderBy(F.col("kl").desc(), F.col(unit_col).asc()).limit(top_k)

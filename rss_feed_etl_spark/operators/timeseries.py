@@ -737,3 +737,53 @@ def holt_forecast(
             F.when(r["k"] > 0, r["ae"] / r["k"]), decimals
         ).alias("mae"),
     )
+
+
+def slo_burn_rate(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    error_type: str = "error",
+    slo_budget: float = 0.25,
+    long_window_hours: int = 6,
+    decimals: int = 6,
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    pattern): an alert fires only when BOTH the short (1 h) and long
+    (``long_window_hours``) error-rate windows burn above budget —
+    the short window gives speed, the long window kills flappy alerts
+    on a single bad minute.
+
+    Output: breaching hours —
+    ``(hour, n_events, burn_1h, burn_Nh)`` with burn = rate / budget.
+
+    Plan / 100 TB: facts collapse to HOUR grain in one shuffle (integer
+    error/total counts); both rolling windows run over the hour-grain
+    series (calendar-bounded).  Rolling counts are integer sums; the two
+    divisions per row are the only float ops.
+    """
+    hr = F.date_trunc("hour", F.col(ts_col))
+    hourly = events.groupBy(hr.alias("hr")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col(type_col) == error_type).cast("int"))
+        .cast("long")
+        .alias("e"),
+    )
+    wl = Window.orderBy("hr").rowsBetween(-(long_window_hours - 1), 0)
+    rolled = hourly.select(
+        "hr", "n", "e",
+        F.sum("n").over(wl).cast("long").alias("nl"),
+        F.sum("e").over(wl).cast("long").alias("el"),
+    )
+    b1 = (
+        F.col("e").cast("double") / F.col("n").cast("double")
+    ) / F.lit(float(slo_budget))
+    bl = (
+        F.col("el").cast("double") / F.col("nl").cast("double")
+    ) / F.lit(float(slo_budget))
+    return rolled.filter((b1 > 1.0) & (bl > 1.0)).select(
+        F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(b1, decimals).alias("burn_1h"),
+        F.round(bl, decimals).alias(f"burn_{long_window_hours}h"),
+    )
