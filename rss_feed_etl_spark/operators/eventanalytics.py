@@ -1576,3 +1576,79 @@ def user_hour_divergence(
         F.round(kl, decimals).alias("kl"),
     )
     return scored.orderBy(F.col("kl").desc(), F.col(unit_col).asc()).limit(top_k)
+
+
+def association_rules(
+    events: DataFrame,
+    unit_cols: tuple = ("user_id",),
+    ts_col: str = "ts",
+    min_support: float = 0.01,
+    min_confidence: float = 0.2,
+    max_items_per_basket: int = 50,
+    decimals: int = 6,
+) -> DataFrame:
+    """Directional association rules a→b over (user, day) baskets of
+    items (``props.k``): support, confidence, and lift — the classic
+    market-basket output that PMI (symmetric association) doesn't give:
+    confidence is DIRECTIONAL, "given a, how often b?", which is what a
+    recommender slot or a bundling decision actually consumes.
+
+    Baskets above ``max_items_per_basket`` are dropped before the pair
+    expansion (the standard hot-basket guard bounding the quadratic).
+    All counts are exact integers; support/confidence/lift are scalar
+    divisions mirrored in the oracle.
+
+    Output: rules passing both thresholds —
+    ``(antecedent, consequent, n_both, support, confidence, lift)``.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    basket_cols = [F.col(c) for c in unit_cols] + [day.alias("dy")]
+    items = (
+        events.select(
+            *basket_cols, F.get_json_object("props", "$.k").alias("item")
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    bkey = [*(str(c) for c in unit_cols), "dy"]
+    sizes = items.groupBy(*bkey).agg(F.count("*").alias("c"))
+    ok = sizes.filter(F.col("c") <= max_items_per_basket).select(*bkey)
+    items = items.join(F.broadcast(ok), bkey).localCheckpoint(eager=False)
+    nb_df = items.select(*bkey).distinct().agg(
+        F.count("*").cast("long").alias("n_baskets")
+    )
+    item_counts = items.groupBy("item").agg(
+        F.count("*").cast("long").alias("n_item")
+    )
+    a = items.select(*bkey, F.col("item").alias("ia"))
+    b = items.select(*bkey, F.col("item").alias("ib"))
+    pairs = (
+        a.join(b, bkey)
+        .filter(F.col("ia") != F.col("ib"))
+        .groupBy(F.col("ia").alias("antecedent"), F.col("ib").alias("consequent"))
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    j = (
+        pairs.join(
+            F.broadcast(item_counts.withColumnRenamed("item", "antecedent")
+                        .withColumnRenamed("n_item", "n_a")),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(item_counts.withColumnRenamed("item", "consequent")
+                        .withColumnRenamed("n_item", "n_b")),
+            "consequent",
+        )
+    ).crossJoin(F.broadcast(nb_df))
+    nb = F.col("n_baskets").cast("double")
+    support = F.col("n_both").cast("double") / nb
+    conf = F.col("n_both").cast("double") / F.col("n_a").cast("double")
+    lift = conf / (F.col("n_b").cast("double") / nb)
+    return j.filter(
+        (support >= min_support) & (conf >= min_confidence)
+    ).select(
+        "antecedent", "consequent", "n_both",
+        F.round(support, decimals).alias("support"),
+        F.round(conf, decimals).alias("confidence"),
+        F.round(lift, decimals).alias("lift"),
+    )

@@ -1723,3 +1723,72 @@ def langid_entropy(
             ).alias("margin"),
         )
     )
+
+
+def distinctive_terms_log_odds(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 5,
+    alpha: float = 0.01,
+    min_count: int = 5,
+    decimals: int = 6,
+) -> DataFrame:
+    """The terms that DISTINGUISH each source: log-odds ratio with a
+    Dirichlet prior and its z-score (Monroe, Colaresi & Quinn 2008) of
+    each term's rate in the source vs the rest of the corpus — the
+    principled version of "top TF-IDF terms per source" that doesn't
+    over-reward rare typos (the prior shrinks them) or common words
+    (the contrast cancels them).
+
+    δ = ln[(c_s+α)/(N_s+αV−c_s−α)] − ln[(c_r+α)/(N_r+αV−c_r−α)],
+    var ≈ 1/(c_s+α) + 1/(c_r+α),  z = δ/√var; top_k by (z, term) per
+    source among terms with ≥ ``min_count`` occurrences in the source.
+
+    All counts are exact integers; the per-term score is scalar math.
+
+    Output: ``(source, term, n_source, z_log_odds)``.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    occ = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(source_col).alias("src"), F.explode(toks).alias("term")
+    )
+    st = occ.groupBy("src", "term").agg(
+        F.count("*").cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    totals = st.groupBy("src").agg(F.sum("c").cast("long").alias("ns"))
+    term_tot = st.groupBy("term").agg(F.sum("c").cast("long").alias("ct"))
+    glob = term_tot.agg(
+        F.count("*").cast("long").alias("vocab"),
+        F.sum("ct").cast("long").alias("gtot"),
+    )
+    jn = (
+        st.join(F.broadcast(totals), "src")
+        .join(F.broadcast(term_tot), "term")
+        .crossJoin(F.broadcast(glob))
+    )
+    a = F.lit(float(alpha))
+    av = F.lit(float(alpha)) * F.col("vocab").cast("double")
+    cs = F.col("c").cast("double")
+    ns = F.col("ns").cast("double")
+    cr = (F.col("ct") - F.col("c")).cast("double")
+    nr = F.col("gtot").cast("double") - ns
+    delta = F.log((cs + a) / (ns + av - cs - a)) - F.log(
+        (cr + a) / (nr + av - cr - a)
+    )
+    var = F.lit(1.0) / (cs + a) + F.lit(1.0) / (cr + a)
+    z = F.round(delta / F.sqrt(var), decimals)
+    scored = jn.filter(F.col("c") >= min_count).select(
+        F.col("src").alias(source_col),
+        "term",
+        F.col("c").cast("bigint").alias("n_source"),
+        z.alias("z_log_odds"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("z_log_odds").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .drop("__rn")
+    )
