@@ -1652,3 +1652,167 @@ def association_rules(
         F.round(conf, decimals).alias("confidence"),
         F.round(lift, decimals).alias("lift"),
     )
+
+
+def panel_user_slopes(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    min_days: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """Panel trend: each user's OLS slope of daily value over their own
+    day index, summarized by the slope distribution's quartiles — the
+    longitudinal answer ("are INDIVIDUAL users growing?") that a single
+    pooled trend line confounds with cohort mix (new low-value users
+    arriving drags the pooled slope negative even when every user
+    grows).
+
+    Per-user slopes come from exact integer sums (day index × value
+    cents) in one user-grain aggregate; the cross-user summary is an
+    exact percentile over the user-grain slope column.
+
+    Output (one row): ``(n_users, median_slope, p25_slope, p75_slope,
+    frac_positive)`` — slope in value units per day.
+    """
+    dec = "decimal(30,10)"
+    day = F.to_date(ts_col)
+    daily = events.groupBy(
+        F.col(user_col).alias("u"), day.alias("d")
+    ).agg(
+        F.round(F.sum(F.col(value_col).cast(dec)) * 100, 0)
+        .cast("long")
+        .alias("yc")
+    )
+    w = Window.partitionBy("u")
+    idx = daily.select(
+        "u",
+        F.datediff("d", F.min("d").over(w)).cast("long").alias("x"),
+        "yc",
+    )
+    per = idx.groupBy("u").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / den / F.lit(100.0)
+    slopes = per.filter((F.col("n") >= min_days) & (den > 0)).select(
+        slope.alias("s")
+    )
+    return slopes.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.percentile("s", F.lit(0.5)), decimals).alias("median_slope"),
+        F.round(F.percentile("s", F.lit(0.25)), decimals).alias("p25_slope"),
+        F.round(F.percentile("s", F.lit(0.75)), decimals).alias("p75_slope"),
+        F.round(
+            F.sum((F.col("s") > 0).cast("long")).cast("double")
+            / F.count("*").cast("double"),
+            decimals,
+        ).alias("frac_positive"),
+    )
+
+
+def kitagawa_rate_decomposition(
+    events: DataFrame,
+    segment_col: str = "event_type",
+    unit_col: str = "user_id",
+    conversion_type: str = "purchase",
+    ts_col: str = "ts",
+    decimals: int = 6,
+) -> DataFrame:
+    """Kitagawa/Oaxaca decomposition of a conversion-rate change between
+    the corpus's two halves: ΔRate splits exactly into a RATE effect
+    (Σ w₂ₛ·(r₂ₛ−r₁ₛ): did segments convert better?) and a MIX effect
+    (Σ (w₂ₛ−w₁ₛ)·r₁ₛ: did traffic shift toward converting segments?) —
+    the decomposition that stops "overall conversion fell" from being
+    misread when it's purely a traffic-mix shift (the aggregate cousin
+    of ``simpsons_paradox_check``).
+
+    Here the unit is an EVENT and a segment's rate is the fraction of
+    its events that are conversions; segments are event sources... wait —
+    conversions ARE a type, so segments come from ``user_id`` parity
+    cohorts (hash buckets) to keep the demo self-contained; pass your
+    own ``segment_col`` in production.
+
+    Output: per-segment contributions + an ``OVERALL`` row whose two
+    effects sum to the observed Δ.  All counts exact integers.
+    """
+    from ..functions.hashing import token_code
+
+    e = F.col(ts_col).cast("double")
+    b = F.broadcast(events.agg(F.min(e).alias("e0"), F.max(e).alias("e1")))
+    ev = events.crossJoin(b)
+    era = (e >= (F.col("e0") + F.col("e1")) / F.lit(2.0)).cast("int")
+    seg = (token_code(F.col(unit_col).cast("string")) % 4).cast("int")
+    conv = (F.col(segment_col) == conversion_type).cast("int")
+    cells = ev.groupBy(seg.alias("seg"), era.alias("era")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(conv).cast("long").alias("c"),
+    )
+    piv = cells.groupBy("seg").agg(
+        F.sum(F.when(F.col("era") == 0, F.col("n")).otherwise(0))
+        .cast("long").alias("n1"),
+        F.sum(F.when(F.col("era") == 1, F.col("n")).otherwise(0))
+        .cast("long").alias("n2"),
+        F.sum(F.when(F.col("era") == 0, F.col("c")).otherwise(0))
+        .cast("long").alias("c1"),
+        F.sum(F.when(F.col("era") == 1, F.col("c")).otherwise(0))
+        .cast("long").alias("c2"),
+    ).localCheckpoint(eager=False)
+    tot = piv.agg(
+        F.sum("n1").cast("long").alias("tn1"),
+        F.sum("n2").cast("long").alias("tn2"),
+        F.sum("c1").cast("long").alias("tc1"),
+        F.sum("c2").cast("long").alias("tc2"),
+    )
+    g = piv.crossJoin(F.broadcast(tot))
+    r1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    r2 = F.col("c2").cast("double") / F.col("n2").cast("double")
+    w1 = F.col("n1").cast("double") / F.col("tn1").cast("double")
+    w2 = F.col("n2").cast("double") / F.col("tn2").cast("double")
+    seg_rows = g.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.col("seg").cast("string").alias("segment"),
+        F.round(r1, decimals).alias("rate_old"),
+        F.round(r2, decimals).alias("rate_new"),
+        F.round(w2 * (r2 - r1), decimals).alias("rate_effect"),
+        F.round((w2 - w1) * r1, decimals).alias("mix_effect"),
+    )
+    tr1 = F.col("tc1").cast("double") / F.col("tn1").cast("double")
+    tr2 = F.col("tc2").cast("double") / F.col("tn2").cast("double")
+    # the overall effects sum FOUR doubles — a plain sum() would add them
+    # in partition order (engine-divergent).  Fixed-order scalar adds over
+    # per-segment conditional sums keep the epilogue deterministic.
+    base = g.select(
+        F.col("seg"), (w2 * (r2 - r1)).alias("re"),
+        ((w2 - w1) * r1).alias("me"), tr1.alias("tr1"), tr2.alias("tr2"),
+    )
+    agg1 = base.agg(
+        F.first("tr1").alias("tr1"), F.first("tr2").alias("tr2"),
+        *[
+            F.sum(F.when(F.col("seg") == k, c).otherwise(F.lit(0.0))).alias(
+                f"{nm}{k}"
+            )
+            for k in range(4)
+            for nm, c in (("re", F.col("re")), ("me", F.col("me")))
+        ],
+    )
+    sre = sum((F.col(f"re{k}") for k in range(1, 4)), F.col("re0"))
+    sme = sum((F.col(f"me{k}") for k in range(1, 4)), F.col("me0"))
+    overall = agg1.select(
+        F.lit("OVERALL").alias("segment"),
+        F.round(F.col("tr1"), decimals).alias("rate_old"),
+        F.round(F.col("tr2"), decimals).alias("rate_new"),
+        F.round(sre, decimals).alias("rate_effect"),
+        F.round(sme, decimals).alias("mix_effect"),
+    )
+    return seg_rows.unionByName(overall)
