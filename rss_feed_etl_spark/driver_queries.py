@@ -687,6 +687,7 @@ from . import driver_queries_wave84  # noqa: E402, F401  (registers wave-84 quer
 from . import driver_queries_wave85  # noqa: E402, F401  (registers wave-85 queries)
 from . import driver_queries_wave86  # noqa: E402, F401  (registers wave-86 queries)
 from . import driver_queries_wave87  # noqa: E402, F401  (registers wave-87 queries)
+from . import driver_queries_wave88  # noqa: E402, F401  (registers wave-88 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02 ∪ r03),

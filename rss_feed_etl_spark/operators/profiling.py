@@ -915,3 +915,49 @@ def spearman_rank_corr(
         F.col("n").cast("bigint").alias("n_units"),
         F.round(num / F.sqrt(dx * dy), decimals).alias("rho"),
     )
+
+
+def digit_forensics(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    decimals: int = 6,
+) -> DataFrame:
+    """Digit-level fraud screens per group over the value's CENT digits:
+    chi-square of the LAST digit against uniform (humans fabricating
+    numbers avoid round repeats; genuine measured values are uniform in
+    the last cent) and the rate of .99-style endings (pricing-artifact
+    detector).  Complements ``benford_digit_test`` (first digit) with
+    the other end of the number.
+
+    All digit counts are exact integers from one aggregate; the chi2
+    epilogue is fixed-order scalar math over the 10 digit cells.
+
+    Output per group: ``(group, n, chi2_last_digit, uniform_ok,
+    frac_9_ending)`` — uniform_ok = chi2 below the 16.919 critical value
+    (9 df, α=0.05).
+    """
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    last = F.pmod(cents, F.lit(10))
+    agg = events.groupBy(F.col(group_col).alias("g")).agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum((last == d).cast("int")).cast("long").alias(f"d{d}")
+            for d in range(10)
+        ],
+    )
+    e = F.col("n").cast("double") / F.lit(10.0)
+    chi2 = None
+    for d in range(10):
+        diff = F.col(f"d{d}").cast("double") - e
+        t = diff * diff / e
+        chi2 = t if chi2 is None else chi2 + t
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(chi2, decimals).alias("chi2_last_digit"),
+        F.when(chi2 <= 16.919, 1).otherwise(0).cast("int").alias("uniform_ok"),
+        F.round(
+            F.col("d9").cast("double") / F.col("n").cast("double"), decimals
+        ).alias("frac_9_ending"),
+    )
