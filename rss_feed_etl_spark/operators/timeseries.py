@@ -787,3 +787,79 @@ def slo_burn_rate(
         F.round(b1, decimals).alias("burn_1h"),
         F.round(bl, decimals).alias(f"burn_{long_window_hours}h"),
     )
+
+
+def holt_forecast_interval(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 7,
+    q: float = 0.9,
+    decimals: int = 6,
+) -> DataFrame:
+    """``holt_forecast`` with a conformal-style interval: the fold also
+    RECORDS each one-step-ahead |residual|, and the interval is
+    forecast ± the q-quantile of those residuals — the distribution-free
+    band ("90% of one-step errors were smaller than this") that turns a
+    point forecast into an alerting threshold without a normality
+    assumption.
+
+    Same sequential fold as ``holt_forecast`` (the struct carries a
+    residual ARRAY); the oracle recovers per-step residuals as
+    consecutive differences of the recursion's cumulative |error| — no
+    second fold formulation to keep in sync.
+
+    Output per series (≥3 days): ``(event_type, n_days, forecast_h,
+    resid_q, lo, hi)``.
+    """
+    a, ombeta, omalpha = float(alpha), 1.0 - float(beta), 1.0 - float(alpha)
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = events.groupBy(F.col(type_col).alias("t"), day.alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ser = daily.groupBy("t").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"].cast("double"),
+        ).alias("xs")
+    ).filter(F.size("xs") >= 3)
+    x1 = F.element_at("xs", 1)
+    x2 = F.element_at("xs", 2)
+    zero = F.struct(
+        x1.alias("l"),
+        (x2 - x1).alias("b"),
+        F.array().cast("array<double>").alias("rs"),
+    )
+    rest = F.slice("xs", 3, F.greatest(F.size("xs") - 2, F.lit(0)))
+
+    def step(acc, x):
+        fc = acc["l"] + acc["b"]
+        l2 = F.lit(a) * x + F.lit(omalpha) * fc
+        b2 = F.lit(float(beta)) * (l2 - acc["l"]) + F.lit(ombeta) * acc["b"]
+        return F.struct(
+            l2.alias("l"),
+            b2.alias("b"),
+            F.concat(acc["rs"], F.array(F.abs(x - fc))).alias("rs"),
+        )
+
+    r = F.aggregate(rest, zero, step)
+    folded = ser.select(
+        "t",
+        F.size("xs").cast("bigint").alias("n_days"),
+        (r["l"] + F.lit(float(horizon)) * r["b"]).alias("fc"),
+        r["rs"].alias("rs"),
+    ).localCheckpoint(eager=False)
+    resid = folded.select("t", F.explode("rs").alias("res"))
+    rq = resid.groupBy("t").agg(
+        F.percentile("res", F.lit(float(q))).alias("rq")
+    )
+    return folded.join(rq, "t").select(
+        F.col("t").alias(type_col),
+        "n_days",
+        F.round("fc", decimals).alias("forecast_h"),
+        F.round("rq", decimals).alias("resid_q"),
+        F.round(F.col("fc") - F.col("rq"), decimals).alias("lo"),
+        F.round(F.col("fc") + F.col("rq"), decimals).alias("hi"),
+    )
