@@ -1903,3 +1903,88 @@ def qini_curve(
         F.col("ccc").cast("bigint").alias("conv_ctrl"),
         (F.round(qini, decimals) + F.lit(0.0)).alias("qini"),
     )
+
+
+def funnel_ab_compare(
+    events: DataFrame,
+    stages: list[str],
+    unit_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Ordered-funnel completion per experiment arm with a two-proportion
+    z-test per stage — the "WHERE in the funnel did the treatment act?"
+    readout: an overall conversion lift usually concentrates in one
+    stage transition, and this locates it.
+
+    Stage semantics are identical to ``funnel_stages`` (strict event
+    order, running-max chaining); arms come from the portable hash split
+    shared by the whole A/B toolkit.  All counts are exact integers; the
+    pooled-variance z per stage is a scalar epilogue.
+
+    Output per stage: ``(stage_idx, stage, n_arm0, n_arm1, rate_arm0,
+    rate_arm1, z_score)`` — rates are vs each arm's user total.
+    """
+    from ..functions.hashing import token_code
+
+    w = (
+        Window.partitionBy(unit_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = events
+    flags = []
+    prev = None
+    for i, stage in enumerate(stages):
+        hit = F.col(type_col) == stage
+        if prev is not None:
+            hit = hit & (F.col(prev) == 1)
+        flag = f"__s{i}"
+        df = df.withColumn(flag, F.max(F.when(hit, 1).otherwise(0)).over(w))
+        prev = flag
+        flags.append(flag)
+    per_user = df.groupBy(unit_col).agg(
+        *[F.max(f).alias(f) for f in flags]
+    )
+    arm = (token_code(F.col(unit_col).cast("string")) % 2).cast("int")
+    agg = per_user.select(arm.alias("arm"), *flags).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long").alias("u0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long").alias("u1"),
+        *[
+            F.sum(F.when(F.col("arm") == a, F.col(f)).otherwise(0))
+            .cast("long")
+            .alias(f"s{i}a{a}")
+            for i, f in enumerate(flags)
+            for a in (0, 1)
+        ],
+    )
+    rows = []
+    for i, stage in enumerate(stages):
+        c0 = F.col(f"s{i}a0").cast("double")
+        c1 = F.col(f"s{i}a1").cast("double")
+        n0 = F.col("u0").cast("double")
+        n1 = F.col("u1").cast("double")
+        p0 = c0 / n0
+        p1 = c1 / n1
+        pp = (c0 + c1) / (n0 + n1)
+        var = pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+        z = F.when(var > 0, (p1 - p0) / F.sqrt(var))
+        rows.append(
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.col(f"s{i}a0").cast("bigint").alias("n_arm0"),
+                F.col(f"s{i}a1").cast("bigint").alias("n_arm1"),
+                F.round(p0, decimals).alias("rate_arm0"),
+                F.round(p1, decimals).alias("rate_arm1"),
+                F.round(z, decimals).alias("z_score"),
+            )
+        )
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.stage_idx", "r.stage", "r.n_arm0", "r.n_arm1",
+        "r.rate_arm0", "r.rate_arm1", "r.z_score",
+    )

@@ -961,3 +961,68 @@ def digit_forensics(
             F.col("d9").cast("double") / F.col("n").cast("double"), decimals
         ).alias("frac_9_ending"),
     )
+
+
+def table_checksums(
+    events: DataFrame,
+    documents: DataFrame,
+    lineitem: DataFrame,
+    decimals: int = 0,
+) -> DataFrame:
+    """Order-insensitive content checksums for cross-environment table
+    comparison: each row canonicalizes to a string (integers verbatim,
+    timestamps ISO-formatted, money as integer cents), hashes through
+    the engine-portable md5 fold, and the table checksum is the BIT_XOR
+    of row hashes — commutative/associative, so it's partitioning- and
+    ordering-independent, mergeable across shards, and two environments
+    can compare a 100 TB table by exchanging ONE number (the pattern
+    replication validators use; xor also lets a single changed row be
+    localized by re-checksumming halves).
+
+    Output: ``(table_name, n_rows, xor_checksum)``.
+    """
+    from ..functions.hashing import md5_bucket
+
+    def chk(df: DataFrame, name: str, canon) -> DataFrame:
+        return df.select(md5_bucket(canon).alias("h")).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("bigint").alias("xor_checksum"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "xor_checksum")
+
+    ev = chk(
+        events,
+        "events",
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.round(F.col("value") * 100, 0).cast("long").cast("string"),
+        ),
+    )
+    dc = chk(
+        documents,
+        "documents",
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("n_chars").cast("string"),
+            F.md5("text"),
+        ),
+    )
+    li = chk(
+        lineitem,
+        "lineitem",
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_quantity").cast("long").cast("string"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").cast("string"),
+            F.col("l_returnflag"),
+        ),
+    )
+    return ev.unionByName(dc).unionByName(li)
