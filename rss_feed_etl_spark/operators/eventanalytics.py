@@ -1988,3 +1988,56 @@ def funnel_ab_compare(
         "r.stage_idx", "r.stage", "r.n_arm0", "r.n_arm1",
         "r.rate_arm0", "r.rate_arm1", "r.z_score",
     )
+
+
+def topk_persistence(
+    events: DataFrame,
+    ts_col: str = "ts",
+    k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Persistence of daily top-k items: for each item (``props.k``),
+    how many days it ranked in the day's top-k by event count, and its
+    LONGEST consecutive-day streak — separating durable catalog heads
+    from one-day spikes, the stability signal a trending module needs
+    before promoting an item.
+
+    The streak uses the gaps-and-islands identity: within an item,
+    day_index − row_number is CONSTANT across consecutive days, so
+    islands fall out of one groupBy — no iterative logic.
+
+    Output per item ever in a top-k: ``(item, n_days_in_topk,
+    max_streak)``.
+
+    Plan / 100 TB: one shuffle to (day, item) counts; ranking windows
+    run per day over item-grain rows; island detection per item over its
+    qualifying days (≤ calendar length).
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = events.select(
+        day.alias("day"), F.get_json_object("props", "$.k").alias("item")
+    ).filter(F.col("item").isNotNull()).groupBy("day", "item").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    rw = Window.partitionBy("day").orderBy(
+        F.col("n").desc(), F.col("item").asc()
+    )
+    top = daily.withColumn("r", F.row_number().over(rw)).filter(
+        F.col("r") <= k
+    )
+    d0 = F.broadcast(top.agg(F.min("day").alias("d0")))
+    idx = top.crossJoin(d0).select(
+        "item", F.datediff("day", "d0").cast("long").alias("di")
+    )
+    iw = Window.partitionBy("item").orderBy("di")
+    isl = idx.select(
+        "item", "di",
+        (F.col("di") - F.row_number().over(iw)).alias("grp"),
+    )
+    streaks = isl.groupBy("item", "grp").agg(
+        F.count("*").cast("long").alias("len")
+    )
+    return streaks.groupBy("item").agg(
+        F.sum("len").cast("bigint").alias("n_days_in_topk"),
+        F.max("len").cast("bigint").alias("max_streak"),
+    )

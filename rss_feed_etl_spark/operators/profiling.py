@@ -1026,3 +1026,58 @@ def table_checksums(
         ),
     )
     return ev.unionByName(dc).unionByName(li)
+
+
+def hill_tail_exponent(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    tail_q: float = 0.9,
+    decimals: int = 6,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index of per-user activity:
+    α̂ = N_tail / Σ ln(cᵢ/x_min) over users whose event count reaches the
+    ``tail_q`` quantile — the number that says whether the heavy tail is
+    Pareto-like (α ≲ 2: variance infinite, whales dominate capacity) or
+    tame.  Zipf fitting covers term frequencies; this covers the USER
+    axis a sharding/capacity plan actually keys on.
+
+    Determinism: the Σ ln term aggregates per DISTINCT count value
+    (n_c·ln(c/x_min)), then accumulates through an ORDERED cumulative
+    window over the bounded count grid — fixed accumulation order, no
+    float-sum ambiguity (same contract as KM's Π(1−d/n)).
+
+    Output (one row): ``(n_tail, x_min, alpha_hat)``.
+    """
+    per = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    xmin = per.agg(
+        F.percentile("c", F.lit(float(tail_q))).alias("xm")
+    )
+    grid = (
+        per.crossJoin(F.broadcast(xmin))
+        .filter(F.col("c").cast("double") >= F.col("xm"))
+        .groupBy("c")
+        .agg(F.count("*").cast("long").alias("nc"), F.first("xm").alias("xm"))
+    )
+    w = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    term = F.col("nc").cast("double") * F.log(
+        F.col("c").cast("double") / F.col("xm")
+    )
+    cum = grid.select(
+        F.sum("nc").over(w).cast("long").alias("ntail"),
+        F.sum(term).over(w).alias("slog"),
+        F.col("xm"),
+        F.row_number().over(Window.orderBy(F.col("c").desc())).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return cum.select(
+        F.col("ntail").cast("bigint").alias("n_tail"),
+        F.round(F.col("xm"), decimals).alias("x_min"),
+        F.round(
+            F.when(F.col("slog") > 0,
+                   F.col("ntail").cast("double") / F.col("slog")),
+            decimals,
+        ).alias("alpha_hat"),
+    )
