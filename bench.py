@@ -86,6 +86,13 @@ HEADLINE = [
     "mad_outliers",
     "cusum_changepoints",
     "compression_ratio_stats",
+    # waves 71-92: sequential-fold forecast, graph peeling, mergeable
+    # minhash rollup, funnel A/B, whole-table checksums
+    "holt_forecast",
+    "kcore_membership",
+    "source_jaccard_matrix",
+    "funnel_ab_compare",
+    "table_checksums",
 ]
 
 
