@@ -694,99 +694,124 @@ from . import driver_queries_wave91  # noqa: E402, F401  (registers wave-91 quer
 from . import driver_queries_wave92  # noqa: E402, F401  (registers wave-92 queries)
 
 
-# Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02 ∪ r03),
-# MINUS queries whose code changed this round (they must re-verify).  The
+# Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02 ∪ r03 ∪
+# r04), MINUS queries whose code changed this round (they must re-verify:
+# ann_cosine_topk_ivf's coarse quantizer was rebuilt round 5).  The
 # driver's per-round check covers the first N names in dict order, so
 # queries() surfaces not-yet-green entries first to rotate coverage across
-# rounds — every registered query keeps its entry either way.  Refresh this
-# set each round from the latest CORRECTNESS_rNN.json.
+# rounds -- every registered query keeps its entry either way.  Refresh
+# this set each round from the latest CORRECTNESS_rNN.json.
 _GREEN_R01 = {
-    "ann_cosine_topk", "ann_cosine_topk_ivf", "ann_cosine_topk_lsh",
-    "anti_join_removed", "asof_latest_order", "audio_features",
-    "bigram_logppl", "bm25_search",
-    "bpe_merge_candidates", "brand_supplier_counts",
-    "canonical_per_component", "churned_users", "click_purchase_window",
-    "conform_schema_repair", "corpus_quality_filter", "corpus_top_terms",
-    "curriculum_shards", "customer_order_distribution",
-    "daily_count_anomalies", "daily_event_windows", "daily_gapfill",
-    "daily_revenue_wow", "daily_stickiness", "date_window_filter",
-    "decayed_popularity", "dedup_exact", "dedup_keep_last",
-    "deterministic_shuffle", "discount_opportunity",
-    "disjunctive_brand_revenue", "doc_fingerprint", "document_chunks",
-    "dominant_share_suppliers", "embedding_cosine_neardup",
-    "embedding_random_projection", "event_type_lift", "event_type_pivot",
-    "events_distinct_daily", "events_grouping_sets", "filter_pipeline",
-    "funnel_stages", "fuzzy_name_pairs", "global_percent_rank",
-    "gmean_value_udaf", "hard_negatives", "hot_shingle_spans",
-    "idle_rich_customers", "image_decode_meta",
-    "image_resize_meta", "important_part_values",
+    "ann_cosine_topk", "ann_cosine_topk_lsh",
+    "ann_recall_lsh", "ann_rerank_exact", "anti_join_removed",
+    "approx_distinct_rollup", "asof_latest_order", "audio_features",
+    "bigram_logppl", "bloom_prune_revenue", "bm25_search",
+    "boilerplate_removed", "bootstrap_mean_ci", "bow_fingerprint_dedup",
+    "bpe_merge_candidates", "brand_supplier_counts", "budget_allocation",
+    "canonical_per_component", "cdc_apply_ordered", "cdc_to_scd2",
+    "churned_users", "click_purchase_window", "clustering_kappa",
+    "compaction_plan", "conform_schema_repair", "corpus_quality_filter",
+    "corpus_top_terms", "countmin_estimates", "curriculum_shards",
+    "customer_order_distribution", "daily_count_anomalies",
+    "daily_event_windows", "daily_gapfill", "daily_revenue_wow",
+    "daily_stickiness", "daily_trend_slope", "date_window_filter",
+    "decayed_popularity", "decontaminate_broadcast_holdout",
+    "decontaminate_splits", "dedup_exact", "dedup_keep_last",
+    "dedup_pair_recall", "dedup_rate_by_source", "deterministic_shuffle",
+    "discount_opportunity", "disjunctive_brand_revenue",
+    "doc_fingerprint", "doc_keywords", "document_chunks",
+    "dominant_share_suppliers", "dow_anomaly_days", "dp_event_counts",
+    "dq_assertion_report", "ema_daily_revenue",
+    "embedding_cosine_neardup", "embedding_covariance",
+    "embedding_random_projection", "epoch_upsample", "event_type_lift",
+    "event_type_pivot", "events_distinct_daily", "events_grouping_sets",
+    "filter_pipeline", "fk_profile_lineitem_orders", "funnel_stages",
+    "fuzzy_name_pairs", "global_percent_rank", "gmean_value_udaf",
+    "golden_record", "hard_negatives", "hashed_quality_scores",
+    "hot_shingle_spans", "html_clean", "idle_rich_customers",
+    "image_decode_meta", "image_resize_meta", "importance_weights",
+    "important_part_values", "incremental_agg_maintenance",
     "incremental_dedup_exact", "incremental_merge_fold",
-    "incremental_neardup", "inverted_index", "item_pagerank",
-    "json_props_summary", "keyword_exclusion_filter", "kmeans_clusters",
-    "label_centroid_confusion", "lang_id", "lang_quota_sample",
-    "large_order_customers", "last_touch_attribution",
-    "leakage_safe_split", "lenient_timestamp_parse", "llm_match_scores",
-    "lookup_join_notes", "market_share", "merge_counts", "merge_upsert",
-    "merged_corpus_stats", "min_cost_supplier", "minhash_lsh_neardup",
-    "nation_profit", "neardup_components", "neardup_drop_list",
-    "new_vs_returning", "ngram_jaccard_neardup",
-    "nonempty_content_filter", "numeric_extraction", "oov_rate_scores",
-    "order_decile_rank", "order_priority_late", "order_stats_cube",
-    "pii_redact", "pmi_top_pairs", "pricing_summary",
-    "promo_revenue_ratio", "provenance_outer_join", "regional_revenue",
-    "repetition_ratio", "retention_cohorts", "returned_revenue_topk",
-    "revenue_rollup", "running_totals", "scd1_merge", "scd2_current_view",
-    "scd2_merge", "semantic_dedup_pairs", "semi_join_updated",
-    "sequence_packing", "session_paths_top", "sessionize",
-    "shingle_novelty_scores", "ship_latency_priority",
+    "incremental_neardup", "int8_ann_topk", "inverted_index",
+    "item_pagerank", "join_cardinality_estimate", "json_props_summary",
+    "key_skew_report", "keyword_exclusion_filter", "km_survival",
+    "kmeans_clusters", "ks_value_drift", "label_centroid_confusion",
+    "lang_id", "lang_quota_sample", "large_order_customers",
+    "last_touch_attribution", "leakage_safe_split",
+    "length_bucket_batches", "lenient_timestamp_parse",
+    "llm_match_scores", "llm_response_repair", "lookup_join_notes",
+    "market_share", "merge_counts", "merge_upsert", "merged_corpus_stats",
+    "min_cost_supplier", "minhash_lsh_neardup", "nation_profit",
+    "neardup_components", "neardup_drop_list", "new_vs_returning",
+    "ngram_diversity", "ngram_jaccard_neardup", "nonempty_content_filter",
+    "numeric_extraction", "oov_rate_scores", "order_decile_rank",
+    "order_priority_late", "order_stats_cube", "paragraph_dedup",
+    "pca_projection", "pii_redact", "pmi_top_pairs", "prefix_clone_pairs",
+    "pricing_summary", "promo_revenue_ratio", "provenance_outer_join",
+    "regional_revenue", "repetition_ratio", "retention_cohorts",
+    "returned_revenue_topk", "revenue_rollup", "rrf_fusion",
+    "running_totals", "scd1_merge", "scd2_current_view", "scd2_merge",
+    "scd2_snapshot_asof", "search_rank_metrics", "semantic_dedup_pairs",
+    "semi_join_updated", "sequence_packing", "session_paths_top",
+    "sessionize", "shingle_novelty_scores", "ship_latency_priority",
     "shipping_priority_top10", "simhash_fingerprint", "simhash_neardup",
     "skills_match", "sliding_event_windows", "small_quantity_revenue",
     "snapshot_diff", "sole_late_suppliers", "source_lang_chi2",
     "source_mixture_sample", "source_zscore_keep", "stringify_sink",
     "temperature_mixture_sample", "text_quality_stats",
-    "tfidf_cosine_pairs", "token_budget_select", "token_counts",
-    "token_entropy_scores", "top_bigrams", "top_supplier_quarter",
-    "topk_per_user", "train_val_test_split", "tz_convert_format",
+    "tfidf_cosine_pairs", "time_decay_attribution", "token_budget_select",
+    "token_counts", "token_entropy_scores", "top_bigrams",
+    "top_supplier_quarter", "topk_per_user", "train_val_test_split",
+    "trending_items", "tz_convert_format", "unicode_normalized",
     "unigram_logppl", "union_dedup_keep_first", "url_canonical_dedup",
     "users_click_and_purchase", "users_click_not_purchase",
     "value_deciles", "value_histogram", "value_outliers",
     "value_percentiles", "video_frames_meta", "volume_shipping",
-    "weighted_doc_sample", "zipf_corpus_fit",
+    "weighted_doc_sample", "winnow_fingerprints", "winsorized_means",
+    "woe_value_bins", "zipf_corpus_fit",
 }
 
 
-# Round 4 window: queries changed this round (stale green cache) + the new
-# repair query, then every name the driver has NEVER sampled (69 as of r3;
-# the first ~50 land in CORRECTNESS_r04, the tail plus anything red lands
-# in r05 — cumulative coverage of all registered names).
+# Round 5 window: queries whose code changed this round (stale green
+# cache: the IVF quantizer rebuild) + its new kmeans-trained sibling, then
+# ALL 88 names the driver has NEVER sampled in r01-r04, oldest waves
+# first -- the first ~50 land in CORRECTNESS_r05, the remainder in r06.
 _PRIORITY = [
-    "decontaminate_splits", "incremental_agg_maintenance",
-    "time_decay_attribution", "llm_response_repair", "html_clean",
-    "boilerplate_removed", "scd2_snapshot_asof",
-    "cdc_to_scd2", "golden_record", "ann_recall_lsh", "compaction_plan",
-    "decontaminate_broadcast_holdout", "importance_weights",
-    "int8_ann_topk", "length_bucket_batches", "countmin_estimates",
-    "winnow_fingerprints", "doc_keywords", "rrf_fusion",
-    "clustering_kappa", "unicode_normalized", "bootstrap_mean_ci",
-    "dp_event_counts", "dow_anomaly_days", "budget_allocation",
-    "trending_items", "dedup_rate_by_source", "dedup_pair_recall",
-    "daily_trend_slope", "ks_value_drift", "winsorized_means",
-    "ngram_diversity", "fk_profile_lineitem_orders", "key_skew_report",
-    "dq_assertion_report", "cdc_apply_ordered", "hashed_quality_scores",
-    "paragraph_dedup", "km_survival", "time_decay_attribution",
-    "embedding_covariance", "pca_projection", "epoch_upsample",
-    "search_rank_metrics", "bloom_prune_revenue", "prefix_clone_pairs",
-    "ema_daily_revenue", "woe_value_bins", "incremental_agg_maintenance",
-    "join_cardinality_estimate", "ann_rerank_exact",
-    "bow_fingerprint_dedup", "time_weighted_average",
-    "item_triangle_count", "wilson_rate_intervals",
-    "event_transition_probs", "funnel_latency", "quantile_normalize",
-    "seasonal_naive_mase", "theil_sen_trend", "psi_value_drift",
-    "score_calibration", "diff_in_diff", "ordered_pair_episodes",
-    "grid_density_clusters", "span_corruption", "benford_digit_test",
-    "sorted_neighborhood_pairs", "cohort_ltv", "vocab_drift_terms",
-    "star_join_advisor", "dup_cluster_sizes", "ngram_containment_pairs",
-    "source_kl_divergence", "scd2_pointwise_enrich",
+    "ann_cosine_topk_ivf", "ann_cosine_topk_ivf_kmeans",
+    "time_weighted_average", "item_triangle_count",
+    "wilson_rate_intervals", "event_transition_probs", "funnel_latency",
+    "quantile_normalize", "seasonal_naive_mase", "theil_sen_trend",
+    "psi_value_drift", "score_calibration", "diff_in_diff",
+    "ordered_pair_episodes", "grid_density_clusters", "span_corruption",
+    "benford_digit_test", "sorted_neighborhood_pairs", "cohort_ltv",
+    "vocab_drift_terms", "star_join_advisor", "dup_cluster_sizes",
+    "ngram_containment_pairs", "source_kl_divergence",
+    "scd2_pointwise_enrich", "gopher_quality_flags",
+    "repeated_ngram_stats", "matryoshka_truncation_eval",
+    "int8_quantization_error", "exact_contamination",
+    "dsir_importance_weights", "bitext_mining_pairs",
+    "k_anonymity_violations", "ccnet_ppl_buckets",
+    "token_length_histogram", "langid_confusion", "zorder_layout_advisor",
+    "shard_assign_balanced", "target_encode_loo", "feature_hash_encode",
+    "cusum_changepoints", "loso_source_influence",
+    "daily_autocorrelation", "l_diversity_violations",
+    "lsh_sensitivity_curve", "series_correlation_matrix", "mad_outliers",
+    "compression_ratio_stats", "zorder_clustering_depth",
+    "neyman_allocation", "holt_forecast", "srm_check", "tukey_fences",
+    "cuped_adjustment", "interevent_burstiness", "peak_concurrency",
+    "positional_attribution", "nelson_aalen_hazard",
+    "quantile_treatment_effect", "join_order_advisor", "exposure_gini",
+    "discount_elasticity", "partition_granularity_advisor",
+    "rfm_segments", "simpsons_paradox_check", "keyword_snippets",
+    "weighted_percentiles", "source_jaccard_matrix", "revenue_bridge",
+    "fk_readability", "heaps_law_curve", "ab_sample_size_table",
+    "overdispersion_check", "histogram_percentile_error",
+    "langid_entropy", "spearman_rank_corr", "slo_burn_rate",
+    "user_hour_divergence", "kcore_membership", "association_rules",
+    "distinctive_terms_log_odds", "panel_user_slopes",
+    "kitagawa_rate_decomposition", "digit_forensics", "qini_curve",
+    "holt_forecast_interval", "funnel_ab_compare", "table_checksums",
+    "hill_tail_exponent", "topk_persistence",
 ]
 
 
