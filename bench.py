@@ -186,6 +186,18 @@ SCALE_QUERIES = [
     "compression_ratio_stats",
     # doc-grain feature hashing (wave 65): explode + one (doc, bucket) agg
     "feature_hash_encode",
+    # round-5 additions — the five heaviest r4 headline entries that had no
+    # scale measurement (VERDICT r4 #5).  repeated_ngram_stats is map-only;
+    # source_jaccard aggregates 128 mins in one groupBy; dsir is a
+    # broadcast-model bucket count; bitext is a banded candidate join;
+    # kcore peels the item graph built from 10x event rows (same item
+    # vocabulary — catalogs grow slower than traffic, so the scaled run
+    # measures the edge-extraction volume path).
+    "repeated_ngram_stats",
+    "source_jaccard_matrix",
+    "dsir_importance_weights",
+    "bitext_mining_pairs",
+    "kcore_membership",
 ]
 
 SCALE_FACTOR = 10
@@ -229,6 +241,20 @@ def ensure_scaled_corpus(src_dir: str, dst_dir: str, factor: int = SCALE_FACTOR)
               FROM '{src_dir}/embeddings.parquet',
                    (SELECT unnest(range({factor})) AS k)
             ) TO '{dst_dir}/embeddings.parquet' (FORMAT PARQUET)
+            """
+        )
+    if not os.path.exists(f"{dst_dir}/events.parquet"):
+        # copy k offsets event/user ids (independent traffic copies over the
+        # SAME item vocabulary in props — catalogs grow slower than traffic)
+        con.execute(
+            f"""
+            COPY (
+              SELECT event_id + k * 10000000 AS event_id, ts,
+                     user_id + k * 10000000 AS user_id,
+                     event_type, value, props
+              FROM '{src_dir}/events.parquet',
+                   (SELECT unnest(range({factor})) AS k)
+            ) TO '{dst_dir}/events.parquet' (FORMAT PARQUET)
             """
         )
     con.close()
@@ -300,7 +326,25 @@ def main() -> None:
     }
     if scale is not None:
         payload["scale_10x"] = scale
+    # Durable record (VERDICT r4 #3 / ADVICE r4): the grading harness keeps
+    # only the LAST 2000 chars of stdout, and the full payload now exceeds
+    # that.  Persist the full payload to BENCH_LOCAL.json, print it once for
+    # humans, then print a compact headline object as the FINAL line so the
+    # tail window always parses.
+    Path(__file__).resolve().parent.joinpath("BENCH_LOCAL.json").write_text(
+        json.dumps(payload, indent=1) + "\n"
+    )
     print(json.dumps(payload))
+    summary = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "sf": payload["sf"],
+        "n_queries": len(timings),
+        "full_payload": "BENCH_LOCAL.json",
+    }
+    sys.stdout.flush()
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

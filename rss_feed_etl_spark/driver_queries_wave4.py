@@ -46,25 +46,31 @@ FROM t
 
 # --- IVF approximate nearest neighbor -------------------------------------
 
-_CENTROID_MOD = 25
+_N_CENT = 40
 _NPROBE = 2
+_IVF_SALT = "ivf-v1"
 
 
 def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = td.load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk_ivf(
-        emb, queries, k=5, centroid_mod=_CENTROID_MOD, nprobe=_NPROBE
+        emb, queries, k=5, n_centroids=_N_CENT, nprobe=_NPROBE, salt=_IVF_SALT
     )
 
+
+from .driver_queries_corpus import _hexfold  # noqa: E402
+
+_IVF_HK = _hexfold(f"('{_IVF_SALT}:' || CAST(vec_id AS VARCHAR))")
 
 _register(
     "ann_cosine_topk_ivf",
     _q_ivf,
     f"""
 WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-  WHERE vec_id % {_CENTROID_MOD} = 0),
+  SELECT vec_id AS cent_id, embedding AS cv FROM (
+    SELECT vec_id, embedding, {_IVF_HK} AS hk FROM embeddings
+    ORDER BY hk, vec_id LIMIT {_N_CENT})),
 corpus_sc AS (
   SELECT e.vec_id AS neighbor_id, e.embedding AS ev, c.cent_id,
          {_cos_sql("e.embedding", "c.cv")} AS csim

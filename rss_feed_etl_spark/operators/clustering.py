@@ -53,25 +53,29 @@ def _assign(vec: Column, centroids: dict[int, list[float]]) -> Column:
     return best
 
 
-def kmeans_lloyd(
+def _prep(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda v: v.cast("double")).alias("vec"),
+    )
+
+
+def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
-) -> DataFrame:
-    """Run ``iters`` Lloyd iterations from a deterministic seed (the ``k``
-    smallest-id vectors) and return per-cluster stats of the final
-    assignment: (cluster_id, n_members, mean_sqdist).
+) -> dict[int, list[float]]:
+    """Train ``iters`` Lloyd iterations from a deterministic seed (the ``k``
+    smallest-id vectors) and return the final centroids keyed by seed id —
+    model-sized driver state (k·dim doubles) usable as a trained coarse
+    quantizer (``similarity.cosine_topk_ivf(centroids=...)``).
 
-    Empty clusters drop out of the update (standard Lloyd); rounding the
-    mean distance keeps the output hash-stable across summation orders.
+    Empty clusters drop out of the update (standard Lloyd).
     """
-    emb = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.transform(vec_col, lambda v: v.cast("double")).alias("vec"),
-    )
+    emb = _prep(embeddings, id_col, vec_col)
     # seed rounding happens IN the engine (F.round = SQL half-up), not via
     # Python round (banker's) — the oracle replays the identical trajectory
     centroids: dict[int, list[float]] = {
@@ -96,6 +100,26 @@ def kmeans_lloyd(
             .collect()
         )
         centroids = {r["cid"]: list(r["cvec"]) for r in new}
+    return centroids
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations from a deterministic seed (the ``k``
+    smallest-id vectors) and return per-cluster stats of the final
+    assignment: (cluster_id, n_members, mean_sqdist).
+
+    Rounding the mean distance keeps the output hash-stable across
+    summation orders.
+    """
+    emb = _prep(embeddings, id_col, vec_col)
+    centroids = kmeans_centroids(embeddings, k, iters, id_col, vec_col, decimals)
     final = emb.withColumn("best", _assign(F.col("vec"), centroids))
     return (
         final.select(F.col("best")["cid"].alias("cluster_id"), F.col("best")["dist"].alias("dist"))

@@ -212,30 +212,62 @@ def cosine_topk_lsh(
     )
 
 
+def _ivf_centroids(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    salt: str,
+) -> list[tuple[int, list]]:
+    """Fixed-``n_centroids`` deterministic quantizer sample: rank by
+    ``md5(salt:id)`` and LIMIT — the centroid count is corpus-independent
+    (model-sized driver state), never O(N) like a mod-sample."""
+    from ..functions.hashing import md5_bucket
+
+    hk = md5_bucket(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return sorted(
+        (r[0], r[1])
+        for r in embeddings.select(id_col, vec_col)
+        .withColumn("hk", hk)
+        .orderBy("hk", id_col)
+        .limit(n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroid_mod: int = 25,
+    n_centroids: int = 40,
     nprobe: int = 2,
+    salt: str = "ivf-v1",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the corpus is partitioned into
     cells by nearest centroid; each query probes only its ``nprobe`` nearest
     cells, then exact cosine re-ranks the candidates.
 
-    The coarse quantizer here is a deterministic sample (every
-    ``centroid_mod``-th vector) instead of trained k-means, so both engines
-    derive identical cells from the data alone — swap in k-means centroids
-    without changing the plan.  Scale shape: centroids are config-sized, so
-    they collect once to the driver and ride into an Arrow-batched pandas
-    UDF closure; cell assignment is then ONE GEMM per batch
-    (``V_norm @ C_norm.T`` + stable argsort) — a map-only stage, no shuffle
-    of the corpus at all, and vectorized instead of per-element lambda math
-    (same rationale as ``embedding_neardup_pairs``: dense linear algebra
-    belongs in a GEMM, ~100× over interpreted folds).  The candidate join
-    is ``corpus ⋈ broadcast(probes)`` on the small int ``cell`` key, so a
+    The coarse quantizer is a FIXED-``n_centroids`` deterministic sample:
+    rank every vector by ``md5(salt:id)`` and take the first
+    ``n_centroids`` (the same seed pattern as ``semantic_dedup_pairs``), so
+    both engines derive identical cells from the data alone and the
+    centroid count is corpus-independent — n_centroids·dim floats whatever
+    the corpus size, unlike a mod-sample whose centroid count grows O(N).
+    Pass ``centroids`` (e.g. from ``clustering.kmeans_centroids``) to use a
+    trained quantizer with the identical probe plan.
+
+    Scale shape: centroids are config-sized, so they collect once to the
+    driver and ride into an Arrow-batched pandas UDF closure; cell
+    assignment is then ONE GEMM per batch (``V_norm @ C_norm.T`` + stable
+    argsort) — a map-only stage, no shuffle of the corpus at all, and
+    vectorized instead of per-element lambda math (same rationale as
+    ``embedding_neardup_pairs``: dense linear algebra belongs in a GEMM,
+    ~100× over interpreted folds).  The candidate join is
+    ``corpus ⋈ broadcast(probes)`` on the small int ``cell`` key, so a
     100 TB corpus is scanned once and never exchanged, and each query
     touches ~nprobe/n_cells of the data.  Exact candidate re-ranking stays
     in Catalyst expressions (the pair set is tiny).
@@ -244,12 +276,10 @@ def cosine_topk_ivf(
 
     ensure_executors_can_import(embeddings.sparkSession)
 
-    cent_rows = sorted(
-        (r[0], r[1])
-        for r in embeddings.filter(F.col(id_col) % centroid_mod == 0)
-        .select(id_col, vec_col)
-        .collect()
-    )
+    if centroids is not None:
+        cent_rows = sorted((int(c), list(v)) for c, v in centroids)
+    else:
+        cent_rows = _ivf_centroids(embeddings, id_col, vec_col, n_centroids, salt)
 
     def assign(df: DataFrame, side: str, n_cells: int) -> DataFrame:
         @F.pandas_udf(T.ArrayType(T.LongType()))

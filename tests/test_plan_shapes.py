@@ -97,6 +97,18 @@ def test_embedding_lsh_neardup_no_join_single_groupby(spark):
     assert "CartesianProduct" not in s
 
 
+def test_ann_ivf_broadcasts_probes(spark):
+    s = _plan(_queries()["ann_cosine_topk_ivf"](spark, SF_DIR))
+    # the probe (query) side broadcasts on the small int cell key; the
+    # corpus is scanned once and never exchanged for the candidate join.
+    # The quantizer itself is driver-side model state (see
+    # test_similarity_ivf.test_ivf_centroid_count_is_corpus_independent
+    # for the fixed-k bound) so it never appears in this plan.
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
 def test_ann_lsh_broadcasts_queries(spark):
     s = _plan(_queries()["ann_cosine_topk_lsh"](spark, SF_DIR))
     # the banded query side broadcasts; the corpus is never exchanged for
