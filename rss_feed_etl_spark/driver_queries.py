@@ -731,8 +731,7 @@ _GREEN_R01 = {
     "golden_record", "hard_negatives", "hashed_quality_scores",
     "hot_shingle_spans", "html_clean", "idle_rich_customers",
     "image_decode_meta", "image_resize_meta", "importance_weights",
-    "important_part_values", "incremental_agg_maintenance",
-    "incremental_dedup_exact", "incremental_merge_fold",
+    "important_part_values", "incremental_dedup_exact", "incremental_merge_fold",
     "incremental_neardup", "int8_ann_topk", "inverted_index",
     "item_pagerank", "join_cardinality_estimate", "json_props_summary",
     "key_skew_report", "keyword_exclusion_filter", "km_survival",
@@ -779,6 +778,7 @@ _GREEN_R01 = {
 # first -- the first ~50 land in CORRECTNESS_r05, the remainder in r06.
 _PRIORITY = [
     "ann_cosine_topk_ivf", "ann_cosine_topk_ivf_kmeans",
+    "incremental_agg_maintenance",
     "time_weighted_average", "item_triangle_count",
     "wilson_rate_intervals", "event_transition_probs", "funnel_latency",
     "quantile_normalize", "seasonal_naive_mase", "theil_sen_trend",

@@ -68,9 +68,11 @@ def _q_combine_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
+    # total_exact is persistence state (the fold input for the NEXT epoch),
+    # not part of the maintained view the oracle recomputes
     return sketches.combine_aggregates(
         old_agg, batch, key_col="event_type", value_col="value"
-    )
+    ).drop("total_exact")
 
 
 _register(

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import testdata as td
 from .driver_queries import _register
+from .driver_queries_corpus import _code
 from .operators import textstats
 
 
@@ -52,20 +53,26 @@ def _q_rep_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repeated_ngram_stats(td.load_table(spark, sf_dir, "documents"))
 
 
+# gram = base-31 polynomial of the n token codes (token_code = md5-prefix
+# mod 1e9+7) — identical arithmetic to the Spark side's integer-code grams;
+# intermediates stay < 3.3e10, exact bigint in both engines
 _register(
     "repeated_ngram_stats",
     _q_rep_ngrams,
-    r"""
+    rf"""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-g AS (SELECT doc_id,
-             unnest(list_transform(range(1, greatest(len(w)-2,1)+1),
-                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+k AS (SELECT doc_id, len(w) AS nw,
+             list_transform(w, x -> {_code('x')}) AS c
       FROM t WHERE len(w) >= 3),
-c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, nw - 1),
+               i -> ((c[i] * 31 + c[i+1]) % 1000000007 * 31 + c[i+2]) % 1000000007)) AS gram
+      FROM k),
+cnts AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
 SELECT doc_id,
        CAST(sum(cnt) AS BIGINT) AS total_ngrams,
        round((sum(cnt) - count(*)) / CAST(sum(cnt) AS DOUBLE), 4) AS dup_frac,
        round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4) AS top_frac
-FROM c GROUP BY 1
+FROM cnts GROUP BY 1
 """,
 )

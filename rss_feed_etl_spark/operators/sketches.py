@@ -681,9 +681,11 @@ def combine_aggregates(
     # Totals accumulate as decimal(30,10): stored + batch is then a pure
     # function of the value multiset, never of double addition order — the
     # same guard diff_in_diff carries (double partial sums can flip
-    # round(·,2)/round(·,6) on boundary values).  Callers that persist the
-    # aggregate should keep the decimal total; the rounded double columns
-    # below are display values.
+    # round(·,2)/round(·,6) on boundary values).  The UNROUNDED decimal
+    # rides out as ``total_exact`` and is what a persisting caller must
+    # store and fold from (re-folding the 2dp display ``total`` drifts the
+    # running sum ±0.005 per fold); when ``old_agg`` carries
+    # ``total_exact`` it is preferred over ``total`` automatically.
     dec = "decimal(30,10)"
     fresh = batch.groupBy(F.col(key_col).alias("k")).agg(
         F.count("*").cast("bigint").alias("bn"),
@@ -691,17 +693,19 @@ def combine_aggregates(
         F.min(value_col).alias("bmin"),
         F.max(value_col).alias("bmax"),
     )
+    stored_total = "total_exact" if "total_exact" in old_agg.columns else "total"
     stored = old_agg.select(
         F.col(key_col).alias("k"),
         F.col("n").alias("on_"),
-        F.col("total").cast(dec).alias("ototal"),
+        F.col(stored_total).cast(dec).alias("ototal"),
         F.col("vmin").alias("omin"),
         F.col("vmax").alias("omax"),
     )
     merged = stored.join(fresh, "k", "full_outer")
     n = F.coalesce("on_", F.lit(0)) + F.coalesce("bn", F.lit(0))
     zero = F.lit(0).cast("decimal(30,10)")
-    total = (F.coalesce("ototal", zero) + F.coalesce("btotal", zero)).cast("double")
+    exact = F.coalesce("ototal", zero) + F.coalesce("btotal", zero)
+    total = exact.cast("double")
     return merged.select(
         F.col("k").alias(key_col),
         n.cast("bigint").alias("n"),
@@ -713,6 +717,7 @@ def combine_aggregates(
             F.coalesce("omax", "bmax"), F.coalesce("bmax", "omax")
         ).alias("vmax"),
         F.round(total / n, 6).alias("mean"),
+        exact.cast(dec).alias("total_exact"),
     )
 
 

@@ -1368,37 +1368,70 @@ def repeated_ngram_stats(
     Plan: MAP-ONLY — every metric is an array computation on the doc's own
     gram list, so the operator is a free rider on whatever scan reads the
     text (no exchange of any kind; the earlier shape shuffled the full
-    (doc, gram) occurrence stream).  total = size, distinct =
-    size(array_distinct), and the top multiplicity is a run-length fold
-    over the SORTED gram array (equal grams are adjacent after sort, so
-    the longest run IS the max count — O(g log g) per doc).  The DuckDB
-    oracle keeps the unnest + GROUP BY formulation: same semantics,
-    different physical shape, which is exactly what the parity gate is
-    for.  Documents shorter than ``n`` words are excluded (no n-gram
-    exists).
+    (doc, gram) occurrence stream).  Grams are PORTABLE INTEGER CODES, not
+    strings: each token hashes once (md5-prefix mod 1e9+7, the
+    ``token_code`` mixer the dedup path already oracle-mirrors) and a gram
+    is the base-31 polynomial of its ``n`` token codes — so the per-doc
+    sort/distinct run over bigint arrays instead of allocating and
+    comparing one string per gram (the round-4 bench's single heaviest
+    headline cost).  Distinct grams collide with probability ~g²/2e9 per
+    doc — negligible, and the oracle replays the identical arithmetic so
+    parity is exact.  total = size, distinct = size(array_distinct), and
+    the top multiplicity is a run-length fold over the SORTED code array
+    (equal codes are adjacent after sort, so the longest run IS the max
+    count — O(g log g) per doc).  The DuckDB oracle keeps the unnest +
+    GROUP BY formulation over the same codes: same semantics, different
+    physical shape, which is exactly what the parity gate is for.
+    Documents shorter than ``n`` words are excluded (no n-gram exists).
     """
+    from ..functions.hashing import BASE, MOD, token_code
+
+    # Each expensive array (codes, grams) is MATERIALIZED in its own
+    # projection and then referenced multiple times as a plain attribute —
+    # referencing the raw expression instead would inline it at every use
+    # site (CollapseProject keeps multi-referenced non-cheap expressions,
+    # but expressions nested inside one select have no such protection),
+    # re-running one md5 per token per reference.
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    staged = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(
+            id_col,
+            F.transform("__toks", token_code).alias("__codes"),
+            (F.size("__toks") - F.lit(n - 1)).alias("__ng"),
+        )
     )
-    sorted_g = F.array_sort(grams)
+
+    def gram_at(i):
+        acc = F.element_at(F.col("__codes"), i)
+        for j in range(1, n):
+            acc = (
+                acc * F.lit(BASE) + F.element_at(F.col("__codes"), i + F.lit(j))
+            ) % F.lit(MOD)
+        return acc
+
+    grams = staged.select(
+        id_col,
+        F.transform(F.sequence(F.lit(1), F.col("__ng")), gram_at).alias("__grams"),
+    )
+    g = F.col("__grams")
     acc0 = F.struct(
-        F.lit("").alias("prev"),
+        F.lit(-1).cast("bigint").alias("prev"),
         F.lit(0).cast("bigint").alias("run"),
         F.lit(0).cast("bigint").alias("mx"),
     )
 
-    def step(acc, g):
-        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+    def step(acc, c):
+        run = F.when(c == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
         return F.struct(
-            g.alias("prev"), run.alias("run"), F.greatest(acc["mx"], run).alias("mx")
+            c.alias("prev"), run.alias("run"), F.greatest(acc["mx"], run).alias("mx")
         )
 
-    mx = F.aggregate(sorted_g, acc0, step, lambda acc: acc["mx"])
-    total = F.size(grams).cast("bigint")
-    distinct = F.size(F.array_distinct(grams))
-    return df.filter(F.size(toks) >= n).select(
+    mx = F.aggregate(F.array_sort(g), acc0, step, lambda acc: acc["mx"])
+    total = F.size(g).cast("bigint")
+    distinct = F.size(F.array_distinct(g))
+    return grams.select(
         F.col(id_col),
         total.alias("total_ngrams"),
         F.round((total - distinct) / total.cast("double"), 4).alias("dup_frac"),

@@ -202,6 +202,10 @@ def fold_stats_batch(
             T.StructField("vmin", T.DoubleType()),
             T.StructField("vmax", T.DoubleType()),
             T.StructField("mean", T.DoubleType()),
+            # the EXACT running sum — the fold input.  Folding from the 2dp
+            # display `total` instead drifts ±0.005 per micro-batch, and the
+            # error compounds silently over epochs.
+            T.StructField("total_exact", T.DecimalType(30, 10)),
             T.StructField("__epoch", T.LongType()),
         ]
     )
@@ -211,7 +215,7 @@ def fold_stats_batch(
     last = snap.agg(F.max("__epoch")).first()[0]
     if last is not None and epoch_id <= last:
         return False
-    stored = snap.select(key_col, "n", "total", "vmin", "vmax")
+    stored = snap.select(key_col, "n", "total_exact", "vmin", "vmax")
     combined = combine_aggregates(
         stored, batch_df, key_col=key_col, value_col=value_col
     ).withColumn("__epoch", F.lit(epoch_id).cast("long"))
@@ -278,19 +282,35 @@ def enrich_stream_to_parquet(
     made explicit and testable here.
 
     Left join: stream rows with no dim match flow through with NULL
-    attributes (an enrichment must never drop facts).  Appends to
-    ``target_path``; exactly-once via the checkpoint + availableNow
-    trigger, same contract as ``incremental_scd1``.
+    attributes (an enrichment must never drop facts).
+
+    Delivery semantics: foreachBatch is AT-LEAST-ONCE — a batch replayed
+    after a failure between the write and the checkpoint commit runs
+    again.  A blind append would duplicate fact rows on replay (the
+    hazard ``incremental_scd1`` avoids only because its merge is
+    idempotent by key), so each epoch writes its own ``__epoch=N``
+    partition with DYNAMIC partition overwrite: a replay of epoch N
+    rewrites exactly that partition and touches nothing else, making the
+    sink idempotent per epoch = effectively-once end to end.  Readers of
+    ``target_path`` see ``__epoch`` as an ordinary partition column.
 
     100 TB: the dim re-read is per-BATCH, not per-row; broadcast keeps
-    the join shuffle-free so stream throughput is scan-bound.
+    the join shuffle-free so stream throughput is scan-bound, and the
+    per-epoch overwrite replaces one partition directory, never the
+    table.
     """
 
     def _enrich(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         dim = spark.read.parquet(dim_path)
         out = batch_df.join(F.broadcast(dim), on, "left")
-        out.write.mode("append").parquet(target_path)
+        (
+            out.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(target_path)
+        )
 
     return (
         stream.writeStream.foreachBatch(_enrich)

@@ -686,3 +686,33 @@ def test_incremental_stats_sink_skips_replayed_epoch(spark, tmp_path):
     assert got["b"]["n"] == 1 and got["b"]["total"] == 2.0
     # empty batch is also a no-op
     assert not fold_stats_batch(spark, b1.limit(0), 2, agg_path)
+
+
+def test_fold_stats_batch_no_rounding_drift_over_epochs(spark, tmp_path):
+    """The fold input is the EXACT decimal total, not the 2dp display
+    value: 2dp-boundary values (x.005) folded one epoch at a time must
+    equal the one-shot aggregate exactly, even after many epochs.  Folding
+    the rounded display total instead accumulates ±0.005 per epoch, which
+    this catches by epoch ~3."""
+    from rss_feed_etl_spark.streaming.incremental import fold_stats_batch
+
+    from rss_feed_etl_spark.operators import sketches
+
+    schema = "event_id long, event_type string, value double"
+    agg_path = str(tmp_path / "agg")
+    vals = [0.005 + i * 0.01 for i in range(12)]  # every value a 2dp boundary
+    for epoch, v in enumerate(vals):
+        assert fold_stats_batch(
+            spark, spark.createDataFrame([(epoch, "a", v)], schema), epoch, agg_path
+        )
+    got = spark.read.parquet(agg_path).collect()[0]
+    empty = spark.createDataFrame(
+        [], "event_type string, n bigint, total double, vmin double, vmax double"
+    )
+    union = spark.createDataFrame(list(enumerate(["a"] * len(vals))), "event_id long, event_type string").join(
+        spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "event_id long, value double"),
+        "event_id",
+    )
+    want = sketches.combine_aggregates(empty, union, "event_type", "value").collect()[0]
+    for field in ("n", "total", "vmin", "vmax", "mean", "total_exact"):
+        assert got[field] == want[field], (field, got[field], want[field])
