@@ -163,6 +163,25 @@ def bench_degenerate_dedup(spark) -> dict[str, float]:
         "overwrite"
     ).format("noop").save()
     out["degenerate_decontaminate_guarded"] = round(_t.perf_counter() - t0, 3)
+
+    # skewed star graph through the k-core peel: one hub with 50k leaves
+    # (every leaf degree 1, hub degree 50k) plus a small genuine core.
+    # The peel must strip the whole star in ONE layer and converge — a
+    # shape where per-iteration lineage blow-up or degree-skew in the
+    # node-grain aggregate would show immediately.
+    from rss_feed_etl_spark.operators import graph as graphops
+
+    star = spark.range(50000).select(
+        F.lit(0).cast("long").alias("a"), (F.col("id") + 10).alias("b")
+    )
+    core = spark.createDataFrame(
+        [(i, j) for i in range(1, 6) for j in range(1, 6) if i < j], "a long, b long"
+    )
+    t0 = _t.perf_counter()
+    graphops.kcore_membership(star.unionAll(core), k=3).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    out["degenerate_kcore_star"] = round(_t.perf_counter() - t0, 3)
     return out
 
 

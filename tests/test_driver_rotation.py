@@ -41,6 +41,16 @@ def test_green_set_only_contains_registered_names():
     assert not stale, f"_GREEN_R01 names not registered: {stale}"
 
 
+def test_readme_query_count_matches_registry():
+    # the README's "N queries" line went stale two rounds running; pin it
+    import re
+
+    readme = (REPO / "README.md").read_text()
+    m = re.search(r"\((\d+) queries;", readme)
+    assert m, "README query-count line missing"
+    assert int(m.group(1)) == len(dq.queries())
+
+
 def test_window_leads_with_unsampled_or_changed_names():
     # The first 50 rotated names should all be either never driver-sampled
     # or explicitly listed in _PRIORITY (changed code that must re-verify).

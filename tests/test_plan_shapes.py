@@ -97,6 +97,30 @@ def test_embedding_lsh_neardup_no_join_single_groupby(spark):
     assert "CartesianProduct" not in s
 
 
+def test_survival_window_runs_at_duration_grain(spark):
+    # _survival_risk_table's cumulative at-risk window is UNPARTITIONED —
+    # legal only because its input is the post-groupBy duration grain
+    # (bounded by the observation horizon in days, not by users or
+    # events).  Pin that: the single Window consumes the aggregated
+    # n_events/n_censored columns (which exist only after the
+    # duration_days groupBy), so a refactor that windows at user grain —
+    # silently single-partitioning the corpus — breaks this test.
+    from rss_feed_etl_spark import testdata as td
+    from rss_feed_etl_spark.operators import eventanalytics
+
+    ev = td.load_table(spark, SF_DIR, "events")
+    s = _plan(eventanalytics.kaplan_meier(ev))
+    assert s.count("Window") >= 1
+    # the grain collapse exists...
+    assert "duration_days" in s
+    # ...and the window's frame runs over the post-agg grain columns
+    window_section = s[s.index("Window"):]
+    assert "n_events" in window_section and "n_censored" in window_section
+    # no window (or sort feeding one) references the user key
+    assert "user_id ASC" not in window_section
+    assert "user_id DESC" not in window_section
+
+
 def test_ann_ivf_broadcasts_probes(spark):
     s = _plan(_queries()["ann_cosine_topk_ivf"](spark, SF_DIR))
     # the probe (query) side broadcasts on the small int cell key; the

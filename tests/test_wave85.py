@@ -40,3 +40,23 @@ def test_kcore_duplicate_and_self_edges_ignored(spark):
     df = spark.createDataFrame([Row(a=x, b=y) for x, y in edges])
     out = {r["node"] for r in graph.kcore_membership(df, k=2).collect()}
     assert out == {"a", "b", "c"}  # dedup: triangle; self-loop dropped
+
+
+def test_kcore_skewed_star_peels_in_one_layer(spark):
+    # hub with 5k leaves (degree skew 5000:1) + a K5 clique: the 3-core is
+    # exactly the clique — the star strips in the first peel layer no
+    # matter how hot the hub key is (the bench carries the 50k timing twin)
+    from pyspark.sql import functions as F
+
+    star = spark.range(5000).select(
+        F.lit(0).cast("long").alias("a"), (F.col("id") + 10).alias("b")
+    )
+    clique = spark.createDataFrame(
+        [(i, j) for i in range(1, 6) for j in range(1, 6) if i < j],
+        "a long, b long",
+    )
+    out = {
+        r["node"]: r["degree"]
+        for r in graph.kcore_membership(star.unionAll(clique), k=3).collect()
+    }
+    assert out == {n: 4 for n in range(1, 6)}
