@@ -693,6 +693,7 @@ from . import driver_queries_wave90  # noqa: E402, F401  (registers wave-90 quer
 from . import driver_queries_wave91  # noqa: E402, F401  (registers wave-91 queries)
 from . import driver_queries_wave92  # noqa: E402, F401  (registers wave-92 queries)
 from . import driver_queries_wave93  # noqa: E402, F401  (registers wave-93 queries)
+from . import driver_queries_wave94  # noqa: E402, F401  (registers wave-94 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02 ∪ r03 ∪

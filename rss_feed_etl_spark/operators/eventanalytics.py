@@ -2041,3 +2041,57 @@ def topk_persistence(
         F.sum("len").cast("bigint").alias("n_days_in_topk"),
         F.max("len").cast("bigint").alias("max_streak"),
     )
+
+
+def next_item_training_pairs(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    item_expr: str = "CAST(get_json_object(props, '$.k') AS INT)",
+    event_type: str = "view",
+    n_neg_buckets: int = 1024,
+    salt: str = "nitp-v1",
+) -> DataFrame:
+    """(context_item → next_item) training pairs from per-user event
+    sequences — the supervised examples a sequential recommender / next-
+    token-over-items model trains on, mined straight from the event log.
+    Self-transitions (item repeated back-to-back) are dropped; each pair
+    carries a deterministic ``neg_bucket`` (md5 of salt:user:event_id mod
+    ``n_neg_buckets``) so downstream negative sampling joins a hash
+    bucket instead of scanning the item vocabulary per pair.
+
+    Plan / 100 TB: ONE window per user partition (lead over ts) — the
+    shuffle key is the user id, the natural partitioning of an event log,
+    and no global sort exists.  Everything else is map-side expression.
+    """
+    from ..functions.hashing import md5_bucket
+
+    base = (
+        events.filter(F.col("event_type") == event_type)
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.expr(item_expr).alias("context_item"),
+            F.col(ts_col).alias("__ts"),
+            F.col("event_id"),
+        )
+        .filter(F.col("context_item").isNotNull())
+    )
+    w = Window.partitionBy("user_id").orderBy("__ts", "event_id")
+    paired = base.select(
+        "user_id",
+        "context_item",
+        F.lead("context_item").over(w).alias("next_item"),
+        "event_id",
+    )
+    neg = md5_bucket(
+        F.concat_ws(":", F.lit(salt), F.col("user_id"), F.col("event_id"))
+    ) % F.lit(n_neg_buckets)
+    return paired.filter(
+        F.col("next_item").isNotNull()
+        & (F.col("next_item") != F.col("context_item"))
+    ).select(
+        "user_id",
+        "context_item",
+        "next_item",
+        neg.cast("bigint").alias("neg_bucket"),
+    )

@@ -709,3 +709,71 @@ def neyman_allocation(
         .cast("bigint")
         .alias("alloc_proportional"),
     )
+
+
+def ipf_source_lang_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    iters: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """Iterative proportional fitting (raking) of the (source, lang) cell
+    counts toward UNIFORM source and language marginals — the classic
+    "balance the training mixture" solve (DoReMi-style reweighting with
+    fixed target marginals instead of a learned reference loss).  Returns
+    one row per occupied cell: ``(source, lang, n_docs, cell_weight,
+    doc_weight)`` where ``doc_weight = cell_weight / n_docs`` is the
+    per-document sampling weight that makes source and language totals
+    come out even.
+
+    Plan / 100 TB: ONE corpus-scale aggregate collapses the data to the
+    source×lang grid; every IPF iteration after that is grid-grain (a few
+    hundred rows whatever the corpus size) — two tiny aggregates and two
+    broadcast joins per iteration, ``iters`` fixed.  Cell weights are
+    rounded each half-step and the per-iteration marginals sum as exact
+    decimals, so the trajectory is exactly replayable cross-engine (same
+    guard as kmeans_lloyd).
+    """
+    grid = df.groupBy(
+        F.col(source_col).alias("source"), F.col(lang_col).alias("lang")
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = grid.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.countDistinct("source").cast("double").alias("ns"),
+        F.countDistinct("lang").cast("double").alias("nl"),
+    )
+    w = grid.crossJoin(F.broadcast(tot)).select(
+        "source", "lang", "n_docs", "total", "ns", "nl",
+        F.col("n_docs").cast("double").alias("w"),
+    )
+    for _ in range(iters):
+        rs = w.groupBy(F.col("source").alias("s2")).agg(
+            F.sum(F.col("w").cast("decimal(30,10)")).cast("double").alias("sw")
+        )
+        w = (
+            w.join(F.broadcast(rs), w["source"] == rs["s2"])
+            .drop("s2")
+            .withColumn(
+                "w", F.round(F.col("w") * (F.col("total") / F.col("ns")) / F.col("sw"), decimals)
+            )
+            .drop("sw")
+        )
+        cl = w.groupBy(F.col("lang").alias("l2")).agg(
+            F.sum(F.col("w").cast("decimal(30,10)")).cast("double").alias("lw")
+        )
+        w = (
+            w.join(F.broadcast(cl), w["lang"] == cl["l2"])
+            .drop("l2")
+            .withColumn(
+                "w", F.round(F.col("w") * (F.col("total") / F.col("nl")) / F.col("lw"), decimals)
+            )
+            .drop("lw")
+        )
+    return w.select(
+        "source",
+        "lang",
+        "n_docs",
+        F.col("w").alias("cell_weight"),
+        F.round(F.col("w") / F.col("n_docs").cast("double"), decimals).alias("doc_weight"),
+    )

@@ -1825,3 +1825,56 @@ def distinctive_terms_log_odds(
         .filter(F.col("__rn") <= top_k)
         .drop("__rn")
     )
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vs: tuple = (100, 1000, 10000),
+    decimals: int = 6,
+) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab size V, the
+    share of all token OCCURRENCES covered by the top-V most frequent
+    types — the number that decides how large a tokenizer vocab must be
+    before the <unk>/byte-fallback rate is acceptable.
+
+    Output: one row per V — ``(v, covered_occurrences, coverage)``.
+
+    Plan / 100 TB: one token-grain aggregate (map-side combined), then a
+    distributed top-max(V) (orderBy + LIMIT — Spark's TakeOrdered, no
+    global sort materializes), and only THEN a single-partition cumulative
+    window over the LIMIT-bounded rows (≤ max(vs), corpus-independent —
+    the documented reduced-grain window pattern).  The corpus total rides
+    in as a broadcast 1-row aggregate.
+    """
+    vmax = max(vs)
+    toks = df.select(
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(vmax)
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = top.select(
+        F.row_number().over(w).alias("rn"), F.sum("n").over(w).alias("cum")
+    )
+    aggs = []
+    for v in vs:
+        aggs.append(
+            F.max(F.when(F.col("rn") <= v, F.col("cum"))).alias(f"c{v}")
+        )
+    wide = ranked.agg(*aggs).crossJoin(F.broadcast(total))
+    stack = ", ".join(f"CAST({v} AS BIGINT), c{v}" for v in vs)
+    return wide.select(
+        F.expr(f"stack({len(vs)}, {stack}) AS (v, covered_occurrences)"),
+        "total",
+    ).select(
+        "v",
+        F.col("covered_occurrences").cast("bigint").alias("covered_occurrences"),
+        F.round(F.col("covered_occurrences") / F.col("total"), decimals).alias(
+            "coverage"
+        ),
+    )
