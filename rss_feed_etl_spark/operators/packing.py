@@ -262,3 +262,49 @@ def span_corruption(
             F.filter(parts_tgt, lambda x: x != ""), " "
         ).alias("target"),
     )
+
+
+def context_overflow_stats(
+    docs: DataFrame,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-source context-window accounting for a fixed ``seq_len``: how
+    many training sequences each source's documents need when long docs
+    split into ceil(n_tokens/seq_len) chunks, and how much of that
+    sequence budget is padding (the waste a packer like
+    ``pack_sequences`` exists to reclaim).  The before/after comparison
+    of this table against the packed layout is the standard justification
+    for sequence packing in a training-data pipeline.
+
+    Output: ``(source, n_docs, n_tokens, n_chunks, pad_tokens,
+    pad_ratio)``; empty docs contribute zero chunks.
+
+    Plan / 100 TB: map-only token count per doc + ONE source-grain
+    aggregate (map-side combined).  No joins, no windows.
+    """
+    from .textstats import token_count
+
+    n = token_count(F.col(text_col))
+    staged = docs.select(
+        F.col(source_col).alias("source"),
+        n.alias("__n"),
+        F.ceil(n / F.lit(float(seq_len))).cast("bigint").alias("__chunks"),
+    )
+    return staged.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("__n").cast("bigint").alias("n_tokens"),
+        F.sum("__chunks").cast("bigint").alias("n_chunks"),
+        (F.sum("__chunks") * seq_len - F.sum("__n")).cast("bigint").alias("pad_tokens"),
+        F.when(
+            F.sum("__chunks") > 0,
+            F.round(
+                (F.sum("__chunks") * seq_len - F.sum("__n"))
+                / (F.sum("__chunks") * F.lit(float(seq_len))),
+                decimals,
+            ),
+        ).otherwise(F.lit(0.0)).alias("pad_ratio"),
+    )

@@ -1878,3 +1878,111 @@ def vocab_coverage_curve(
             "coverage"
         ),
     )
+
+
+def code_switch_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 4,
+) -> DataFrame:
+    """Code-switching / language-mix detector: how much of a document's
+    function-word evidence belongs to languages OTHER than its primary
+    one.  Mixed-language documents poison monolingual training mixtures
+    (they pass doc-level lang-ID but carry off-language spans), and the
+    switch ratio is the cheap gate that catches them.
+
+    Output: ``(doc_id, primary_lang, primary_hits, other_hits,
+    switch_ratio)`` with ``switch_ratio = other/(primary+other)`` (0 for
+    docs with no lexicon evidence; 'und' primary).
+
+    Plan / 100 TB: map-only — one ``_lexicon_counts`` traversal
+    materialized in its own projection (the CollapseProject guard that
+    module documents), then pure integer/string arithmetic.  Free rider
+    on any scan that reads the text.
+    """
+    staged = df.select(F.col(id_col), _lexicon_counts(text_col).alias("__cnt"))
+    cnt = F.col("__cnt")
+    total = None
+    for lang in LANG_PROFILES:
+        s = cnt[f"s_{lang}"]
+        total = s if total is None else total + s
+    best = F.greatest(*[cnt[f"s_{lang}"] for lang in LANG_PROFILES])
+    other = total - best
+    return staged.select(
+        F.col(id_col),
+        _pred_lang(cnt).alias("primary_lang"),
+        best.cast("bigint").alias("primary_hits"),
+        other.cast("bigint").alias("other_hits"),
+        F.when(
+            total > 0,
+            F.round(other / total.cast("double"), decimals),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("switch_ratio"),
+    )
+
+
+def logppl_zscore_by_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    z_flag: float = 2.0,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-SOURCE perplexity outlier scoring: z-score each document's
+    unigram log-perplexity against its own source's distribution and flag
+    |z| ≥ ``z_flag`` — the within-source anomaly pass that catches spam
+    bursts and template floods a corpus-global threshold normalizes away
+    (a clean academic source and a noisy forum have different baselines).
+
+    Exactness: logppl is 6dp-rounded, so ``round(logppl·1e6)`` is integer-
+    exact; per-source mean and variance accumulate as exact integer /
+    decimal sums of those codes (never a float fold), and the only floats
+    are one subtraction, one sqrt, one division — IEEE-identical on both
+    engines.
+
+    Plan / 100 TB: unigram_logppl's two token-grain aggregates, one
+    source-grain aggregate (map-side combined), one broadcast join back to
+    doc grain.  No windows over the corpus.
+    """
+    scored = unigram_logppl(df, id_col=id_col, text_col=text_col)
+    src = df.select(F.col(id_col), F.col(source_col).alias("source"))
+    joined = scored.join(src, id_col).select(
+        F.col(id_col),
+        "source",
+        "logppl",
+        F.round(F.col("logppl") * 1e6).cast("bigint").alias("__code"),
+    )
+    stats = joined.groupBy(F.col("source").alias("s2")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("__code").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("__code").cast("decimal(38,0)") * F.col("__code")).alias("s2q"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2q").cast("double") / F.col("n") - mean * mean
+    # guard BEFORE the sqrt: an all-equal source makes var a float-ulp
+    # negative, and sqrt(negative) must never evaluate on either engine
+    z = F.when(
+        F.col("__var") > 0,
+        F.round(
+            (F.col("__code") - F.col("__mean")) / F.sqrt(F.col("__var")), decimals
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        joined.join(
+            F.broadcast(
+                stats.select("s2", mean.alias("__mean"), var.alias("__var"))
+            ),
+            joined["source"] == F.col("s2"),
+        )
+        .withColumn("z", z)
+        .select(
+            id_col,
+            "source",
+            "logppl",
+            "z",
+            (F.abs(F.col("z")) >= z_flag).cast("int").alias("flag_outlier"),
+        )
+    )
