@@ -184,6 +184,24 @@ def shard_assign_balanced(
     window is a plain row_number, so Spark's AQE skew split handles a hot
     weight value.
     """
+    a = shard_assignments(df, id_col, weight, n_shards)
+    return a.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("tok_total"),
+    )
+
+
+def shard_assignments(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Row-grain LPT shard assignment (the fact table behind
+    :func:`shard_assign_balanced`): ``(<id_col>, w, shard)`` with the same
+    decomposed global rank — a distinct-weight cumulative count broadcast
+    back plus a per-weight tie window, so no fact-grain global window
+    exists."""
     wc = df.select(F.col(id_col).alias("id"), weight.cast("long").alias("w"))
     per_w = wc.groupBy("w").agg(F.count("*").alias("cnt"))
     cum = Window.orderBy(F.col("w").desc()).rowsBetween(
@@ -196,15 +214,55 @@ def shard_assign_balanced(
     ranked = (
         wc.join(F.broadcast(above), "w")
         .select(
+            "id",
             "w",
             (F.col("above") + F.row_number().over(tie)).alias("rk"),
         )
     )
+    return ranked.select(
+        F.col("id").alias(id_col),
+        "w",
+        ((F.col("rk") - 1) % n_shards).cast("bigint").alias("shard"),
+    )
+
+
+def shard_source_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n_shards: int = 8,
+    decimals: int = 6,
+) -> DataFrame:
+    """Source-mix quality of the LPT shard layout: per shard, the Shannon
+    entropy of its source distribution — the data-loader locality check
+    that a weight-balanced layout didn't accidentally sort one source
+    into one shard (entropy near ln(n_sources) = well mixed; near 0 =
+    a shard is one source and the loader sees correlated batches).
+
+    Exactness: each −p·ln(p) term is rounded to 9dp and summed as an
+    exact decimal, so cross-engine float fold order cannot move the 6dp
+    entropy.
+
+    Plan / 100 TB: the shard assignment's decomposed rank (no fact-grain
+    global window), one (shard, source) aggregate, one shard-grain
+    aggregate.
+    """
+    from .textstats import token_count
+
+    a = shard_assignments(df, id_col, token_count(F.col(text_col)), n_shards)
+    j = a.join(df.select(F.col(id_col), F.col(source_col).alias("source")), id_col)
+    cells = j.groupBy("shard", "source").agg(F.count("*").alias("c"))
+    tot = cells.groupBy("shard").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    term = F.round(-p * F.log(p), 9).cast("decimal(20,10)")
     return (
-        ranked.groupBy(((F.col("rk") - 1) % n_shards).cast("bigint").alias("shard"))
+        cells.join(tot, "shard")
+        .groupBy("shard")
         .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("w").cast("bigint").alias("tok_total"),
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_sources"),
+            F.round(F.sum(term).cast("double"), decimals).alias("entropy"),
         )
     )
 

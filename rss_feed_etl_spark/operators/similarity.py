@@ -1215,3 +1215,93 @@ def bitext_mining_pairs(
         .filter((F.col("__r") == 1) & (F.col("margin") > margin_threshold))
         .select("a_id", "b_id", "margin")
     )
+
+
+def binary_sign_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """1-bit (sign) quantized retrieve → exact cosine rerank: the most
+    aggressive standard embedding compression (32× smaller than float32,
+    the "binary quantization" mode production vector stores ship).  Each
+    64-dim vector packs into TWO bigint words of sign bits; retrieval
+    ranks by Hamming distance (two XOR + popcount per pair), keeps the
+    top ``candidates`` per query, and exact cosine re-ranks only those.
+
+    Determinism: the bit fold is MSB-first integer arithmetic (identical
+    in both engines), Hamming ties break on neighbor id, rerank ties on
+    (cosine desc, neighbor id).
+
+    Plan / 100 TB: the sign words are computed in ONE corpus scan (map
+    only) and are 16 bytes/vector — the scan that ranks candidates reads
+    1/16th the bytes of a float scan; queries broadcast, the corpus never
+    exchanges, and the rerank touches candidates·|Q| rows.  The per-query
+    top-``candidates`` is a window over the broadcast-join output, the
+    same shape as ``cosine_topk``'s documented exact baseline.
+    """
+
+    def word(lo: int, hi: int):
+        # MSB-first fold: acc*2 + (v[i] >= 0), dims lo..hi (1-based)
+        return F.aggregate(
+            F.sequence(F.lit(lo), F.lit(hi)),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc * 2
+            + F.when(F.element_at(F.col("__v"), i) >= 0, 1).otherwise(0),
+        )
+
+    half = dim // 2
+
+    def staged(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"{side}v"),
+            F.col(vec_col).alias("__v"),
+        ).select(
+            f"{side}_id",
+            f"{side}v",
+            word(1, half).alias(f"{side}w1"),
+            word(half + 1, dim).alias(f"{side}w2"),
+        )
+
+    corpus = staged(embeddings, "neighbor")
+    probes = F.broadcast(staged(queries, "query"))
+    ham = (
+        F.bit_count(F.col("neighborw1").bitwiseXOR(F.col("queryw1")))
+        + F.bit_count(F.col("neighborw2").bitwiseXOR(F.col("queryw2")))
+    )
+    scored = (
+        corpus.join(probes)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "queryv",
+            "neighborv",
+            ham.cast("int").alias("hamming"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    cand = scored.withColumn("__r", F.row_number().over(wr)).filter(
+        F.col("__r") <= candidates
+    )
+    reranked = cand.select(
+        "query_id",
+        "neighbor_id",
+        "hamming",
+        cosine(F.col("queryv"), F.col("neighborv")).alias("cosine_sim"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "cosine_sim", "rank")
+    )
