@@ -1081,3 +1081,79 @@ def hill_tail_exponent(
             decimals,
         ).alias("alpha_hat"),
     )
+
+
+def embedding_dim_stats(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    grid_decimals: int = 4,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-DIMENSION normalization model for an embedding column: mean,
+    std, and grid-exact quartiles of every component — the robust-scaling
+    statistics a feature pipeline fits once and applies everywhere
+    (median/IQR scaling shrugs off the outliers that wreck min-max).
+
+    Exact at scale without a per-dimension sort: components quantize to a
+    ``grid_decimals`` integer grid (``round(v·10^g)``), counts aggregate
+    at (dim, grid-code) grain — MERGEABLE partials, so 100 TB reduces
+    map-side — and quartiles are type-1 (smallest grid value whose
+    cumulative count reaches ⌈p·n⌉) read off a cumulative window over the
+    grid, whose partition is bounded by the VALUE DOMAIN per dim, never
+    the corpus.  Moments accumulate as exact integer/decimal sums of the
+    grid codes (no float fold anywhere).
+
+    Output: ``(pos, n, mean, std, p25, p50, p75)``, pos 0-based.
+    """
+    scale = 10 ** grid_decimals
+    comp = embeddings.select(
+        F.posexplode(F.transform(vec_col, lambda v: v.cast("double"))).alias(
+            "pos", "v"
+        )
+    ).select(
+        "pos", F.round(F.col("v") * scale).cast("bigint").alias("code")
+    )
+    counts = comp.groupBy("pos", "code").agg(F.count("*").alias("c"))
+    st = counts.groupBy("pos").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("code").cast("decimal(38,0)") * F.col("c")).alias("s1"),
+        F.sum(
+            F.col("code").cast("decimal(38,0)") * F.col("code") * F.col("c")
+        ).alias("s2q"),
+    )
+    cw = Window.partitionBy("pos").orderBy("code").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(cw)).join(
+        F.broadcast(st.select("pos", F.col("n").alias("__n"))), "pos"
+    )
+    qaggs = []
+    for p, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+        thresh = F.ceil(F.lit(p) * F.col("__n")).cast("bigint")
+        qaggs.append(
+            (
+                F.min(F.when(F.col("cum") >= thresh, F.col("code")))
+                / F.lit(float(scale))
+            ).alias(name)
+        )
+    qs = cum.groupBy("pos").agg(*qaggs)
+    mean_code = F.col("s1").cast("double") / F.col("n")
+    var_code = (
+        F.col("s2q").cast("double") / F.col("n") - mean_code * mean_code
+    )
+    return (
+        st.join(qs, "pos")
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            "n",
+            F.round(mean_code / scale, decimals).alias("mean"),
+            F.when(
+                var_code > 0, F.round(F.sqrt(var_code) / scale, decimals)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("std"),
+            "p25",
+            "p50",
+            "p75",
+        )
+    )

@@ -777,3 +777,65 @@ def ipf_source_lang_weights(
         F.col("w").alias("cell_weight"),
         F.round(F.col("w") / F.col("n_docs").cast("double"), decimals).alias("doc_weight"),
     )
+
+
+def mixture_repeat_factors(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    iters: int = 3,
+    decimals: int = 4,
+) -> DataFrame:
+    """Epoch/repetition planning for an IPF-balanced mixture: given a
+    training token ``budget``, how many tokens each (source, lang) cell is
+    expected to contribute and how many times its actual tokens must
+    repeat to supply them — the data-constrained-scaling red flag (cells
+    with repeat_factor ≫ 1 will be seen many epochs; per Muennighoff et
+    al. 2023 value decays fast after ~4 repeats).
+
+    expected_tokens = budget · cell_weight / Σ cell_weight;
+    repeat_factor = expected_tokens / actual_tokens.
+
+    Plan / 100 TB: the IPF solve is grid-grain after one corpus
+    aggregate; actual token counts ride the SAME corpus scan shape (one
+    (source, lang) aggregate); everything else is arithmetic over the
+    grid with the weight total broadcast as a 1-row aggregate.
+    """
+    from .textstats import token_count
+
+    w = ipf_source_lang_weights(
+        df, source_col=source_col, lang_col=lang_col, iters=iters
+    ).select("source", "lang", "n_docs", "cell_weight")
+    toks = df.groupBy(
+        F.col(source_col).alias("source"), F.col(lang_col).alias("lang")
+    ).agg(F.sum(token_count(F.col(text_col))).cast("bigint").alias("actual_tokens"))
+    tot = w.agg(
+        F.sum(F.col("cell_weight").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("wtot")
+    )
+    j = w.join(toks, ["source", "lang"]).crossJoin(F.broadcast(tot))
+    expected = F.round(
+        F.lit(float(budget_tokens)) * F.col("cell_weight") / F.col("wtot"), 2
+    )
+    return j.select(
+        "source",
+        "lang",
+        "n_docs",
+        "actual_tokens",
+        expected.alias("expected_tokens"),
+        F.when(
+            F.col("actual_tokens") > 0,
+            F.round(
+                F.lit(float(budget_tokens))
+                * F.col("cell_weight")
+                / F.col("wtot")
+                / F.col("actual_tokens"),
+                decimals,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("repeat_factor"),
+    )

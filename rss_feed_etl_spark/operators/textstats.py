@@ -1986,3 +1986,58 @@ def logppl_zscore_by_source(
             (F.abs(F.col("z")) >= z_flag).cast("int").alias("flag_outlier"),
         )
     )
+
+
+def char_class_mix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 4,
+) -> DataFrame:
+    """Character-class composition per document: the share of letters,
+    digits, whitespace, sentence punctuation, and everything else (the
+    non-ASCII bucket that catches CJK, emoji, and mojibake) — the
+    char-level sibling of ``code_switch_ratio`` and the cheapest signal
+    for binary-junk and wrong-script documents in an English mixture.
+
+    Counts come from ``length(text) - length(regexp_replace(text, class,
+    ''))`` — one regex pass per class, all in ONE map-only projection
+    (each count referenced once, so no expression re-inlining).  Blank
+    docs carry zero ratios.
+
+    Output: ``(doc_id, n_chars, letter_ratio, digit_ratio, space_ratio,
+    punct_ratio, other_ratio)``.
+    """
+    c = F.col(text_col)
+    n = F.length(c)
+
+    def cnt(cls: str) -> Column:
+        return n - F.length(F.regexp_replace(c, cls, ""))
+
+    staged = df.select(
+        F.col(id_col),
+        n.alias("__n"),
+        cnt("[A-Za-z]").alias("__letter"),
+        cnt("[0-9]").alias("__digit"),
+        cnt(r"\s").alias("__space"),
+        cnt(_PUNCT_CLASS).alias("__punct"),
+    )
+    nn = F.col("__n")
+
+    def ratio(col: str) -> Column:
+        return F.when(nn > 0, F.round(F.col(col) / nn.cast("double"), decimals)).otherwise(
+            F.lit(0.0)
+        )
+
+    other = nn - F.col("__letter") - F.col("__digit") - F.col("__space") - F.col("__punct")
+    return staged.select(
+        F.col(id_col),
+        nn.cast("bigint").alias("n_chars"),
+        ratio("__letter").alias("letter_ratio"),
+        ratio("__digit").alias("digit_ratio"),
+        ratio("__space").alias("space_ratio"),
+        ratio("__punct").alias("punct_ratio"),
+        F.when(nn > 0, F.round(other / nn.cast("double"), decimals))
+        .otherwise(F.lit(0.0))
+        .alias("other_ratio"),
+    )
