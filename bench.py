@@ -93,6 +93,13 @@ HEADLINE = [
     "source_jaccard_matrix",
     "funnel_ab_compare",
     "table_checksums",
+    # round-5 flagships: trained-quantizer IVF, 1-bit sign ANN, next-item
+    # pair mining, IPF mixture raking, grid-exact dim normalization
+    "ann_cosine_topk_ivf_kmeans",
+    "binary_sign_ann_topk",
+    "next_item_training_pairs",
+    "ipf_source_lang_weights",
+    "embedding_dim_stats",
 ]
 
 

@@ -133,6 +133,26 @@ def test_ann_ivf_broadcasts_probes(spark):
     assert "CartesianProduct" not in s
 
 
+def test_binary_ann_broadcasts_probes_no_shuffle_join(spark):
+    s = _plan(_queries()["binary_sign_ann_topk"](spark, SF_DIR))
+    # sign words computed map-side; the 10-query probe side broadcasts
+    # through a nested-loop (no key) join; the corpus never sort-merges
+    assert "BroadcastNestedLoopJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_embedding_dim_stats_grid_grain_window(spark):
+    s = _plan(_queries()["embedding_dim_stats"](spark, SF_DIR))
+    # the cumulative window runs at (dim, grid-code) grain AFTER the
+    # counts aggregate — its frame touches the aggregated count column,
+    # and the only joins are broadcasts of the 64-row stats side
+    assert "SortMergeJoin" not in s
+    window_section = s[s.index("Window"):]
+    assert "c#" in window_section or "c " in window_section
+    assert "BroadcastHashJoin" in s
+
+
 def test_ann_lsh_broadcasts_queries(spark):
     s = _plan(_queries()["ann_cosine_topk_lsh"](spark, SF_DIR))
     # the banded query side broadcasts; the corpus is never exchanged for
