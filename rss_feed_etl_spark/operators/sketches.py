@@ -859,3 +859,51 @@ def histogram_percentile_error(
     ).select(
         group_col, "r.p", "r.est", "r.exact", "r.abs_err", "r.within_one_bin"
     )
+
+
+def incremental_histogram_fold(
+    old_hist: DataFrame,
+    batch: DataFrame,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Incremental fixed-width-histogram maintenance: fold an INSERT batch
+    into a stored per-bucket histogram without rescanning history — the
+    histogram twin of :func:`combine_aggregates`, exploiting that
+    fixed-grid histograms are MERGEABLE (bucket-wise addition), which is
+    the whole reason fixed grids beat exact quantiles at 100 TB.
+
+    ``old_hist`` carries ``(bucket, n, total_exact)``; the batch
+    aggregates to the same grid map-side and a full-outer merge on the
+    small int bucket key costs |buckets|, never |history|.  Totals
+    accumulate as decimal(30,10) (``total_exact``) and the 2dp ``total``
+    is display-only — fold from the exact column (same drift rule as
+    combine_aggregates).
+
+    Output: ``(bucket, n, total, total_exact)``.
+    """
+    dec = "decimal(30,10)"
+    fresh = batch.groupBy(
+        F.width_bucket(value_col, F.lit(lo), F.lit(hi), F.lit(n_bins)).alias("b")
+    ).agg(
+        F.count("*").cast("bigint").alias("bn"),
+        F.sum(F.col(value_col).cast(dec)).alias("btotal"),
+    )
+    stored_total = "total_exact" if "total_exact" in old_hist.columns else "total"
+    stored = old_hist.select(
+        F.col("bucket").alias("b"),
+        F.col("n").alias("on_"),
+        F.col(stored_total).cast(dec).alias("ototal"),
+    )
+    merged = stored.join(fresh, "b", "full_outer")
+    zero = F.lit(0).cast(dec)
+    n = F.coalesce("on_", F.lit(0)) + F.coalesce("bn", F.lit(0))
+    exact = F.coalesce("ototal", zero) + F.coalesce("btotal", zero)
+    return merged.select(
+        F.col("b").cast("bigint").alias("bucket"),
+        n.cast("bigint").alias("n"),
+        F.round(exact.cast("double"), 2).alias("total"),
+        exact.cast(dec).alias("total_exact"),
+    )

@@ -2041,3 +2041,65 @@ def char_class_mix(
         .otherwise(F.lit(0.0))
         .alias("other_ratio"),
     )
+
+
+def token_gini_by_source(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Gini concentration of the token-frequency distribution per source —
+    0 means every type appears equally often, →1 means a few types carry
+    all the mass (template/boilerplate sources score high even when their
+    entropy and stopword gates look fine).  Complements ``zipf_corpus_fit``
+    with a single comparable scalar per source.
+
+    Scale trick: Gini over sorted frequencies needs ranks, but ranking
+    the VOCABULARY per source would window over corpus-scale partitions.
+    Grouping types by frequency first (frequency-of-frequency grain,
+    bounded by the max count, not the vocab) makes the rank sum of each
+    tied run a closed form — f·(S(cm) − S(cm−m)) with S(x)=x(x+1)/2 —
+    so the window runs over the tiny (source, f) table and every
+    accumulation is exact integer/decimal arithmetic; the only floats are
+    the final Gini division.
+
+    Output: ``(source, n_types, n_tokens, gini)``.
+    """
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count("*").alias("f"))
+    ff = counts.groupBy("source", "f").agg(F.count("*").alias("m"))
+    w = Window.partitionBy("source").orderBy("f").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cm = F.sum("m").over(w)
+    # rank-sum closed form: 2·Σ(i over the tied run) = cm(cm+1) − (cm−m)(cm−m+1),
+    # so ws2 below is 2·Σ i·x_i and the Gini numerator needs no extra ×2
+    run = ff.withColumn(
+        "ws2",
+        (
+            F.col("f").cast("decimal(38,0)")
+            * (cm * (cm + 1) - (cm - F.col("m")) * (cm - F.col("m") + 1))
+        ).cast("decimal(38,0)"),
+    )
+    agg = run.groupBy("source").agg(
+        F.sum("m").cast("bigint").alias("n_types"),
+        F.sum(F.col("f").cast("decimal(38,0)") * F.col("m"))
+        .cast("decimal(38,0)")
+        .alias("tot"),
+        F.sum("ws2").cast("decimal(38,0)").alias("ws2"),
+    )
+    n = F.col("n_types").cast("double")
+    gini = (
+        F.col("ws2").cast("double") / (n * F.col("tot").cast("double"))
+        - (n + 1.0) / n
+    )
+    return agg.select(
+        "source",
+        "n_types",
+        F.col("tot").cast("bigint").alias("n_tokens"),
+        F.round(gini, decimals).alias("gini"),
+    )
