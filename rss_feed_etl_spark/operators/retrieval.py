@@ -20,7 +20,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -272,4 +272,86 @@ def rank_metrics(
             F.coalesce(1.0 / first_rel, F.lit(0.0)), decimals
         ).alias("mrr"),
         F.count("*").cast("bigint").alias("n_ranked"),
+    )
+
+
+def prf_query_expansion(
+    df: DataFrame,
+    query_terms: list[str],
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    decimals: int = 6,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM1-lite): run
+    BM25, take the top ``fb_docs`` documents as assumed-relevant feedback,
+    and mine the ``fb_terms`` terms that are frequent in the feedback set
+    but rare in the corpus (feedback TF × corpus IDF) — the classic
+    recall-repair loop a retrieval pipeline runs when the literal query
+    under-matches.
+
+    Stopwords and the original query terms are excluded; scores round to
+    6dp before ranking, ties break on the term, so the expansion set is
+    reproducible cross-engine.
+
+    Output: ``(term, fb_tf, dfreq, score, rank)``.
+
+    Plan / 100 TB: BM25's own O(matching docs) plan produces the tiny
+    feedback id set (broadcast); feedback TFs come from a semi-joined
+    scan slice; corpus document frequencies are computed ONLY for the
+    candidate terms (broadcast semi-join BEFORE the distinct-count
+    shuffle).  The final ranking window is unpartitioned but runs over
+    the feedback vocabulary — bounded by ``fb_docs`` documents' distinct
+    terms, never the corpus.
+    """
+    from .textstats import STOPWORDS_EN
+
+    fb = (
+        bm25_topk(
+            df, query_terms, id_col=id_col, text_col=text_col, k1=k1, b=b,
+            topk=fb_docs,
+        )
+        .select("doc_id")
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    fb_tf = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .filter(
+            ~F.lower(F.col("term")).isin(STOPWORDS_EN)
+            & ~F.col("term").isin(query_terms)
+            & (F.col("term") != "")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("fb_tf"))
+    )
+    dfreq = (
+        toks.join(F.broadcast(fb_tf.select("term")), "term")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("dfreq"))
+    )
+    n_docs = df.agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        fb_tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "fb_tf",
+            "dfreq",
+            F.round(
+                F.col("fb_tf")
+                * F.log(F.col("n_docs") / F.col("dfreq").cast("double")),
+                decimals,
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= fb_terms)
+        .select("term", "fb_tf", "dfreq", "score", F.col("rank").cast("int").alias("rank"))
     )

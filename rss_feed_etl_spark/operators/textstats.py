@@ -2103,3 +2103,70 @@ def token_gini_by_source(
         F.col("tot").cast("bigint").alias("n_tokens"),
         F.round(gini, decimals).alias("gini"),
     )
+
+
+def quality_keep_threshold(
+    df: DataFrame,
+    keep_frac: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    decimals: int = 4,
+) -> DataFrame:
+    """Budget-constrained curation cutoffs: per SOURCE, the quality-score
+    threshold that keeps (approximately) the top ``keep_frac`` of its
+    documents — per-source thresholds keep a noisy source from consuming a
+    clean one's budget, which is what a single corpus-global cutoff does.
+
+    threshold = the smallest score whose cumulative count EXCEEDS the
+    drop budget ⌈(1−keep_frac)·n⌉; kept = docs with quality ≥ threshold —
+    exactly the budget when scores are distinct, slightly more when tie
+    mass sits on the boundary (curation errs toward keeping).
+    ``keep_frac`` must be > 0.
+
+    Scale shape: quality is 6dp-rounded, so scores live on an integer
+    grid — counts aggregate at (source, grid-code) grain (mergeable
+    map-side partials) and the quantile is read off a cumulative window
+    whose partition is bounded by the SCORE DOMAIN (≤1e6 codes), never
+    the corpus — the same pattern as ``embedding_dim_stats``.
+
+    Output: ``(source, n_docs, threshold, n_kept, kept_frac)``.
+    """
+    scored = text_stats(df, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.round(F.col("quality") * 1e6).cast("bigint").alias("code")
+    )
+    src = df.select(F.col(id_col), F.col(source_col).alias("source"))
+    codes = scored.join(src, id_col)
+    counts = codes.groupBy("source", "code").agg(F.count("*").alias("m"))
+    st = counts.groupBy(F.col("source").alias("s2")).agg(
+        F.sum("m").cast("bigint").alias("n")
+    )
+    cw = Window.partitionBy("source").orderBy("code").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cum", F.sum("m").over(cw)).join(
+        F.broadcast(st), F.col("source") == F.col("s2")
+    )
+    drop = F.ceil(F.lit(1.0 - keep_frac) * F.col("n")).cast("bigint")
+    thr = cum.groupBy("source").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") > drop, F.col("code"))).alias("tcode"),
+    )
+    kept = (
+        counts.join(F.broadcast(thr.select("source", "tcode")), "source")
+        .filter(F.col("code") >= F.col("tcode"))
+        .groupBy("source")
+        .agg(F.sum("m").cast("bigint").alias("n_kept"))
+    )
+    return (
+        thr.join(kept, "source")
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            (F.col("tcode") / 1e6).alias("threshold"),
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n").cast("double"), decimals).alias(
+                "kept_frac"
+            ),
+        )
+    )
