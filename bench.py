@@ -224,6 +224,10 @@ SCALE_QUERIES = [
     "dsir_importance_weights",
     "bitext_mining_pairs",
     "kcore_membership",
+    # round-5 flagships over the 10x embeddings: 1-bit retrieve->rerank
+    # and the grid-exact dim-stats aggregate
+    "binary_sign_ann_topk",
+    "embedding_dim_stats",
 ]
 
 SCALE_FACTOR = 10
