@@ -100,6 +100,9 @@ HEADLINE = [
     "next_item_training_pairs",
     "ipf_source_lang_weights",
     "embedding_dim_stats",
+    "bitext_mining_pairs_banded",
+    "negative_sampling_table",
+    "mmr_diversified_topk",
 ]
 
 
@@ -222,7 +225,11 @@ SCALE_QUERIES = [
     "repeated_ngram_stats",
     "source_jaccard_matrix",
     "dsir_importance_weights",
-    "bitext_mining_pairs",
+    # bitext: the BANDED variant is the scale path; the brute sibling is
+    # the documented exact baseline whose pair count is |A|x|B| by
+    # construction (the r5 10x run measured it at 56x -- expected
+    # quadratic, which is why the banded form exists)
+    "bitext_mining_pairs_banded",
     "kcore_membership",
     # round-5 flagships over the 10x embeddings: 1-bit retrieve->rerank
     # and the grid-exact dim-stats aggregate

@@ -1174,6 +1174,16 @@ def bitext_mining_pairs(
     scored = a.crossJoin(F.broadcast(b)).select(
         "a_id", "b_id", cosine(F.col("__va"), F.col("__vb")).alias("cos")
     )
+    return _bitext_margin_best(scored, k, margin_threshold)
+
+
+def _bitext_margin_best(
+    scored: DataFrame, k: int, margin_threshold: float
+) -> DataFrame:
+    """Shared margin stage of the bitext miners: per-side top-k
+    neighborhood means (decimal-accumulated), margin = cos / mean of the
+    two neighborhood means, best match per A vector above the threshold.
+    Runs entirely at candidate-pair grain."""
     wa = Window.partitionBy("a_id").orderBy(F.desc("cos"), F.asc("b_id"))
     wb = Window.partitionBy("b_id").orderBy(F.desc("cos"), F.asc("a_id"))
     dec = "decimal(10,6)"
@@ -1215,6 +1225,51 @@ def bitext_mining_pairs(
         .filter((F.col("__r") == 1) & (F.col("margin") > margin_threshold))
         .select("a_id", "b_id", "margin")
     )
+
+
+def bitext_mining_pairs_banded(
+    emb: DataFrame,
+    label_a: int,
+    label_b: int,
+    k: int = 4,
+    margin_threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    bands: int = 6,
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """Scale path of :func:`bitext_mining_pairs`: candidates meet in
+    hyperplane-sign LSH buckets (A sigs ⋈ B sigs on (band, sig)) instead
+    of the exact A×B sweep, and the margin's top-k neighborhood means are
+    computed over each vector's CANDIDATE neighbors — the CCMatrix-style
+    approximation (neighborhoods from the retrieval structure, not the
+    full pool).  The brute sibling is the documented exact baseline; its
+    pair count grows |A|·|B| (the round-5 10× bench measured 56× — the
+    expected quadratic), while this plan's pairs are bucket-bounded and
+    scale with collision counts.
+
+    Same deterministic bit fold as ``cosine_topk_lsh`` (oracle replays
+    it), same margin arithmetic as the brute sibling.
+    """
+    a = emb.filter(F.col(label_col) == label_a).select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va")
+    )
+    b = emb.filter(F.col(label_col) == label_b).select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb")
+    )
+    sa = banded_signatures(a, "a_id", "__va", dim, bands, rows_per_band)
+    sb = banded_signatures(b, "b_id", "__vb", dim, bands, rows_per_band)
+    cand = (
+        sa.join(sb, ["band", "sig"])
+        .select("a_id", "b_id", "__va", "__vb")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    scored = cand.select(
+        "a_id", "b_id", cosine(F.col("__va"), F.col("__vb")).alias("cos")
+    )
+    return _bitext_margin_best(scored, k, margin_threshold)
 
 
 def binary_sign_ann_topk(
@@ -1304,4 +1359,88 @@ def binary_sign_ann_topk(
         reranked.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "cosine_sim", "rank")
+    )
+
+
+def mmr_diversified_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 5,
+    candidates: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    select ``k`` results greedily by ``λ·rel(i) − (1−λ)·max_{s∈S}
+    sim(i, s)`` — the diversification pass that keeps a result list (or a
+    few-shot example set) from being k near-copies of the best hit.
+
+    Greedy selection is inherently sequential, but every step operates on
+    the CANDIDATE table (``candidates`` rows, model-sized): relevance and
+    the candidate×candidate similarity matrix are computed ONCE by the
+    ANN machinery, and each of the ``k`` driver-side steps is one
+    argmax over ≤``candidates`` rows.  The corpus-scale work (the
+    retrieve) has the `cosine_topk` plan; nothing corpus-sized moves
+    after it.
+
+    Scores round to 6dp before each argmax (rel is the 4dp ANN cosine),
+    ties break on id, so the selection trajectory replays exactly in the
+    oracle.
+
+    Output: ``(vec_id, rel, mmr_score, mmr_rank)``.
+    """
+    q = embeddings.filter(F.col(id_col) == query_id)
+    cand = (
+        cosine_topk(embeddings, q, k=candidates, id_col=id_col, vec_col=vec_col)
+        .select(F.col("neighbor_id").alias("id"), F.col("cosine_sim").alias("rel"))
+    )
+    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cand = cand.join(vecs, "id")
+    pw = (
+        cand.select(F.col("id").alias("ia"), F.col("vec").alias("va"))
+        .join(cand.select(F.col("id").alias("ib"), F.col("vec").alias("vb")))
+        .select("ia", "ib", cosine(F.col("va"), F.col("vb")).alias("sim"))
+    )
+    base = cand.select("id", "rel").localCheckpoint(eager=True)
+    pw = pw.localCheckpoint(eager=True)
+
+    selected: list[tuple[int, float, float]] = []
+    chosen_ids: list[int] = []
+    for step in range(k):
+        if not chosen_ids:
+            scored = base.select(
+                "id", "rel", F.round(F.col("rel") * lam, decimals).alias("mmr")
+            )
+        else:
+            maxsim = (
+                pw.filter(F.col("ib").isin(chosen_ids))
+                .groupBy(F.col("ia").alias("id"))
+                .agg(F.max("sim").alias("ms"))
+            )
+            scored = (
+                base.filter(~F.col("id").isin(chosen_ids))
+                .join(maxsim, "id")
+                .select(
+                    "id",
+                    "rel",
+                    F.round(
+                        F.col("rel") * lam - (1.0 - lam) * F.col("ms"), decimals
+                    ).alias("mmr"),
+                )
+            )
+        pick = (
+            scored.orderBy(F.col("mmr").desc(), F.col("id").asc()).limit(1).collect()
+        )[0]
+        chosen_ids.append(pick["id"])
+        selected.append((pick["id"], pick["rel"], pick["mmr"]))
+
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [
+            (int(i), float(r), float(m), rank + 1)
+            for rank, (i, r, m) in enumerate(selected)
+        ],
+        f"{id_col} long, rel double, mmr_score double, mmr_rank int",
     )

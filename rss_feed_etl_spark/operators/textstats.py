@@ -2170,3 +2170,60 @@ def quality_keep_threshold(
             ),
         )
     )
+
+
+def negative_sampling_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 10000,
+    decimals: int = 9,
+) -> DataFrame:
+    """word2vec-style negative-sampling distribution: the top
+    ``vocab_size`` types with probability ∝ count^0.75 (Mikolov et al.
+    2013 — the exponent that up-weights the tail so negatives aren't all
+    stopwords), plus each type's cumulative probability — the inverse-CDF
+    lookup table a contrastive trainer samples against.
+
+    Cross-engine exactness: ``c^0.75`` is computed as
+    ``sqrt(sqrt(c³))`` — c³ is exact integer arithmetic and sqrt is
+    IEEE-correctly-rounded on every engine, unlike ``pow`` with a
+    fractional exponent (libm pow differs in the last ulp across
+    engines).  Weights round to 9dp and sum as exact decimals.
+
+    Plan / 100 TB: one token-grain count (map-side combined), a
+    distributed top-``vocab_size`` (TakeOrdered), and a cumulative window
+    over the LIMIT-bounded rows — the same corpus-independent-window
+    pattern as ``vocab_coverage_curve``.
+
+    Output: ``(rank, term, n, prob, cum_prob)``.
+    """
+    toks = df.select(F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok"))
+    counts = (
+        toks.filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(vocab_size)
+    # cube in DOUBLE (two IEEE multiplies — deterministic, and a bigint
+    # cube would overflow at count ≳ 2.1e6 on engines that raise)
+    nd = F.col("n").cast("double")
+    w = F.round(F.sqrt(F.sqrt(nd * nd * nd)), decimals)
+    weighted = top.select("tok", "n", w.alias("w"))
+    tot = weighted.agg(
+        F.sum(F.col("w").cast("decimal(30,10)")).cast("double").alias("wtot")
+    )
+    win = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    cum = F.sum(F.col("w").cast("decimal(30,10)")).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(win).cast("int").alias("rank"),
+            F.col("tok").alias("term"),
+            "n",
+            F.round(F.col("w") / F.col("wtot"), decimals).alias("prob"),
+            F.round(cum.cast("double") / F.col("wtot"), decimals).alias("cum_prob"),
+        )
+    )
