@@ -2158,8 +2158,10 @@ def quality_keep_threshold(
         .groupBy("source")
         .agg(F.sum("m").cast("bigint").alias("n_kept"))
     )
+    # both sides are source-grain (bounded by the source dimension) —
+    # broadcast so the static plan never sort-merges two tiny tables
     return (
-        thr.join(kept, "source")
+        thr.join(F.broadcast(kept), "source")
         .select(
             "source",
             F.col("n").cast("bigint").alias("n_docs"),

@@ -153,6 +153,42 @@ def test_embedding_dim_stats_grid_grain_window(spark):
     assert "BroadcastHashJoin" in s
 
 
+def test_vocab_curve_and_sampling_table_use_distributed_topk(spark):
+    # the cumulative windows run over LIMIT-bounded rows: the plan must
+    # take the top-V via TakeOrdered (distributed top-k, no global sort
+    # of the vocabulary feeding the window)
+    for name in ("vocab_coverage_curve", "negative_sampling_table"):
+        s = _plan(_queries()[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in s, name
+        assert "SortMergeJoin" not in s, name
+
+
+def test_ipf_grid_joins_all_broadcast(spark):
+    # after the one corpus-scale aggregate, every IPF iteration is
+    # grid-grain: all six marginal joins broadcast, nothing sort-merges
+    s = _plan(_queries()["ipf_source_lang_weights"](spark, SF_DIR))
+    assert "SortMergeJoin" not in s
+    assert "BroadcastHashJoin" in s
+
+
+def test_token_gini_windows_at_count_grain(spark):
+    # the rank-sum window partitions by source over frequency-of-frequency
+    # rows — its frame touches the aggregated multiplicity column 'm',
+    # which only exists after the (source, f) groupBy; no join anywhere
+    s = _plan(_queries()["token_gini_by_source"](spark, SF_DIR))
+    assert "Join" not in s
+    window_section = s[s.index("Window"):]
+    assert "m#" in window_section
+
+
+def test_quality_threshold_grid_window_and_broadcasts(spark):
+    s = _plan(_queries()["quality_keep_threshold"](spark, SF_DIR))
+    # per-source totals and thresholds are source-grain broadcasts; the
+    # cumulative window runs over (source, code) counts
+    assert "SortMergeJoin" not in s
+    assert "BroadcastHashJoin" in s
+
+
 def test_ann_lsh_broadcasts_queries(spark):
     s = _plan(_queries()["ann_cosine_topk_lsh"](spark, SF_DIR))
     # the banded query side broadcasts; the corpus is never exchanged for
