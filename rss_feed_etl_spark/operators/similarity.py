@@ -1400,7 +1400,7 @@ def mmr_diversified_topk(
     cand = cand.join(vecs, "id")
     pw = (
         cand.select(F.col("id").alias("ia"), F.col("vec").alias("va"))
-        .join(cand.select(F.col("id").alias("ib"), F.col("vec").alias("vb")))
+        .join(F.broadcast(cand.select(F.col("id").alias("ib"), F.col("vec").alias("vb"))))
         .select("ia", "ib", cosine(F.col("va"), F.col("vb")).alias("sim"))
     )
     base = cand.select("id", "rel").localCheckpoint(eager=True)
