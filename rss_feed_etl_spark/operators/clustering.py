@@ -259,3 +259,65 @@ def grid_density_clusters(
         pts.join(F.broadcast(cell_cluster), "cell")
         .select(id_col, "cx", "cy", "cluster_id")
     )
+
+
+def kcenter_diversity_sample(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) selection: start from the
+    smallest-id vector, then repeatedly pick the point FARTHEST from the
+    selected set (max over points of min squared-L2 to any center) — the
+    classic 2-approximation coreset / diversity-sampling pass a curation
+    pipeline runs to pick maximally-spread exemplars (seed sets, eval
+    probes, dedup anchors).
+
+    Output: ``(rank, vec_id, min_dist)`` — selection order and each
+    pick's distance to the then-selected set (0 for the seed).
+
+    Plan / 100 TB: ``k`` corpus passes, each MAP-ONLY — the running
+    min-distance column updates against the newest center as a literal
+    expression (centers are model-sized driver state, exactly like the
+    k-means assignment), and the per-step argmax is a distributed
+    TakeOrdered(1).  State localCheckpoints each step so lineage stays
+    linear in ``k`` (the Pregel guard).  Distances round to ``decimals``
+    before every compare, so the greedy trajectory replays exactly in the
+    oracle; ties break to the smallest id.
+    """
+    emb = _prep(embeddings, id_col, vec_col)
+    seed = emb.orderBy("id").limit(1).collect()[0]
+    centers: list[tuple[int, list[float], float]] = [(seed["id"], list(seed["vec"]), 0.0)]
+
+    state = emb.filter(F.col("id") != seed["id"]).select(
+        "id",
+        "vec",
+        F.round(_sqdist(F.col("vec"), centers[0][1]), decimals).alias("md"),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(1, k):
+        pick = state.orderBy(F.desc("md"), F.asc("id")).limit(1).collect()
+        if not pick:
+            break
+        row = pick[0]
+        centers.append((row["id"], list(row["vec"]), float(row["md"])))
+        state = (
+            state.filter(F.col("id") != row["id"])
+            .select(
+                "id",
+                "vec",
+                F.least(
+                    F.col("md"),
+                    F.round(_sqdist(F.col("vec"), list(row["vec"])), decimals),
+                ).alias("md"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(r + 1, int(i), float(d)) for r, (i, _, d) in enumerate(centers)],
+        f"rank int, {id_col} long, min_dist double",
+    )
