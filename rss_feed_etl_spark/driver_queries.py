@@ -701,6 +701,7 @@ from . import driver_queries_wave98  # noqa: E402, F401  (registers wave-98 quer
 from . import driver_queries_wave99  # noqa: E402, F401  (registers wave-99 queries)
 from . import driver_queries_wave100  # noqa: E402, F401  (registers wave-100 queries)
 from . import driver_queries_wave101  # noqa: E402, F401  (registers wave-101 queries)
+from . import driver_queries_wave102  # noqa: E402, F401  (registers wave-102 queries)
 
 
 # Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02 ∪ r03 ∪

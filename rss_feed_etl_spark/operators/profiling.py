@@ -1157,3 +1157,51 @@ def embedding_dim_stats(
             "p75",
         )
     )
+
+
+def score_label_auc(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "pos",
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact ROC AUC of a score against a binary label via the Mann-
+    Whitney rank statistic with midrank tie handling — THE threshold-free
+    quality number for any scorer the pipeline trains or tunes (retrieval
+    relevance, quality classifiers, dedup confidences).
+
+    Scale trick: ranks never materialize per row.  Rows collapse to the
+    DISTINCT-SCORE grid (one aggregate, mergeable partials); with
+    ``cb(s)`` = rows strictly below s, the midrank sum of positives is
+    ``Σ_s p_s·(2·cb_s + n_s + 1) / 2`` — kept doubled so every
+    accumulation is exact integer/decimal; the single window runs over
+    the score domain, never the corpus.  AUC = (2·R⁺ − P(P+1)) / (2PN).
+
+    Output (one row): ``(n_pos, n_neg, auc)``; AUC is NULL when either
+    class is empty (undefined, not 0.5 — don't fabricate a coin flip).
+    """
+    g = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(label_col).cast("bigint")).alias("p"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = g.withColumn("cb", F.sum("n").over(w) - F.col("n"))
+    t = c.agg(
+        F.sum("p").cast("bigint").alias("P"),
+        (F.sum("n") - F.sum("p")).cast("bigint").alias("N"),
+        F.sum(
+            F.col("p").cast("decimal(38,0)")
+            * (2 * F.col("cb") + F.col("n") + 1)
+        ).cast("decimal(38,0)").alias("S2"),
+    )
+    auc = F.when(
+        (F.col("P") > 0) & (F.col("N") > 0),
+        F.round(
+            (F.col("S2").cast("double") - F.col("P").cast("double") * (F.col("P") + 1))
+            / (2.0 * F.col("P") * F.col("N")),
+            decimals,
+        ),
+    )
+    return t.select(
+        F.col("P").alias("n_pos"), F.col("N").alias("n_neg"), auc.alias("auc")
+    )
