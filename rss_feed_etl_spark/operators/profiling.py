@@ -1205,3 +1205,55 @@ def score_label_auc(
     return t.select(
         F.col("P").alias("n_pos"), F.col("N").alias("n_neg"), auc.alias("auc")
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "pos",
+    decimals: int = 6,
+) -> DataFrame:
+    """Precision/recall/F1 at every distinct score threshold (predict
+    positive when score ≥ threshold) — the operating-point table a
+    curation pipeline reads to pick a classifier cutoff, with the same
+    scale shape as :func:`score_label_auc`: rows collapse to the
+    distinct-score grid, counts cumulate high-to-low over the SCORE
+    DOMAIN (bounded by the score's rounding grid, never the corpus), and
+    every count is exact integer arithmetic until the final ratios.
+
+    Output: one row per distinct score —
+    ``(threshold, tp, fp, fn, precision, recall, f1)``.
+    """
+    g = df.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(label_col).cast("bigint")).alias("p"),
+    )
+    w = Window.orderBy(F.col("threshold").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # NB: the total's alias must not collide case-insensitively with the
+    # grid's `p` column (Spark resolves references case-insensitively)
+    tot = g.agg(F.sum("p").cast("bigint").alias("pos_total"))
+    c = (
+        g.withColumn("tp", F.sum("p").over(w).cast("bigint"))
+        .withColumn("fp", (F.sum("n").over(w) - F.sum("p").over(w)).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+    )
+    precision = F.col("tp") / (F.col("tp") + F.col("fp")).cast("double")
+    recall = F.when(
+        F.col("pos_total") > 0, F.col("tp") / F.col("pos_total").cast("double")
+    )
+    fn = F.col("pos_total") - F.col("tp")
+    f1 = F.when(
+        (2 * F.col("tp") + F.col("fp") + fn) > 0,
+        2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + fn).cast("double"),
+    )
+    return c.select(
+        "threshold",
+        "tp",
+        "fp",
+        fn.cast("bigint").alias("fn"),
+        F.round(precision, decimals).alias("precision"),
+        F.round(recall, decimals).alias("recall"),
+        F.round(f1, decimals).alias("f1"),
+    )

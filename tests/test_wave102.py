@@ -30,3 +30,19 @@ def test_auc_midrank_ties(spark):
 def test_auc_undefined_on_single_class(spark):
     got = _auc(spark, [(0.9, 1), (0.8, 1)])
     assert got.auc is None and got.n_neg == 0
+
+
+def test_pr_curve_known_operating_points(spark):
+    rows = [(0.9, 1), (0.8, 0), (0.7, 1), (0.1, 0)]
+    df = spark.createDataFrame([Row(score=float(s), pos=p) for s, p in rows])
+    out = {r.threshold: r for r in profiling.pr_curve(df).collect()}
+    assert len(out) == 4
+    t9 = out[0.9]
+    assert (t9.tp, t9.fp, t9.fn) == (1, 0, 1)
+    assert t9.precision == 1.0 and t9.recall == 0.5
+    t7 = out[0.7]
+    assert (t7.tp, t7.fp) == (2, 1)
+    assert t7.precision == round(2 / 3, 6) and t7.recall == 1.0
+    assert t7.f1 == round(4 / 5, 6)
+    t1 = out[0.1]
+    assert (t1.tp, t1.fp, t1.fn) == (2, 2, 0)
