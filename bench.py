@@ -103,6 +103,9 @@ HEADLINE = [
     "bitext_mining_pairs_banded",
     "negative_sampling_table",
     "mmr_diversified_topk",
+    "kcenter_diversity_sample",
+    "embedding_retrieval_auc",
+    "retrieval_pr_curve",
 ]
 
 
