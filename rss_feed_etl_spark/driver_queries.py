@@ -11,6 +11,8 @@ compare hashes values under sorted column names).
 
 from __future__ import annotations
 
+import json
+import pathlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -704,14 +706,31 @@ from . import driver_queries_wave101  # noqa: E402, F401  (registers wave-101 qu
 from . import driver_queries_wave102  # noqa: E402, F401  (registers wave-102 queries)
 
 
-# Names with a green CORRECTNESS row in ANY past round (r01 ∪ r02 ∪ r03 ∪
-# r04), MINUS queries whose code changed this round (they must re-verify:
-# ann_cosine_topk_ivf's coarse quantizer was rebuilt round 5).  The
-# driver's per-round check covers the first N names in dict order, so
-# queries() surfaces not-yet-green entries first to rotate coverage across
-# rounds -- every registered query keeps its entry either way.  Refresh
-# this set each round from the latest CORRECTNESS_rNN.json.
-_GREEN_R01 = {
+# SELF-REFRESHING ROTATION (round 6; VERDICT r5 task #1).  The driver's
+# per-round correctness check covers the first ~50 names of ``queries()``
+# in dict order, so the rotation decides which queries earn a CORRECTNESS
+# row each round.  Rounds 4 and 5 both went stale because the sampled set
+# was a hard-coded list refreshed by hand; now it is derived at import
+# time from the committed ``CORRECTNESS_r*.json`` artifacts (they travel
+# with the repo the driver copies), so the rotation can never go stale:
+# any name with a driver row in ANY past round sorts after every
+# never-sampled name automatically.
+#
+# ``_RECHECK`` is the one remaining manual knob: queries whose CODE
+# changed this round and therefore must re-verify even though they hold a
+# green row (round 6: ``bitext_mining_pairs`` now runs the banded scale
+# plan instead of the brute A-cross-B sweep -- output semantics changed --
+# and ``boilerplate_removed`` was recoded onto integer shingles).  Keep it
+# short: every slot it takes delays a never-sampled name by a round.
+_RECHECK = [
+    "bitext_mining_pairs",
+    "boilerplate_removed",
+]
+
+# Static fallback only for checkouts missing the CORRECTNESS artifacts
+# (e.g. a bare package install): the r01-r04 green union.  With the JSON
+# files present -- the normal case -- this set is ignored.
+_GREEN_FALLBACK = {
     "ann_cosine_topk", "ann_cosine_topk_lsh",
     "ann_recall_lsh", "ann_rerank_exact", "anti_join_removed",
     "approx_distinct_rollup", "asof_latest_order", "audio_features",
@@ -781,55 +800,35 @@ _GREEN_R01 = {
 }
 
 
-# Round 5 window: queries whose code changed this round (stale green
-# cache: the IVF quantizer rebuild) + its new kmeans-trained sibling, then
-# ALL 88 names the driver has NEVER sampled in r01-r04, oldest waves
-# first -- the first ~50 land in CORRECTNESS_r05, the remainder in r06.
-_PRIORITY = [
-    "ann_cosine_topk_ivf", "ann_cosine_topk_ivf_kmeans",
-    "incremental_agg_maintenance",
-    "time_weighted_average", "item_triangle_count",
-    "wilson_rate_intervals", "event_transition_probs", "funnel_latency",
-    "quantile_normalize", "seasonal_naive_mase", "theil_sen_trend",
-    "psi_value_drift", "score_calibration", "diff_in_diff",
-    "ordered_pair_episodes", "grid_density_clusters", "span_corruption",
-    "benford_digit_test", "sorted_neighborhood_pairs", "cohort_ltv",
-    "vocab_drift_terms", "star_join_advisor", "dup_cluster_sizes",
-    "ngram_containment_pairs", "source_kl_divergence",
-    "scd2_pointwise_enrich", "gopher_quality_flags",
-    "repeated_ngram_stats", "matryoshka_truncation_eval",
-    "int8_quantization_error", "exact_contamination",
-    "dsir_importance_weights", "bitext_mining_pairs",
-    "k_anonymity_violations", "ccnet_ppl_buckets",
-    "token_length_histogram", "langid_confusion", "zorder_layout_advisor",
-    "shard_assign_balanced", "target_encode_loo", "feature_hash_encode",
-    "cusum_changepoints", "loso_source_influence",
-    "daily_autocorrelation", "l_diversity_violations",
-    "lsh_sensitivity_curve", "series_correlation_matrix", "mad_outliers",
-    "compression_ratio_stats", "zorder_clustering_depth",
-    "neyman_allocation", "holt_forecast", "srm_check", "tukey_fences",
-    "cuped_adjustment", "interevent_burstiness", "peak_concurrency",
-    "positional_attribution", "nelson_aalen_hazard",
-    "quantile_treatment_effect", "join_order_advisor", "exposure_gini",
-    "discount_elasticity", "partition_granularity_advisor",
-    "rfm_segments", "simpsons_paradox_check", "keyword_snippets",
-    "weighted_percentiles", "source_jaccard_matrix", "revenue_bridge",
-    "fk_readability", "heaps_law_curve", "ab_sample_size_table",
-    "overdispersion_check", "histogram_percentile_error",
-    "langid_entropy", "spearman_rank_corr", "slo_burn_rate",
-    "user_hour_divergence", "kcore_membership", "association_rules",
-    "distinctive_terms_log_odds", "panel_user_slopes",
-    "kitagawa_rate_decomposition", "digit_forensics", "qini_curve",
-    "holt_forecast_interval", "funnel_ab_compare", "table_checksums",
-    "hill_tail_exponent", "topk_persistence",
-]
+def _driver_sampled() -> set[str]:
+    """Union of names across every committed CORRECTNESS_r*.json.
+
+    The artifacts sit at the repo root, one dict per round keyed by query
+    name.  A name's presence (green or not) means the driver already
+    recorded a row for it, so the window should spend its slots
+    elsewhere.  Unreadable or absent files degrade to the static
+    fallback so a bare package checkout still produces a sane order.
+    """
+    root = pathlib.Path(__file__).resolve().parent.parent
+    names: set[str] = set()
+    found = False
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            names.update(data.keys())
+            found = True
+    return names if found else set(_GREEN_FALLBACK)
 
 
 def _rotated(names: list[str]) -> list[str]:
-    prio = [n for n in _PRIORITY if n in names]
-    pending = [n for n in names if n not in _GREEN_R01 and n not in prio]
-    green = [n for n in names if n in _GREEN_R01]
-    return prio + pending + green
+    sampled = _driver_sampled()
+    recheck = [n for n in _RECHECK if n in names]
+    fresh = [n for n in names if n not in sampled and n not in recheck]
+    rest = [n for n in names if n in sampled and n not in recheck]
+    return recheck + fresh + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
