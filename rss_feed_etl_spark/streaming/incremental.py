@@ -215,7 +215,22 @@ def fold_stats_batch(
     last = snap.agg(F.max("__epoch")).first()[0]
     if last is not None and epoch_id <= last:
         return False
-    stored = snap.select(key_col, "n", "total_exact", "vmin", "vmax")
+    # Legacy-snapshot migration: an aggregate table written before the
+    # exact accumulator existed has no `total_exact` parquet column, so the
+    # forced read schema materializes it as NULL for every key.  Folding
+    # NULL would coalesce to 0 downstream and silently reset the running
+    # total/mean while n keeps accumulating — fall back to the rounded
+    # display `total` once (±0.005 one-time, vs. an unbounded reset), and
+    # the next overwrite persists the exact column for all future folds.
+    stored = snap.select(
+        key_col,
+        "n",
+        F.coalesce(
+            F.col("total_exact"), F.col("total").cast(T.DecimalType(30, 10))
+        ).alias("total_exact"),
+        "vmin",
+        "vmax",
+    )
     combined = combine_aggregates(
         stored, batch_df, key_col=key_col, value_col=value_col
     ).withColumn("__epoch", F.lit(epoch_id).cast("long"))

@@ -716,3 +716,36 @@ def test_fold_stats_batch_no_rounding_drift_over_epochs(spark, tmp_path):
     want = sketches.combine_aggregates(empty, union, "event_type", "value").collect()[0]
     for field in ("n", "total", "vmin", "vmax", "mean", "total_exact"):
         assert got[field] == want[field], (field, got[field], want[field])
+
+def test_fold_stats_batch_migrates_legacy_snapshot_without_total_exact(
+    spark, tmp_path
+):
+    """ADVICE r5 (medium): a snapshot written BEFORE the exact accumulator
+    existed has no total_exact parquet column, so the forced read schema
+    materializes it as NULL — an unguarded fold would coalesce it to 0 and
+    silently reset the running total/mean while n keeps growing.  The fold
+    must fall back to the rounded display total once and persist the exact
+    column from then on."""
+    from rss_feed_etl_spark.streaming.incremental import fold_stats_batch
+
+    schema = "event_id long, event_type string, value double"
+    agg_path = str(tmp_path / "agg")
+    # hand-write a legacy-layout snapshot: n=3/total=30.0 for key a, epoch 0
+    legacy = spark.createDataFrame(
+        [("a", 3, 30.0, 5.0, 15.0, 10.0, 0)],
+        "event_type string, n bigint, total double, vmin double, "
+        "vmax double, mean double, __epoch long",
+    )
+    legacy.write.mode("overwrite").parquet(agg_path)
+    batch = spark.createDataFrame([(9, "a", 6.0)], schema)
+    assert fold_stats_batch(spark, batch, 1, agg_path)
+    got = {r["event_type"]: r for r in spark.read.parquet(agg_path).collect()}
+    assert got["a"]["n"] == 4
+    assert got["a"]["total"] == 36.0  # NOT 6.0 (the reset the guard prevents)
+    assert got["a"]["mean"] == 9.0
+    # the migrated snapshot now carries the exact column for future folds
+    assert float(got["a"]["total_exact"]) == 36.0
+    # and a second fold keeps compounding from it
+    assert fold_stats_batch(spark, spark.createDataFrame([(10, "a", 4.0)], schema), 2, agg_path)
+    got2 = {r["event_type"]: r for r in spark.read.parquet(agg_path).collect()}
+    assert got2["a"]["n"] == 5 and got2["a"]["total"] == 40.0
