@@ -120,12 +120,14 @@ pw AS (
 )
 
 
-# --- banded bitext mining (scale path of wave 61's exact miner) ----------------
+# --- banded bitext mining (explicit scale-path name) ---------------------------
+# Since round 6 `bitext_mining_pairs` itself runs the banded plan; this
+# alias keeps the explicit name registered with the identical shared
+# oracle (both callables and both SQL strings resolve to the same plan).
 
-from .driver_queries_corpus import _band_sig_sql  # noqa: E402
-from .driver_queries_wave61 import _BT_A, _BT_B, _BT_K, _BT_THR  # noqa: E402
-
-_BT_BANDS = 6
+from .driver_queries_wave61 import (  # noqa: E402
+    _BT_A, _BT_B, _BT_BANDED_SQL, _BT_BANDS, _BT_K, _BT_THR,
+)
 
 
 def _q_bitext_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,41 +138,4 @@ def _q_bitext_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ABANDS = "\nUNION ALL\n".join(
-    f"SELECT a_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM a"
-    for b in range(_BT_BANDS)
-)
-_BBANDS = "\nUNION ALL\n".join(
-    f"SELECT b_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM b"
-    for b in range(_BT_BANDS)
-)
-
-_register(
-    "bitext_mining_pairs_banded",
-    _q_bitext_banded,
-    f"""
-WITH a AS (SELECT vec_id AS a_id, embedding FROM embeddings WHERE label = {_BT_A}),
-b AS (SELECT vec_id AS b_id, embedding FROM embeddings WHERE label = {_BT_B}),
-abands AS ({_ABANDS}),
-bbands AS ({_BBANDS}),
-cand AS (
-  SELECT DISTINCT x.a_id, y.b_id
-  FROM abands x JOIN bbands y ON x.band = y.band AND x.sig = y.sig),
-s AS (
-  SELECT c.a_id, c.b_id, {_cos_sql("av.embedding", "bv.embedding")} AS cos
-  FROM cand c JOIN a av USING (a_id) JOIN b bv USING (b_id)),
-r AS (SELECT *,
-        row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS ra,
-        row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rb
-      FROM s),
-na AS (SELECT a_id, CAST(sum(CAST(cos AS DECIMAL(10,6))) AS DOUBLE) / count(*) AS ma
-       FROM r WHERE ra <= {_BT_K} GROUP BY 1),
-nb AS (SELECT b_id, CAST(sum(CAST(cos AS DECIMAL(10,6))) AS DOUBLE) / count(*) AS mb
-       FROM r WHERE rb <= {_BT_K} GROUP BY 1),
-m AS (SELECT s.a_id, s.b_id, round(s.cos / ((ma + mb) / 2.0), 6) AS margin
-      FROM s JOIN na ON s.a_id = na.a_id JOIN nb ON s.b_id = nb.b_id),
-best AS (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rk
-         FROM m)
-SELECT a_id, b_id, margin FROM best WHERE rk = 1 AND margin > {_BT_THR}
-""",
-)
+_register("bitext_mining_pairs_banded", _q_bitext_banded, _BT_BANDED_SQL)
