@@ -745,3 +745,16 @@ def test_bitext_mining_default_is_banded_candidate_join(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "band" in s and "sig" in s, "banded candidate join keys missing"
+
+
+def test_ipf_iteration_state_is_checkpointed(spark):
+    """VERDICT r5 #3: the IPF grid is pinned with an eager localCheckpoint
+    after the corpus aggregate and per half-step, so the final plan reads
+    checkpointed RDDs instead of replaying the corpus-aggregate lineage
+    2*iters times."""
+    s = _plan(_queries()["ipf_source_lang_weights"](spark, SF_DIR))
+    assert "Scan ExistingRDD" in s
+    # the returned plan is one projection over the last checkpoint: the
+    # corpus scan and the iteration joins must all be behind the barrier
+    assert "Scan parquet" not in s
+    assert "Exchange" not in s
