@@ -43,8 +43,11 @@ cum AS (
          st.n
   FROM counts JOIN st USING (source)),
 thr AS (
+  -- drop budget clamped to n-1 so a single-doc source keeps its top doc
+  -- instead of vanishing (mirrors the Spark-side least(ceil(...), n-1))
   SELECT source, max(n) AS n,
-         min(CASE WHEN cum > CAST(ceil(CAST({_DROP!r} AS DOUBLE) * n) AS BIGINT)
+         min(CASE WHEN cum > least(
+                    CAST(ceil(CAST({_DROP!r} AS DOUBLE) * n) AS BIGINT), n - 1)
                   THEN code END) AS tcode
   FROM cum GROUP BY 1),
 kept AS (

@@ -2172,7 +2172,11 @@ def quality_keep_threshold(
     threshold = the smallest score whose cumulative count EXCEEDS the
     drop budget ⌈(1−keep_frac)·n⌉; kept = docs with quality ≥ threshold —
     exactly the budget when scores are distinct, slightly more when tie
-    mass sits on the boundary (curation errs toward keeping).
+    mass sits on the boundary (curation errs toward keeping).  The drop
+    budget is clamped to n−1 (ADVICE r5): for a single-doc source any
+    keep_frac < 1 would otherwise round the budget up to n, leave no code
+    with cum > budget, and silently drop the source from the output —
+    every source emits a row and keeps at least its top document.
     ``keep_frac`` must be > 0.
 
     Scale shape: quality is 6dp-rounded, so scores live on an integer
@@ -2198,7 +2202,10 @@ def quality_keep_threshold(
     cum = counts.withColumn("cum", F.sum("m").over(cw)).join(
         F.broadcast(st), F.col("source") == F.col("s2")
     )
-    drop = F.ceil(F.lit(1.0 - keep_frac) * F.col("n")).cast("bigint")
+    drop = F.least(
+        F.ceil(F.lit(1.0 - keep_frac) * F.col("n")).cast("bigint"),
+        F.col("n") - F.lit(1),
+    )
     thr = cum.groupBy("source").agg(
         F.max("n").alias("n"),
         F.min(F.when(F.col("cum") > drop, F.col("code"))).alias("tcode"),

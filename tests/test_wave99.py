@@ -52,3 +52,33 @@ def test_prf_expands_with_cooccurring_terms(spark):
     # scores ordered desc with deterministic term tie-break
     scores = [r.score for r in sorted(out, key=lambda r: r.rank)]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_quality_keep_threshold_single_doc_source_keeps_its_doc(spark):
+    """ADVICE r5: for a single-doc source any keep_frac < 1 rounded the
+    drop budget up to n, so no code had cum > budget, tcode was NULL, and
+    the source vanished from the output (keeping 0 docs).  The budget is
+    clamped to n-1: every source emits a row and keeps >= its top doc."""
+    from pyspark.sql import Row
+
+    from rss_feed_etl_spark.operators import textstats
+
+    rows = [
+        Row(doc_id=1, source="lonely", text="a perfectly ordinary document " * 10),
+    ] + [
+        Row(doc_id=10 + i, source="busy", text=f"document number {i} " * (5 + i))
+        for i in range(10)
+    ]
+    out = {
+        r["source"]: r
+        for r in textstats.quality_keep_threshold(
+            spark.createDataFrame(rows), keep_frac=0.7
+        ).collect()
+    }
+    assert "lonely" in out, "single-doc source dropped from the output"
+    assert out["lonely"]["n_docs"] == 1
+    assert out["lonely"]["n_kept"] == 1
+    assert out["lonely"]["kept_frac"] == 1.0
+    # IEEE 1.0-0.7 = 0.30000000000000004, so ceil(drop*10) = 4 -> 6 kept;
+    # the multi-doc source is untouched by the n-1 clamp either way
+    assert out["busy"]["n_kept"] == 6
