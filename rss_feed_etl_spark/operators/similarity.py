@@ -1334,11 +1334,15 @@ def binary_sign_ann_topk(
     (cosine desc, neighbor id).
 
     Plan / 100 TB: the sign words are computed in ONE corpus scan (map
-    only) and are 16 bytes/vector — the scan that ranks candidates reads
-    1/16th the bytes of a float scan; queries broadcast, the corpus never
-    exchanges, and the rerank touches candidates·|Q| rows.  The per-query
-    top-``candidates`` is a window over the broadcast-join output, the
-    same shape as ``cosine_topk``'s documented exact baseline.
+    only) and are 16 bytes/vector — and the compression survives past the
+    scan: the candidate-selection exchange (the window that keeps the
+    per-query Hamming top-``candidates`` repartitions every |Q|·|corpus|
+    pair by query) moves ONLY ``(query_id, neighbor_id, hamming)`` — ~20
+    bytes/pair instead of two full float vectors (ADVICE r5: carrying the
+    vectors made the dominant shuffle 25× heavier than the scan it was
+    meant to shrink).  The float vectors re-enter at candidate grain
+    only: the |Q|·candidates id set broadcasts back onto the corpus for
+    the exact cosine rerank, so the corpus itself never exchanges.
     """
 
     def word(lo: int, hi: int):
@@ -1355,11 +1359,9 @@ def binary_sign_ann_topk(
     def staged(df: DataFrame, side: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(f"{side}_id"),
-            F.col(vec_col).alias(f"{side}v"),
             F.col(vec_col).alias("__v"),
         ).select(
             f"{side}_id",
-            f"{side}v",
             word(1, half).alias(f"{side}w1"),
             word(half + 1, dim).alias(f"{side}w2"),
         )
@@ -1373,25 +1375,31 @@ def binary_sign_ann_topk(
     scored = (
         corpus.join(probes)
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            "queryv",
-            "neighborv",
-            ham.cast("int").alias("hamming"),
-        )
+        .select("query_id", "neighbor_id", ham.cast("int").alias("hamming"))
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.col("hamming").asc(), F.col("neighbor_id").asc()
     )
-    cand = scored.withColumn("__r", F.row_number().over(wr)).filter(
-        F.col("__r") <= candidates
+    cand = (
+        scored.withColumn("__r", F.row_number().over(wr))
+        .filter(F.col("__r") <= candidates)
+        .select("query_id", "neighbor_id", "hamming")
     )
-    reranked = cand.select(
-        "query_id",
-        "neighbor_id",
-        "hamming",
-        cosine(F.col("queryv"), F.col("neighborv")).alias("cosine_sim"),
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("queryv"))
+    )
+    nv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighborv")
+    )
+    reranked = (
+        nv.join(F.broadcast(cand), "neighbor_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            cosine(F.col("queryv"), F.col("neighborv")).alias("cosine_sim"),
+        )
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

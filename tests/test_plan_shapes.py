@@ -140,6 +140,14 @@ def test_binary_ann_broadcasts_probes_no_shuffle_join(spark):
     assert "BroadcastNestedLoopJoin" in s
     assert "SortMergeJoin" not in s
     assert "CartesianProduct" not in s
+    # ADVICE r5: no exchange may move float vectors — candidate selection
+    # repartitions (query_id, neighbor_id, hamming) only; vectors re-enter
+    # at candidate grain via broadcast joins
+    import re
+
+    for block in re.findall(r"\(\d+\) Exchange\nInput[^\n]*", s):
+        assert "queryv" not in block and "neighborv" not in block, block
+        assert "embedding" not in block, block
 
 
 def test_embedding_dim_stats_grid_grain_window(spark):
