@@ -75,7 +75,17 @@ def kmeans_centroids(
 
     Empty clusters drop out of the update (standard Lloyd).
     """
-    emb = _prep(embeddings, id_col, vec_col)
+    return _kmeans_centroids_prepped(
+        _prep(embeddings, id_col, vec_col), k, iters, decimals
+    )
+
+
+def _kmeans_centroids_prepped(
+    emb: DataFrame, k: int, iters: int, decimals: int
+) -> dict[int, list[float]]:
+    """Lloyd training over an already-``_prep``-ed (id, vec) frame —
+    shared by ``kmeans_centroids`` and ``kmeans_lloyd`` so the caller's
+    projection is built once (ADVICE r5)."""
     # seed rounding happens IN the engine (F.round = SQL half-up), not via
     # Python round (banker's) — the oracle replays the identical trajectory
     centroids: dict[int, list[float]] = {
@@ -119,7 +129,7 @@ def kmeans_lloyd(
     summation orders.
     """
     emb = _prep(embeddings, id_col, vec_col)
-    centroids = kmeans_centroids(embeddings, k, iters, id_col, vec_col, decimals)
+    centroids = _kmeans_centroids_prepped(emb, k, iters, decimals)
     final = emb.withColumn("best", _assign(F.col("vec"), centroids))
     return (
         final.select(F.col("best")["cid"].alias("cluster_id"), F.col("best")["dist"].alias("dist"))
@@ -287,8 +297,13 @@ def kcenter_diversity_sample(
     before every compare, so the greedy trajectory replays exactly in the
     oracle; ties break to the smallest id.
     """
+    spark = embeddings.sparkSession
+    out_schema = f"rank int, {id_col} long, min_dist double"
     emb = _prep(embeddings, id_col, vec_col)
-    seed = emb.orderBy("id").limit(1).collect()[0]
+    seeds = emb.orderBy("id").limit(1).collect()
+    if not seeds:  # empty input → empty sample, not an opaque IndexError
+        return spark.createDataFrame([], out_schema)
+    seed = seeds[0]
     centers: list[tuple[int, list[float], float]] = [(seed["id"], list(seed["vec"]), 0.0)]
 
     state = emb.filter(F.col("id") != seed["id"]).select(
@@ -316,8 +331,7 @@ def kcenter_diversity_sample(
             .localCheckpoint(eager=True)
         )
 
-    spark = embeddings.sparkSession
     return spark.createDataFrame(
         [(r + 1, int(i), float(d)) for r, (i, _, d) in enumerate(centers)],
-        f"rank int, {id_col} long, min_dist double",
+        out_schema,
     )

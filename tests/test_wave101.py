@@ -33,3 +33,15 @@ def test_kcenter_stops_when_corpus_exhausted(spark):
     rows = [Row(vec_id=i, embedding=_vec(i, 0)) for i in range(3)]
     out = clustering.kcenter_diversity_sample(spark.createDataFrame(rows), k=10)
     assert out.count() == 3  # k larger than the corpus: no phantom rows
+
+
+def test_kcenter_empty_input_returns_empty_frame(spark):
+    """ADVICE r5: an empty embeddings input raised an opaque IndexError
+    from the seed collect; it must return an empty (rank, vec_id,
+    min_dist) frame instead."""
+    from rss_feed_etl_spark.operators import clustering
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = clustering.kcenter_diversity_sample(empty, k=3)
+    assert out.columns == ["rank", "vec_id", "min_dist"]
+    assert out.count() == 0
