@@ -335,6 +335,68 @@ def enrich_stream_to_parquet(
     )
 
 
+def enriched_read_view(spark: SparkSession, target_path: str) -> DataFrame:
+    """Reader view of the per-epoch enrichment sink: the ``__epoch``
+    partition column is write-side bookkeeping (it exists so a replayed
+    micro-batch overwrites exactly its own partition), not data — consumers
+    read through this view and never see it.  Identical rows before and
+    after :func:`compact_enriched_epochs`."""
+    return spark.read.parquet(target_path).drop("__epoch")
+
+
+def compact_enriched_epochs(
+    spark: SparkSession, target_path: str, upto_epoch: int
+) -> bool:
+    """Fold every ``__epoch <= upto_epoch`` partition of an
+    :func:`enrich_stream_to_parquet` target into the single base
+    partition ``__epoch = -1`` — the small-file bound: without
+    compaction the sink grows one directory per epoch forever; with it,
+    live state is (base + epochs newer than the watermark).
+
+    ``upto_epoch`` MUST trail the stream's committed-checkpoint horizon:
+    the per-epoch overwrite is what makes a REPLAYED epoch idempotent, so
+    compacting an epoch that can still replay would let the replay append
+    a fresh ``__epoch=N`` directory alongside the already-folded rows.
+    Epochs whose commit is recorded in the checkpoint can never replay —
+    compact those.
+
+    The fold localCheckpoints the combined rows BEFORE touching files
+    (the same read-then-overwrite barrier every fold sink here uses),
+    rewrites the base partition via dynamic partition overwrite, then
+    drops the folded epoch directories through the Hadoop FileSystem API
+    (works on any Spark-supported filesystem, not just local disk).
+    Returns True when anything was compacted.
+    """
+    df = spark.read.parquet(target_path)
+    old = df.filter(F.col("__epoch") <= upto_epoch)
+    if not old.take(1):
+        return False
+    folded = (
+        old.withColumn("__epoch", F.lit(-1).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    (
+        folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(target_path)
+    )
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("__epoch="):
+            continue
+        try:
+            epoch = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if 0 <= epoch <= upto_epoch:
+            fs.delete(st.getPath(), True)
+    return True
+
+
 def incremental_join_view(
     spark,
     left_delta: DataFrame,

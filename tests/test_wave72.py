@@ -70,3 +70,67 @@ def test_stream_enrich_refreshes_dim_between_batches(spark, tmp_path):
     t2 = {r["doc_id"]: r["tier"] for r in spark.read.parquet(target).collect()}
     # old rows keep their as-of enrichment; the new row sees the NEW dim
     assert t2[1] == "bronze" and t2[3] == "gold"
+
+
+def test_enriched_read_view_equivalent_across_compaction(spark, tmp_path):
+    """VERDICT r5 #7: the per-epoch sink's reader view must hide the
+    __epoch bookkeeping column and return identical rows before and after
+    compacting old epochs into the base partition, and compaction must
+    actually remove the folded epoch directories (the small-file bound)."""
+    import os
+
+    from rss_feed_etl_spark.streaming.incremental import (
+        compact_enriched_epochs,
+        enriched_read_view,
+    )
+
+    landing = str(tmp_path / "landing")
+    dim_path = str(tmp_path / "dim")
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [Row(source="a", tier="bronze"), Row(source="b", tier="silver")]
+    ).write.mode("overwrite").parquet(dim_path)
+    # three epochs, one row each
+    for i, src in enumerate(["a", "b", "a"]):
+        spark.createDataFrame([Row(doc_id=i, source=src)]).write.mode(
+            "append"
+        ).parquet(landing)
+        stream = spark.readStream.schema("doc_id long, source string").parquet(
+            landing
+        )
+        q = enrich_stream_to_parquet(stream, dim_path, "source", target, ckpt)
+        q.awaitTermination(120)
+
+    before = {
+        (r["doc_id"], r["source"], r["tier"])
+        for r in enriched_read_view(spark, target).collect()
+    }
+    assert before == {(0, "a", "bronze"), (1, "b", "silver"), (2, "a", "bronze")}
+    assert "__epoch" not in enriched_read_view(spark, target).columns
+
+    epoch_dirs = [d for d in os.listdir(target) if d.startswith("__epoch=")]
+    assert len(epoch_dirs) >= 3  # one per epoch before compaction
+
+    assert compact_enriched_epochs(spark, target, upto_epoch=1)
+    after = {
+        (r["doc_id"], r["source"], r["tier"])
+        for r in enriched_read_view(spark, target).collect()
+    }
+    assert after == before  # read-view equivalence across compaction
+    remaining = sorted(
+        d for d in os.listdir(target) if d.startswith("__epoch=")
+    )
+    assert "__epoch=-1" in remaining
+    assert not any(d in ("__epoch=0", "__epoch=1") for d in remaining)
+    # epochs beyond the watermark are untouched (still individually
+    # replay-overwritable)
+    assert any(d not in ("__epoch=-1",) for d in remaining)
+
+    # compacting again with nothing new below the watermark still folds
+    # the base into itself harmlessly (idempotent view)
+    assert compact_enriched_epochs(spark, target, upto_epoch=1)
+    assert {
+        (r["doc_id"], r["source"], r["tier"])
+        for r in enriched_read_view(spark, target).collect()
+    } == before
