@@ -238,6 +238,15 @@ SCALE_QUERIES = [
     # and the grid-exact dim-stats aggregate
     "binary_sign_ann_topk",
     "embedding_dim_stats",
+    # round-6 additions (VERDICT r5 #6) — the greedy/iterative flagships:
+    # k-center is k map-only scans + a distributed argmax per step (the
+    # curve proves the per-scan cost is flat; the k-dependence is by
+    # design), MMR is retrieve-dominated (the greedy loop runs on a
+    # candidate-sized table), and IPF is grid-grain after one corpus
+    # aggregate (iteration lineage localCheckpointed since r6)
+    "kcenter_diversity_sample",
+    "mmr_diversified_topk",
+    "ipf_source_lang_weights",
 ]
 
 SCALE_FACTOR = 10

@@ -704,6 +704,7 @@ from . import driver_queries_wave99  # noqa: E402, F401  (registers wave-99 quer
 from . import driver_queries_wave100  # noqa: E402, F401  (registers wave-100 queries)
 from . import driver_queries_wave101  # noqa: E402, F401  (registers wave-101 queries)
 from . import driver_queries_wave102  # noqa: E402, F401  (registers wave-102 queries)
+from . import driver_queries_wave103  # noqa: E402, F401  (registers wave-103 queries)
 
 
 # SELF-REFRESHING ROTATION (round 6; VERDICT r5 task #1).  The driver's

@@ -851,3 +851,61 @@ def mixture_repeat_factors(
         .otherwise(F.lit(0.0))
         .alias("repeat_factor"),
     )
+
+
+def semantic_contamination(
+    eval_emb: DataFrame,
+    train_emb: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 6,
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """SEMANTIC decontamination between splits: flag every eval vector
+    whose nearest TRAIN neighbor (among LSH-band candidates) has cosine
+    >= ``threshold`` — the embedding-space complement of
+    ``exact_contamination`` (paraphrased or lightly-edited leakage that
+    no exact-substring scan can see; the check careful eval suites run
+    before trusting a benchmark number).
+
+    Output: one row per contaminated eval vector —
+    ``(eval_id, nearest_train_id, cosine_sim)``, best match only
+    (ties → smallest train id).
+
+    Plan / 100 TB: candidates meet in hyperplane-sign LSH buckets
+    (``banded_signatures`` on both splits, joined on (band, sig)) — the
+    same bucket-bounded shape as ``bitext_mining_pairs``; no split ever
+    cross-joins the other.  High-threshold leakage is exactly what sign
+    LSH recalls best (near-identical vectors collide in every band), so
+    the banding that keeps the join sub-quadratic costs essentially no
+    recall at contamination-grade cosines.  The per-eval best match is a
+    window over candidate-grain rows.
+    """
+    from .similarity import banded_signatures, cosine
+
+    e = eval_emb.select(F.col(id_col).alias("eval_id"), F.col(vec_col).alias("__ve"))
+    t = train_emb.select(
+        F.col(id_col).alias("train_id"), F.col(vec_col).alias("__vt")
+    )
+    se = banded_signatures(e, "eval_id", "__ve", dim, bands, rows_per_band)
+    st = banded_signatures(t, "train_id", "__vt", dim, bands, rows_per_band)
+    cand = (
+        se.join(st, ["band", "sig"])
+        .select("eval_id", "train_id", "__ve", "__vt")
+        .dropDuplicates(["eval_id", "train_id"])
+    )
+    scored = cand.select(
+        "eval_id", "train_id", cosine(F.col("__ve"), F.col("__vt")).alias("cos")
+    )
+    w = Window.partitionBy("eval_id").orderBy(F.desc("cos"), F.asc("train_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter((F.col("__r") == 1) & (F.col("cos") >= threshold))
+        .select(
+            "eval_id",
+            F.col("train_id").alias("nearest_train_id"),
+            F.col("cos").alias("cosine_sim"),
+        )
+    )

@@ -2287,3 +2287,98 @@ def negative_sampling_table(
             F.round(cum.cast("double") / F.col("wtot"), decimals).alias("cum_prob"),
         )
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-language tokenizer-fertility proxies: characters per whitespace
+    token and tokens per document — the cross-lingual budget table a
+    multilingual pretraining run prices its mixture with (a language whose
+    tokenizer emits 3× the tokens per character consumes 3× the context
+    window for the same text, so mixture weights set in DOCUMENTS silently
+    re-weight in TOKENS).
+
+    Output: ``(lang, n_docs, n_tokens, n_chars, chars_per_token,
+    tokens_per_doc)``.
+
+    Plan / 100 TB: MAP-ONLY per-row metrics (length + token count as pure
+    expressions) into one language-grain aggregate with map-side partials
+    — the operator is a free rider on whatever scan reads the text.
+    Ratios divide exact bigint sums as doubles, rounded once.
+    """
+    rows = df.select(
+        F.col(lang_col).alias("lang"),
+        F.length(F.col(text_col)).cast("bigint").alias("nc"),
+        token_count(F.col(text_col)).cast("bigint").alias("nt"),
+    )
+    return rows.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+        F.sum("nc").cast("bigint").alias("n_chars"),
+        F.round(
+            F.sum("nc").cast("double") / F.sum("nt").cast("double"), decimals
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum("nt").cast("double") / F.count("*").cast("double"), decimals
+        ).alias("tokens_per_doc"),
+    )
+
+
+def split_oov_rate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-EVAL-document out-of-vocabulary rate against the TRAIN split's
+    vocabulary (types with train frequency >= ``min_count``) — the
+    split-skew check ``oov_rate`` cannot express (that one scores a corpus
+    against its own vocabulary): an eval set whose tokens the training
+    split never saw measures tokenizer luck, not model quality.
+
+    Output: ``(doc_id, n_tokens, n_oov, oov_rate)`` — eval grain.
+
+    Plan / 100 TB: the train side collapses to TYPE grain (one token-key
+    exchange with map-side partials — the vocabulary, not the corpus),
+    eval tokens join it on the token key (vocabulary-sized build side, AQE
+    broadcasts it when it fits), one per-doc aggregate.  Document bodies
+    never shuffle; only tokens do.
+    """
+    train_toks = train_df.select(
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        train_toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    eval_toks = eval_df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        eval_toks.join(vocab, "tok", "left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+                decimals,
+            ).alias("oov_rate"),
+        )
+    )

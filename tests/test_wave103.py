@@ -1,0 +1,78 @@
+"""Wave 103: semantic split decontamination, tokenizer fertility, and
+eval-vs-train OOV skew."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from rss_feed_etl_spark.operators import sampling, textstats
+
+
+def test_semantic_contamination_flags_planted_only(spark):
+    # eval vector 0 has a near-copy in train (cos ~1); eval vector 5 has
+    # only dissimilar train neighbors -> exactly one flag at a high bar
+    base = [1.0, 0.0, 0.5, 0.2] * 16  # 64-dim
+    other = ([0.0, 1.0, -0.5, 0.1] * 16)[:64]
+    near = [v + (0.001 if i % 3 == 0 else 0.0) for i, v in enumerate(base)]
+    rows = [
+        Row(vec_id=0, embedding=base),
+        Row(vec_id=5, embedding=other),
+        Row(vec_id=100, embedding=near),
+        Row(vec_id=101, embedding=[0.3] * 64),
+    ]
+    emb = spark.createDataFrame(rows)
+    ev = emb.filter(F.col("vec_id") < 10)
+    tr = emb.filter(F.col("vec_id") >= 100)
+    out = {
+        r["eval_id"]: r
+        for r in sampling.semantic_contamination(ev, tr, threshold=0.98).collect()
+    }
+    assert set(out) == {0}
+    assert out[0]["nearest_train_id"] == 100
+    assert out[0]["cosine_sim"] >= 0.99
+
+
+def test_semantic_contamination_empty_when_clean(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0] * 32),
+        Row(vec_id=100, embedding=[0.0, 1.0] * 32),
+    ]
+    emb = spark.createDataFrame(rows)
+    out = sampling.semantic_contamination(
+        emb.filter(F.col("vec_id") == 0),
+        emb.filter(F.col("vec_id") == 100),
+        threshold=0.98,
+    )
+    assert out.count() == 0
+
+
+def test_tokenizer_fertility_known_ratios(spark):
+    rows = [
+        Row(lang="aa", text="ab cd"),        # 5 chars, 2 tokens
+        Row(lang="aa", text="efg hij klm"),  # 11 chars, 3 tokens
+        Row(lang="bb", text="xxxxxxxxxx"),   # 10 chars, 1 token
+    ]
+    out = {
+        r["lang"]: r
+        for r in textstats.tokenizer_fertility(spark.createDataFrame(rows)).collect()
+    }
+    assert out["aa"]["n_docs"] == 2
+    assert out["aa"]["n_tokens"] == 5
+    assert out["aa"]["n_chars"] == 16
+    assert out["aa"]["chars_per_token"] == 3.2
+    assert out["aa"]["tokens_per_doc"] == 2.5
+    assert out["bb"]["chars_per_token"] == 10.0
+
+
+def test_split_oov_rate_counts_unseen_types(spark):
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="alpha delta")]
+    )
+    ev = spark.createDataFrame(
+        [Row(doc_id=10, text="alpha zeta beta unknown")]  # zeta+unknown OOV
+    )
+    out = textstats.split_oov_rate(train, ev).collect()[0]
+    assert out["n_tokens"] == 4
+    assert out["n_oov"] == 2
+    assert out["oov_rate"] == 0.5
