@@ -66,6 +66,13 @@ _UNPIVOT = " UNION ALL ".join(
     f"SELECT src, {i} AS perm, m{i} AS mh FROM sig" for i in range(N_MINHASH)
 )
 
+# gram identity = base-31 polynomial of per-token codes over tokens
+# i..min(i+n-1, nw) — identical arithmetic to the Spark side's integer
+# grams (one md5 per token, no gram strings); short documents keep the
+# old behavior (position 1 emits whatever tokens exist).  CASE arms are
+# built for _SJ_N = 3.
+assert _SJ_N == 3, "oracle CASE arms are written for n = 3"
+
 _register(
     "source_jaccard_matrix",
     _q_source_jaccard,
@@ -73,13 +80,19 @@ _register(
 WITH t AS (
   SELECT source AS src, string_split_regex(trim(text), '\s+') AS w
   FROM documents),
-sh AS (
+k AS (SELECT src, len(w) AS nw, list_transform(w, x -> {_code('x')}) AS c
+      FROM t),
+codes AS (
   SELECT src,
          unnest(list_distinct(list_transform(
-           range(1, greatest(len(w) - {_SJ_N - 1}, 1) + 1),
-           i -> array_to_string(w[i:i+{_SJ_N - 1}], ' ')))) AS g
-  FROM t),
-codes AS (SELECT src, {_code('g')} AS c FROM sh),
+           range(1, greatest(nw - {_SJ_N - 1}, 1) + 1),
+           i -> CASE
+                  WHEN i + 2 <= nw
+                  THEN ((c[i] * 31 + c[i+1]) % {MOD} * 31 + c[i+2]) % {MOD}
+                  WHEN i + 1 <= nw THEN (c[i] * 31 + c[i+1]) % {MOD}
+                  ELSE c[i]
+                END))) AS c
+  FROM k),
 sig AS (SELECT src, {_MINS} FROM codes GROUP BY 1),
 lng AS ({_UNPIVOT}),
 p AS (

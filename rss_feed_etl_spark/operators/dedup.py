@@ -1044,6 +1044,12 @@ def source_jaccard_matrix(
 
     Same permutation family as the doc-grain LSH
     (``minhash_signatures``), all engine-portable integer arithmetic.
+    Shingle identity is the base-31 POLYNOMIAL of per-token codes (the
+    ``repeated_ngram_stats`` integer-gram recipe: one md5 per TOKEN,
+    never a materialized gram string — round 6 moved this operator off
+    md5-per-gram-string, which was its dominant cost).  A gram-code
+    collision only perturbs one min-of-mins estimate and the oracle
+    replays the identical arithmetic, so parity stays exact.
 
     Output: ``(source_a, source_b, n_perms, est_jaccard)`` for a < b.
 
@@ -1051,24 +1057,40 @@ def source_jaccard_matrix(
     groupBy computes all ``n_perms`` mins with map-side partials; the
     signature self-join runs at source×perm grain (dimension-sized).
     """
+    from ..functions.hashing import BASE, token_code
+
     coeffs = [
         ((2 * i + 1) * 2654435761 % MOD, (i * i + i + 41) % MOD)
         for i in range(n_perms)
     ]
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    staged = df.select(F.col(source_col).alias("src"), toks.alias("__toks")).select(
+        "src",
+        F.transform("__toks", token_code).alias("__codes"),
+        F.size("__toks").alias("__nt"),
+    )
+
+    def gram_at(i):
+        # polynomial over tokens i..min(i+n-1, nt): short documents keep
+        # the old string-gram behavior (position 1 emits whatever exists)
+        acc = F.element_at(F.col("__codes"), i)
+        for j in range(1, n):
+            acc = F.when(
+                i + F.lit(j) <= F.col("__nt"),
+                (acc * F.lit(BASE) + F.element_at(F.col("__codes"), i + F.lit(j)))
+                % F.lit(MOD),
+            ).otherwise(acc)
+        return acc
+
     grams = F.array_distinct(
         F.transform(
             F.sequence(
-                F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+                F.lit(1), F.greatest(F.col("__nt") - F.lit(n - 1), F.lit(1))
             ),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            gram_at,
         )
     )
-    from ..functions.hashing import token_code
-
-    codes = df.select(
-        F.col(source_col).alias("src"), F.explode(grams).alias("g")
-    ).select("src", token_code(F.col("g")).alias("c"))
+    codes = staged.select("src", F.explode(grams).alias("c"))
     sig = codes.groupBy("src").agg(
         *[
             F.min((F.lit(a) * F.col("c") + F.lit(b)) % F.lit(MOD)).alias(f"m{i}")
