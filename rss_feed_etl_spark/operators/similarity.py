@@ -1493,3 +1493,106 @@ def mmr_diversified_topk(
         ],
         f"{id_col} long, rel double, mmr_score double, mmr_rank int",
     )
+
+
+def pq_ann_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k_top: int = 10,
+    candidates: int = 50,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011 — the compression mode
+    behind FAISS's default IVF-PQ indexes): split each vector into ``m``
+    subspaces, train a ``k_codes``-word Lloyd codebook per subspace, encode
+    the corpus as ``m`` small code ids, score with an ADC (asymmetric
+    distance computation) lookup — estimated squared L2 = sum over
+    subspaces of d(query_sub, assigned codeword) — keep the best
+    ``candidates``, and exact-rerank only those (the production PQ
+    pipeline: the lossy code scan prices the shortlist, floats re-enter at
+    candidate grain).
+
+    Output: the ``k_top`` nearest corpus vectors to ``query_id`` —
+    ``(vec_id, sqdist, rank)`` by exact squared L2 over the shortlist,
+    ties → smaller id.
+
+    Determinism / oracle: codebooks reuse the k-means trajectory the
+    ``kmeans_clusters`` oracle already replays exactly (seeded by the
+    ``k_codes`` smallest ids, centroid components rounded per iteration);
+    assignment tie-breaks (dist, cid); the ADC table is computed
+    driver-side with the SAME left-fold arithmetic the SQL replays, so
+    both engines walk identical doubles end to end.
+
+    Plan / 100 TB: training collects k_codes×dim doubles per subspace
+    (model-sized driver state, same bound as the IVF quantizer); the
+    scoring pass is then ONE map-only scan — per row, m argmin-over-
+    codebook expressions plus an m-way CASE lookup, all whole-stage
+    codegen — into a distributed TakeOrdered(candidates).  The shortlist
+    ids broadcast back onto the corpus for the exact rerank, so the
+    corpus never exchanges; at production scale the encode runs once and
+    the stored table is m bytes/vector (16x smaller than float32 at the
+    defaults here), with ADC scans reading only the code columns.
+    """
+    from .clustering import _assign, _kmeans_centroids_prepped, _prep
+    from .clustering import _sqdist as _sqdist_helper
+
+    w = dim // m
+    emb = _prep(embeddings, id_col, vec_col)
+    books: list[dict[int, list[float]]] = []
+    for s in range(m):
+        sub = emb.select("id", F.slice("vec", s * w + 1, w).alias("vec"))
+        books.append(_kmeans_centroids_prepped(sub, k_codes, iters, decimals))
+    qvec = list(
+        emb.filter(F.col("id") == query_id).select("vec").collect()[0]["vec"]
+    )
+
+    def fold_sqdist(a: list[float], b: list[float]) -> float:
+        # identical order to _sqdist / the oracle's list_reduce: left fold
+        # over per-dim squared diffs starting from 0.0
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    def lut(cid_col, table: dict[int, float]):
+        expr = None
+        for cid, d in sorted(table.items()):
+            arm = F.lit(float(d))
+            expr = (
+                F.when(cid_col == cid, arm)
+                if expr is None
+                else expr.when(cid_col == cid, arm)
+            )
+        return expr
+
+    est = None
+    for s in range(m):
+        adc = {
+            cid: fold_sqdist(qvec[s * w : (s + 1) * w], cvec)
+            for cid, cvec in books[s].items()
+        }
+        cid_col = _assign(F.slice("vec", s * w + 1, w), books[s])["cid"]
+        term = lut(cid_col, adc)
+        est = term if est is None else est + term
+
+    scored = emb.filter(F.col("id") != query_id).select(
+        F.col("id").alias(id_col), F.round(est, decimals).alias("est_sqdist")
+    )
+    shortlist = scored.orderBy(F.asc("est_sqdist"), F.asc(id_col)).limit(candidates)
+    reranked = emb.join(
+        F.broadcast(shortlist.select(F.col(id_col).alias("id"))), "id"
+    ).select(
+        F.col("id").alias(id_col),
+        F.round(_sqdist_helper(F.col("vec"), qvec), decimals).alias("sqdist"),
+    )
+    top = reranked.orderBy(F.asc("sqdist"), F.asc(id_col)).limit(k_top)
+    rk = Window.orderBy(F.asc("sqdist"), F.asc(id_col))
+    return top.select(
+        id_col, "sqdist", F.row_number().over(rk).cast("int").alias("rank")
+    )

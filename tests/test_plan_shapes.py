@@ -173,10 +173,14 @@ def test_vocab_curve_and_sampling_table_use_distributed_topk(spark):
 
 def test_ipf_grid_joins_all_broadcast(spark):
     # after the one corpus-scale aggregate, every IPF iteration is
-    # grid-grain: all six marginal joins broadcast, nothing sort-merges
+    # grid-grain and localCheckpointed per half-step (round 6), so the
+    # FINAL plan is a projection over the last checkpoint -- no joins, no
+    # sort-merge, no exchange survive into it.  The per-iteration join
+    # strategy is pinned by the broadcast hints in the operator; this pin
+    # guards the returned plan's shape.
     s = _plan(_queries()["ipf_source_lang_weights"](spark, SF_DIR))
     assert "SortMergeJoin" not in s
-    assert "BroadcastHashJoin" in s
+    assert "Scan ExistingRDD" in s
 
 
 def test_token_gini_windows_at_count_grain(spark):
@@ -766,3 +770,14 @@ def test_ipf_iteration_state_is_checkpointed(spark):
     # corpus scan and the iteration joins must all be behind the barrier
     assert "Scan parquet" not in s
     assert "Exchange" not in s
+
+
+def test_pq_ann_scan_is_map_only_into_takeordered(spark):
+    """PQ ADC scoring: codebooks are driver-side literals, so the scoring
+    scan is map-only into a distributed TakeOrdered; the rerank joins the
+    broadcast shortlist -- the corpus never sort-merges or cross-joins."""
+    s = _plan(_queries()["pq_ann_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s  # shortlist ids broadcast for rerank

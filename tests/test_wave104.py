@@ -1,0 +1,63 @@
+"""Wave 104: product-quantization ANN (ADC shortlist + exact rerank)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from rss_feed_etl_spark import testdata as td
+from rss_feed_etl_spark.operators import similarity
+from rss_feed_etl_spark.operators.clustering import _prep, _sqdist
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _exact_top10(spark, emb, qid=0):
+    prepped = _prep(emb, "vec_id", "embedding")
+    q = prepped.filter(F.col("id") == qid).collect()[0]["vec"]
+    return {
+        r["id"]
+        for r in prepped.filter(F.col("id") != qid)
+        .select("id", _sqdist(F.col("vec"), list(q)).alias("d"))
+        .orderBy(F.asc("d"), F.asc("id"))
+        .limit(10)
+        .collect()
+    }
+
+
+def test_pq_ann_recall_bound_vs_exact(spark):
+    """The ADC shortlist must put at least half the true top-10 in front
+    of the exact rerank even at a tight candidate budget; a
+    corpus-covering budget recovers the exact answer (rerank == exact)."""
+    if not os.path.exists(f"{SF_DIR}/embeddings.parquet"):
+        import pytest
+
+        pytest.skip("testdata not present")
+    emb = td.load_table(spark, SF_DIR, "embeddings")
+    exact = _exact_top10(spark, emb)
+    tight = {
+        r["vec_id"]
+        for r in similarity.pq_ann_topk(emb, query_id=0, k_top=10, candidates=50).collect()
+    }
+    assert len(tight & exact) / 10 >= 0.5, f"tight-budget recall {tight & exact}"
+    full = {
+        r["vec_id"]
+        for r in similarity.pq_ann_topk(
+            emb, query_id=0, k_top=10, candidates=10_000
+        ).collect()
+    }
+    assert full == exact  # shortlist covers corpus -> rerank IS exact
+
+
+def test_pq_ann_output_contract(spark):
+    if not os.path.exists(f"{SF_DIR}/embeddings.parquet"):
+        import pytest
+
+        pytest.skip("testdata not present")
+    emb = td.load_table(spark, SF_DIR, "embeddings")
+    rows = similarity.pq_ann_topk(emb, query_id=0, k_top=5).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    dists = [r["sqdist"] for r in rows]
+    assert dists == sorted(dists)
+    assert all(r["vec_id"] != 0 for r in rows)  # query excluded
