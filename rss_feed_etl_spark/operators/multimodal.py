@@ -257,3 +257,109 @@ def extract_audio_features(
     )
     auds = auds.repartition(32, F.pmod(F.xxhash64("media_id"), F.lit(32)))
     return auds.mapInPandas(features, AUDIO_FEATURES_SCHEMA)
+
+
+FRAME_EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("dim", T.IntegerType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def frame_embeddings(
+    media: DataFrame, every_ms: int = 1000, dim: int = 16, strict: bool = False
+) -> DataFrame:
+    """video rows → long-format per-frame features ``(media_id,
+    frame_idx, dim, v)`` via mapInPandas: sample one frame per
+    ``every_ms`` and run the feature extractor on each.
+
+    Production decodes with ffmpeg and runs a vision encoder per frame;
+    the stub derives the frame key by md5-chaining HEX STRINGS
+    (content digest → per-frame digest → byte features), which keeps the
+    trajectory replayable in any engine with a string md5 (DuckDB 1.0 has
+    no BLOB md5).  ``dim`` ≤ 16 reads the digest bytes directly.
+    """
+    import pandas as pd
+
+    from ..session import ensure_executors_can_import
+
+    ensure_executors_can_import(media.sparkSession)
+    if dim > 16:
+        raise ValueError("stub features read one md5 digest: dim <= 16")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "video decode requires ffmpeg; not available in this environment"
+                )
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n = max(1, int((r.duration_ms or 0) // every_ms))
+                h = hashlib.md5(r.content or b"").hexdigest()
+                for i in range(n):
+                    hh = hashlib.md5(f"{h}:{i}".encode()).digest()
+                    for j in range(dim):
+                        # no rounding ties exist: hh[j]*1e6/255 is never
+                        # an exact .5 (255 is odd), so Python banker's
+                        # rounding == the engines' half-up here
+                        rows.append(
+                            {
+                                "media_id": r.media_id,
+                                "frame_idx": i,
+                                "dim": j,
+                                "v": round(hh[j] / 255.0, 6),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "dim", "v"])
+
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id", "content", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return vids.mapInPandas(gen, FRAME_EMB_SCHEMA)
+
+
+def video_embedding_pool(
+    media: DataFrame,
+    every_ms: int = 1000,
+    dim: int = 16,
+    strict: bool = False,
+    decimals: int = 6,
+) -> DataFrame:
+    """Video-level embedding by temporal MEAN POOLING of per-frame
+    features — the standard frame-sample → encode → pool pipeline a
+    multimodal curation stack runs to get one vector per clip (for the
+    dedup/ANN operators to consume).
+
+    Output: ``(media_id, n_frames, pooled)`` with the pooled vector as a
+    fixed "%.6f" CSV string (the driver canonicalizer cannot hash raw
+    arrays — same contract as ``audio_features``).
+
+    Plan / 100 TB: the frame explode + encode is ONE Arrow mapInPandas
+    pass (map-only, batch-bounded); pooling is a (media, dim) groupBy
+    with map-side partials whose sums accumulate as exact decimals —
+    the pooled mean is a pure function of the frame set, never of
+    partition order — and the final per-media collect_list holds ``dim``
+    values (bounded by the feature width, not by frames or data volume).
+    """
+    fe = frame_embeddings(media, every_ms=every_ms, dim=dim, strict=strict)
+    pooled = fe.groupBy("media_id", "dim").agg(
+        F.count("*").cast("int").alias("nf"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(20,10)")).cast("double") / F.count("*"),
+            decimals,
+        ).alias("pv"),
+    )
+    return pooled.groupBy("media_id").agg(
+        F.max("nf").alias("n_frames"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "pv"))),
+                lambda s: F.format_string("%.6f", s["pv"]),
+            ),
+        ).alias("pooled"),
+    )

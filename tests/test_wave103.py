@@ -76,3 +76,47 @@ def test_split_oov_rate_counts_unseen_types(spark):
     assert out["n_tokens"] == 4
     assert out["n_oov"] == 2
     assert out["oov_rate"] == 0.5
+
+
+def test_video_embedding_pool_matches_hand_computation(spark):
+    """Wave 105: pooled video embedding = mean of the stub's per-frame
+    features, computed by hand for a 2-frame clip."""
+    import hashlib
+
+    from pyspark.sql import Row
+    from rss_feed_etl_spark.operators import multimodal
+
+    content = b"some fake video bytes"
+    schema = (
+        "media_id long, kind string, content binary, "
+        "meta struct<format:string,width:int,height:int,duration_ms:int>"
+    )
+    media = spark.createDataFrame(
+        [(7, "video", content, ("fake", None, None, 2000))], schema
+    )
+    out = multimodal.video_embedding_pool(media, every_ms=1000, dim=4).collect()
+    assert len(out) == 1 and out[0]["n_frames"] == 2
+    h = hashlib.md5(content).hexdigest()
+    frames = [hashlib.md5(f"{h}:{i}".encode()).digest() for i in range(2)]
+    want = []
+    for j in range(4):
+        vals = [round(f[j] / 255.0, 6) for f in frames]
+        want.append(f"{round(sum(vals) / 2, 6):.6f}")
+    assert out[0]["pooled"] == ",".join(want)
+
+
+def test_frame_embeddings_single_frame_floor(spark):
+    from pyspark.sql import Row
+    from rss_feed_etl_spark.operators import multimodal
+
+    schema = (
+        "media_id long, kind string, content binary, "
+        "meta struct<format:string,width:int,height:int,duration_ms:int>"
+    )
+    media = spark.createDataFrame(
+        [(1, "video", b"x", ("fake", None, None, 300))], schema
+    )
+    rows = multimodal.frame_embeddings(media, every_ms=1000, dim=16).collect()
+    assert {r["frame_idx"] for r in rows} == {0}  # duration < every_ms -> 1 frame
+    assert len(rows) == 16
+    assert all(0.0 <= r["v"] <= 1.0 for r in rows)
