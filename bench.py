@@ -106,6 +106,14 @@ HEADLINE = [
     "kcenter_diversity_sample",
     "embedding_retrieval_auc",
     "retrieval_pr_curve",
+    # round-6 flagships: PQ ANN (trained codebooks + ADC shortlist +
+    # exact rerank), banded semantic split decontamination, pooled video
+    # embeddings, tokenizer fertility, split OOV skew
+    "pq_ann_topk",
+    "semantic_split_contamination",
+    "video_embedding_pool",
+    "tokenizer_fertility_by_lang",
+    "split_oov_rate",
 ]
 
 
@@ -247,6 +255,13 @@ SCALE_QUERIES = [
     "kcenter_diversity_sample",
     "mmr_diversified_topk",
     "ipf_source_lang_weights",
+    # round-6 wave flagships: PQ ANN (training collects are fixed-k model
+    # state; the scoring scan is map-only), banded split decontamination
+    # (bucket-bounded candidate join over 10x embeddings), and the pooled
+    # video embeddings (Arrow map pass + (media, dim) grouped pooling)
+    "pq_ann_topk",
+    "semantic_split_contamination",
+    "video_embedding_pool",
 ]
 
 SCALE_FACTOR = 10

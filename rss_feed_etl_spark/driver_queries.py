@@ -722,12 +722,11 @@ from . import driver_queries_wave105  # noqa: E402, F401  (registers wave-105 qu
 # ``_RECHECK`` is the one remaining manual knob: queries whose CODE
 # changed this round and therefore must re-verify even though they hold a
 # green row (round 6: ``bitext_mining_pairs`` now runs the banded scale
-# plan instead of the brute A-cross-B sweep -- output semantics changed --
-# and ``boilerplate_removed`` was recoded onto integer shingles).  Keep it
-# short: every slot it takes delays a never-sampled name by a round.
+# plan instead of the brute A-cross-B sweep -- output semantics changed).
+# Keep it short: every slot it takes delays a never-sampled name by a
+# round.
 _RECHECK = [
     "bitext_mining_pairs",
-    "boilerplate_removed",
 ]
 
 # Static fallback only for checkouts missing the CORRECTNESS artifacts

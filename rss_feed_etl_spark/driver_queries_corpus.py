@@ -44,19 +44,6 @@ def _code(x: str) -> str:
     return f"({_hexfold(x)} % {MOD})"
 
 
-def _hexfold2(x: str) -> str:
-    """md5 hex chars 16-30 → bigint, identical to Spark's
-    conv(substr(md5,16,15),16,10) — the second, independent code span."""
-    return (
-        f"list_reduce(list_transform(string_split(substr(md5({x}),16,15), ''), "
-        f"c -> position(c IN '0123456789abcdef')-1), (a,b) -> a*16+b)"
-    )
-
-
-def _code2(x: str) -> str:
-    return f"({_hexfold2(x)} % {MOD})"
-
-
 _TOKS = "string_split_regex(trim({c}), '\\s+')"
 _SHINGLES = (
     "list_distinct(list_transform(range(1, greatest(len({w})-2,1)+1), "

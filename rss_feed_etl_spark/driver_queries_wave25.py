@@ -14,8 +14,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import testdata as td
 from .driver_queries import _register
-from .driver_queries_corpus import _code, _code2
-from .functions.hashing import MOD as _MOD
 from .operators import textstats
 
 _TOKS = (
@@ -144,30 +142,16 @@ def _q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# remove_boilerplate keys shingles on INTEGER CODE PAIRS (one md5 per
-# token, two independent codes from disjoint hex spans, base-31 gram
-# polynomials) — the oracle replays the identical arithmetic.  The gram
-# identity is the (g1, g2) pair; a pair collision needs both 60-bit-derived
-# codes to collide (~1e18 denominator), so parity with the string-keyed
-# semantics is exact at any tested scale.
 _register(
     "boilerplate_removed",
     _q_remove_boilerplate,
     f"""
 WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
            FROM documents),
-cd AS (SELECT doc_id, w, len(w) AS nw,
-              list_transform(w, x -> {_code("x")}) AS c1,
-              list_transform(w, x -> {_code2("x")}) AS c2
-       FROM t),
-sh AS (SELECT doc_id AS id, unnest(list_transform(range(1, nw - 1),
-         i -> {{'pos': i,
-                'g1': ((c1[i] * 31 + c1[i+1]) % {_MOD} * 31 + c1[i+2]) % {_MOD},
-                'g2': ((c2[i] * 31 + c2[i+1]) % {_MOD} * 31 + c2[i+2]) % {_MOD}}}),
-         recursive := true) FROM cd),
-hot AS (SELECT g1, g2 FROM sh GROUP BY 1, 2
+sh AS ({_SHINGLES.format()}),
+hot AS (SELECT s FROM sh GROUP BY s
         HAVING count(DISTINCT id) >= {_BP_MIN_DOCS}),
-starts AS (SELECT id, pos FROM sh JOIN hot USING (g1, g2)),
+starts AS (SELECT id, pos FROM sh JOIN hot USING (s)),
 toks AS (SELECT doc_id AS id, unnest(w) AS tok,
                 generate_subscripts(w, 1) AS p FROM t),
 kept AS (SELECT toks.id, tok, p FROM toks

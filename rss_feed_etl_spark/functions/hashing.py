@@ -32,15 +32,6 @@ def token_code(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint") % F.lit(MOD)
 
 
-def token_code2(tok: Column) -> Column:
-    """Second code INDEPENDENT of :func:`token_code`, from the same md5
-    (hex chars 16-30).  Keying on the (code, code2) pair squares the
-    collision denominator (~1e18): corpus-global keys (e.g. the hot-shingle
-    set) stay collision-free at scales where a single mod-1e9+7 code would
-    hit birthday collisions (millions of distinct keys)."""
-    return F.conv(F.substring(F.md5(tok), 16, 15), 16, 10).cast("bigint") % F.lit(MOD)
-
-
 def rolling_hash(tokens_col: Column) -> Column:
     """Polynomial rolling hash over a token array (document fingerprint).
 

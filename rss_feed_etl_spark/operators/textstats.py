@@ -796,87 +796,49 @@ def remove_boilerplate(
     Plan: ONE posexplode of the corpus shingles feeds both the hot-set
     decision and the per-doc start-lists — the earlier shape shingled the
     corpus twice (once inside ``hot_shingles``, once for the starts) and
-    was the heaviest headline query with the worst 10× curve.  Shingles
-    are PORTABLE INTEGER CODE PAIRS, not strings (the
-    ``repeated_ngram_stats`` recipe, VERDICT r5 #4): each token hashes
-    ONCE (one md5), two independent codes come from disjoint md5 hex
-    spans, and a shingle is the base-31 polynomial of its ``k`` token
-    codes under each — so the corpus-grain exchange moves two bigints per
-    position instead of a materialized k-token string, and the group-by
-    hashes 16 bytes instead of ~30-char keys.  The PAIR key matters
-    because the hot-set decision is corpus-GLOBAL: with millions of
-    distinct shingles a single mod-1e9+7 code would take birthday
-    collisions (merging unrelated shingles' doc sets and inflating
-    hotness); the pair squares the denominator (~1e18).  The occurrence
-    stream collects straight to shingle grain (one exchange: ``(g1, g2) →
-    [(id, pos)]``), the distinct-doc frequency is then an ARRAY
-    computation on the collected bucket (``array_distinct`` of the ids —
-    no second aggregate, no count-distinct expand, no window sort), and
-    only hot buckets explode back to doc grain for the per-doc start
+    was the heaviest headline query with the worst 10× curve.  The
+    occurrence stream collects straight to shingle grain (one exchange:
+    ``shingle → [(id, pos)]``), the distinct-doc frequency is then an
+    ARRAY computation on the collected bucket (``array_distinct`` of the
+    ids — no second aggregate, no count-distinct expand, no window sort),
+    and only hot buckets explode back to doc grain for the per-doc start
     collect.  One corpus-grain exchange + one hot-only id-grain exchange,
-    single scan.  100 TB bound: a shingle's bucket row holds every
-    occurrence of that shingle, so a truly universal template (appearing
-    in EVERY document) would build one giant array row — run
-    ``paragraph_dedup`` / ``dedup_paragraphs`` first (the standard
-    curation order) or raise the shingle grain; for natural corpora the
-    hottest shingle's occurrence count bounds task memory.  The strip
-    itself is a pure array expression (a position is dropped iff some hot
-    start s satisfies s <= pos <= s+k-1).
-    """
-    from ..functions.hashing import BASE, MOD
+    single scan.  Measured vs the two-scan shape: 2.84 → ~2.0 s at sf0.1
+    and 30.9 → ~13 s on the 10× corpus (starts stage 4.6 s).  100 TB
+    bound: a shingle's bucket row holds every occurrence of that shingle,
+    so a truly universal template (appearing in EVERY document) would
+    build one giant array row — run ``paragraph_dedup`` /
+    ``dedup_paragraphs`` first (the standard curation order) or raise the
+    shingle grain; for natural corpora the hottest shingle's occurrence
+    count bounds task memory.  The strip itself is a pure array
+    expression (a position is dropped iff some hot start s satisfies
+    s <= pos <= s+k-1).
 
+    REJECTED VARIANT (round 6, measured): integer-code-pair shingles
+    (one md5 per token, base-31 gram polynomials — the recipe that paid
+    off 8x in ``repeated_ngram_stats``) ran 1.4x SLOWER at sf0.01 and
+    2.1x slower at sf0.1 in a same-process A/B against this string
+    shape, plus a 13x pathological variant when the per-position grams
+    were element_at-indexed (CollapseProject inlines the code-array
+    transform into every element_at, rebuilding the array per position —
+    O(n²·md5) per document).  Unlike repeated_ngram_stats (map-only, the
+    gram list is consumed in-place), this operator EXPLODES the grams
+    through a generator stage, and the concat_ws string build is cheaper
+    than two md5-derived codes per token; the string keys' exchange cost
+    does not dominate at any measured scale.
+    """
     toks_col = _tokens(F.lower(F.col(text_col)))
 
-    # one md5 per token, materialized in its own projection (referencing
-    # the expression from both code transforms would inline it twice)
-    hashed = df.select(
-        F.col(id_col).alias("id"), toks_col.alias("__toks")
-    ).select(
-        "id",
-        F.transform("__toks", F.md5).alias("__h"),
-        F.greatest(F.size("__toks") - (k - 1), F.lit(0)).alias("__ng"),
+    n = F.greatest(F.size(toks_col) - (k - 1), F.lit(0))
+    parts = [F.slice(toks_col, i + 1, n).alias(f"w{i}") for i in range(k)]
+    sh = F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)]),
     )
-    coded = hashed.select(
-        "id",
-        F.when(F.col("__ng") >= 1, F.sequence(F.lit(1), F.col("__ng")))
-        .otherwise(F.array().cast("array<int>"))
-        .alias("__idx"),
-        F.transform(
-            "__h",
-            lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
-            % F.lit(MOD),
-        ).alias("__c1"),
-        F.transform(
-            "__h",
-            lambda h: F.conv(F.substring(h, 16, 15), 16, 10).cast("bigint")
-            % F.lit(MOD),
-        ).alias("__c2"),
+    ex = df.select(
+        F.col(id_col).alias("id"), F.posexplode(sh).alias("pos", "shingle")
     )
-
-    def gram_at(codes: str):
-        def at(i):
-            acc = F.element_at(F.col(codes), i)
-            for j in range(1, k):
-                acc = (
-                    acc * F.lit(BASE) + F.element_at(F.col(codes), i + F.lit(j))
-                ) % F.lit(MOD)
-            return acc
-
-        return at
-
-    grams = coded.select(
-        "id",
-        F.arrays_zip(
-            F.transform("__idx", gram_at("__c1")).alias("g1"),
-            F.transform("__idx", gram_at("__c2")).alias("g2"),
-        ).alias("__g"),
-    )
-    ex = grams.select(
-        "id", F.posexplode("__g").alias("pos", "g")
-    ).select("id", "pos", F.col("g.g1").alias("g1"), F.col("g.g2").alias("g2"))
-    occ = ex.groupBy("g1", "g2").agg(
-        F.collect_list(F.struct("id", "pos")).alias("occs")
-    )
+    occ = ex.groupBy("shingle").agg(F.collect_list(F.struct("id", "pos")).alias("occs"))
     starts = (
         occ.filter(
             F.size(F.array_distinct(F.transform("occs", lambda x: x["id"])))
