@@ -26,7 +26,7 @@ from .operators import sampling, textstats
 # augment-inside-the-query pattern the near-dup queries use (_AUG_EMB_SQL)
 # — and the operator must flag exactly the planted vectors.
 
-_SC_MOD, _SC_PLANT_MOD, _SC_THR, _SC_BANDS = 5, 15, 0.98, 6
+_SC_MOD, _SC_PLANT_MOD, _SC_THR, _SC_BANDS, _SC_ROWS = 5, 15, 0.98, 6, 16
 _SC_PERTURB = (
     "transform(embedding, (x, i) -> cast(x + 0.001 * ((i % 3) - 1) as float))"
 )
@@ -45,16 +45,19 @@ def _q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(planted)
     )
     return sampling.semantic_contamination(
-        ev, tr, threshold=_SC_THR, bands=_SC_BANDS
+        ev, tr, threshold=_SC_THR, bands=_SC_BANDS, rows_per_band=_SC_ROWS
     )
 
 
+# 16-bit bands (not the miners' 8): contamination-grade cosines survive
+# sharp signatures while the natural collision fraction drops ~150x --
+# the knob that keeps the 10x scale measurement near-linear.
 _SC_EBANDS = "\nUNION ALL\n".join(
-    f"SELECT eval_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM e"
+    f"SELECT eval_id, {b} AS band, {_band_sig_sql(b, _SC_ROWS)} AS sig FROM e"
     for b in range(_SC_BANDS)
 )
 _SC_TBANDS = "\nUNION ALL\n".join(
-    f"SELECT train_id, {b} AS band, {_band_sig_sql(b)} AS sig FROM t"
+    f"SELECT train_id, {b} AS band, {_band_sig_sql(b, _SC_ROWS)} AS sig FROM t"
     for b in range(_SC_BANDS)
 )
 
