@@ -707,6 +707,7 @@ from . import driver_queries_wave102  # noqa: E402, F401  (registers wave-102 qu
 from . import driver_queries_wave103  # noqa: E402, F401  (registers wave-103 queries)
 from . import driver_queries_wave104  # noqa: E402, F401  (registers wave-104 queries)
 from . import driver_queries_wave105  # noqa: E402, F401  (registers wave-105 queries)
+from . import driver_queries_wave106  # noqa: E402, F401  (registers wave-106 queries)
 
 
 # SELF-REFRESHING ROTATION (round 6; VERDICT r5 task #1).  The driver's

@@ -2344,3 +2344,74 @@ def split_oov_rate(
             ).alias("oov_rate"),
         )
     )
+
+
+def source_scorecard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-source curation scorecard — the one-row-per-feed health table a
+    corpus refresh publishes before re-pricing its mixture: document
+    count, within-source exact-duplicate count, Gopher keep rate, mean
+    quality score, and each source's share of corpus tokens.
+
+    COMPOSITIONAL on purpose: the Gopher gate and the quality score are
+    the existing operators (``gopher_quality_flags``, ``text_stats``),
+    and the exact-dup fingerprint is ``dedup_exact``'s normalization —
+    the scorecard can never disagree with the gates it summarizes, and
+    the oracle composes the same operators' SQL verbatim.
+
+    Output: ``(source, n_docs, dup_docs, keep_rate, mean_quality,
+    n_tokens, token_share)``.
+
+    Plan / 100 TB: three doc-grain map-only frames join on the id key
+    (one co-partitioned exchange), collapse to source grain with
+    map-side partials (mean_quality sums exact decimals — a pure
+    function of the doc set), and the corpus token total broadcasts as a
+    1-row aggregate.  A fused single-scan variant would save the id
+    exchange at the cost of duplicating the gate formulas; the scorecard
+    chooses formula reuse.
+    """
+    from ..functions.text import norm_text
+
+    g = gopher_quality_flags(df, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.col("keep")
+    )
+    q = text_stats(df, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.col("quality")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.md5(norm_text(text_col)).alias("__fp"),
+        token_count(F.col(text_col)).cast("bigint").alias("__nt"),
+    )
+    j = base.join(g, id_col).join(q, id_col)
+    per_source = j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.count("*") - F.countDistinct("__fp")).cast("bigint").alias("dup_docs"),
+        F.round(
+            F.sum("keep").cast("double") / F.count("*").cast("double"), decimals
+        ).alias("keep_rate"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(20,10)")).cast("double")
+            / F.count("*"),
+            decimals,
+        ).alias("mean_quality"),
+        F.sum("__nt").cast("bigint").alias("n_tokens"),
+    )
+    tot = per_source.agg(F.sum("n_tokens").cast("double").alias("__t"))
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "dup_docs",
+        "keep_rate",
+        "mean_quality",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("__t"), decimals).alias(
+            "token_share"
+        ),
+    )

@@ -120,3 +120,30 @@ def test_frame_embeddings_single_frame_floor(spark):
     assert {r["frame_idx"] for r in rows} == {0}  # duration < every_ms -> 1 frame
     assert len(rows) == 16
     assert all(0.0 <= r["v"] <= 1.0 for r in rows)
+
+
+def test_source_scorecard_known_values(spark):
+    """Wave 106: scorecard aggregates match hand computation on a tiny
+    two-source corpus with one planted exact duplicate."""
+    from pyspark.sql import Row
+    from rss_feed_etl_spark.operators import textstats
+
+    good = "the quick brown fox jumps over the lazy dog and then " * 6
+    rows = [
+        Row(doc_id=1, source="a", text=good),
+        Row(doc_id=2, source="a", text="  " + good.upper() + "  "),  # exact dup of 1
+        Row(doc_id=3, source="a", text="zz@@ ##!!"),                  # junk
+        Row(doc_id=4, source="b", text=good),
+    ]
+    out = {
+        r["source"]: r
+        for r in textstats.source_scorecard(spark.createDataFrame(rows)).collect()
+    }
+    assert out["a"]["n_docs"] == 3
+    assert out["a"]["dup_docs"] == 1  # doc 2 normalizes to doc 1's text
+    assert out["b"]["dup_docs"] == 0
+    # the good doc passes all gopher gates; the junk doc fails
+    assert abs(out["b"]["keep_rate"] - 1.0) < 1e-9
+    assert out["a"]["keep_rate"] < 1.0
+    assert out["a"]["n_tokens"] + out["b"]["n_tokens"] > 0
+    assert abs(out["a"]["token_share"] + out["b"]["token_share"] - 1.0) < 1e-5
