@@ -114,6 +114,7 @@ HEADLINE = [
     "video_embedding_pool",
     "tokenizer_fertility_by_lang",
     "split_oov_rate",
+    "source_scorecard",
 ]
 
 
