@@ -263,6 +263,12 @@ SCALE_QUERIES = [
     "pq_ann_topk",
     "semantic_split_contamination",
     "video_embedding_pool",
+    # wave 106 + the remaining round-6 doc-grain flagships: all linear
+    # corpus scans into source/lang-grain aggregates — the curve should
+    # track data volume
+    "source_scorecard",
+    "tokenizer_fertility_by_lang",
+    "split_oov_rate",
 ]
 
 SCALE_FACTOR = 10
