@@ -722,12 +722,16 @@ from . import driver_queries_wave106  # noqa: E402, F401  (registers wave-106 qu
 #
 # ``_RECHECK`` is the one remaining manual knob: queries whose CODE
 # changed this round and therefore must re-verify even though they hold a
-# green row (round 6: ``bitext_mining_pairs`` now runs the banded scale
-# plan instead of the brute A-cross-B sweep -- output semantics changed).
-# Keep it short: every slot it takes delays a never-sampled name by a
-# round.
+# green row.  Round 7: ``pq_ann_topk`` now trains its codebooks on a
+# bounded md5-rank sample (VERDICT r6 #1 -- the training trajectory, and
+# therefore the output, changes whenever the corpus exceeds ``n_train``),
+# and ``tokenizer_fertility_by_lang`` gained a zero-token divide guard.
+# ``bitext_mining_pairs`` dropped out: its banded-surface green row landed
+# in CORRECTNESS_r06 (VERDICT r6 #2).  Keep this short: every slot it
+# takes delays a never-sampled name by a round.
 _RECHECK = [
-    "bitext_mining_pairs",
+    "pq_ann_topk",
+    "tokenizer_fertility_by_lang",
 ]
 
 # Static fallback only for checkouts missing the CORRECTNESS artifacts

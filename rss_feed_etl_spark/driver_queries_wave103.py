@@ -113,8 +113,9 @@ SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(nt) AS BIGINT) AS n_tokens,
        CAST(sum(nc) AS BIGINT) AS n_chars,
-       round(CAST(sum(nc) AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 4)
-           AS chars_per_token,
+       CASE WHEN sum(nt) > 0
+            THEN round(CAST(sum(nc) AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 4)
+            END AS chars_per_token,
        round(CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
            AS tokens_per_doc
 FROM m GROUP BY 1

@@ -16,10 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import testdata as td
 from .driver_queries import _register
+from .driver_queries_corpus import _hexfold
 from .operators import similarity
 
 _PQ_QID, _PQ_TOP, _PQ_CAND, _PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM = 0, 10, 100, 4, 16, 1, 64
 _PQ_W = _PQ_DIM // _PQ_M
+_PQ_NTRAIN, _PQ_SALT = 1024, "pq-train-v1"
 
 
 def _q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,6 +35,8 @@ def _q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_codes=_PQ_K,
         iters=_PQ_ITERS,
         dim=_PQ_DIM,
+        n_train=_PQ_NTRAIN,
+        train_salt=_PQ_SALT,
     )
 
 
@@ -44,15 +48,22 @@ def _dist(e: str, c: str, w: int) -> str:
 
 
 def _pq_sub(s: int) -> str:
-    """CTEs for one subspace: slice, seed, one Lloyd step, encode, ADC."""
+    """CTEs for one subspace: slice, seed, one Lloyd step, encode, ADC.
+
+    Training CTEs (``tsub/c0/s1/a1/u1/c1``) read the bounded md5-rank
+    sample ``samp`` — VERDICT r6 #1: the engine trains codebooks on at
+    most ``n_train`` vectors, seeded by the ``k_codes`` smallest ids IN
+    the sample.  Encoding (``enc``) and the ADC query slice still read
+    the full corpus, exactly like the engine's scoring scan."""
     lo, hi, w = s * _PQ_W + 1, (s + 1) * _PQ_W, _PQ_W
     assert _PQ_ITERS == 1, "oracle CTEs are unrolled for iters = 1"
     return f"""
 sub{s} AS (SELECT vec_id, vec[{lo}:{hi}] AS sv FROM emb),
+tsub{s} AS (SELECT vec_id, vec[{lo}:{hi}] AS sv FROM samp),
 c0_{s} AS (SELECT vec_id AS cid, list_transform(sv, x -> round(x, 6)) AS cvec
-           FROM sub{s} WHERE vec_id < {_PQ_K}),
+           FROM tsub{s} WHERE vec_id IN (SELECT vec_id FROM seeds)),
 s1_{s} AS (SELECT e.vec_id, e.sv, c.cid, {_dist("e.sv", "c.cvec", w)} AS dist
-           FROM sub{s} e CROSS JOIN c0_{s} c),
+           FROM tsub{s} e CROSS JOIN c0_{s} c),
 a1_{s} AS (SELECT vec_id, sv, cid FROM (
              SELECT *, row_number() OVER (PARTITION BY vec_id
                                           ORDER BY dist ASC, cid ASC) AS rn
@@ -77,13 +88,20 @@ _PQ_SUBS = ",".join(_pq_sub(s) for s in range(_PQ_M))
 _PQ_SUM = " + ".join(f"v{s}.d" for s in range(_PQ_M))
 _PQ_JOINS = " ".join(f"JOIN v{s} USING (vec_id)" for s in range(1, _PQ_M))
 
+_PQ_HK = _hexfold(f"('{_PQ_SALT}:' || CAST(vec_id AS VARCHAR))")
+
 _register(
     "pq_ann_topk",
     _q_pq_ann,
     f"""
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-  FROM embeddings),{_PQ_SUBS},
+  FROM embeddings),
+samp AS (
+  SELECT vec_id, vec FROM (
+    SELECT vec_id, vec, {_PQ_HK} AS hk FROM emb
+    ORDER BY hk, vec_id LIMIT {_PQ_NTRAIN})),
+seeds AS (SELECT vec_id FROM samp ORDER BY vec_id LIMIT {_PQ_K}),{_PQ_SUBS},
 est AS (
   SELECT v0.vec_id, round({_PQ_SUM}, 6) AS est_sqdist
   FROM v0 {_PQ_JOINS}

@@ -81,18 +81,26 @@ def kmeans_centroids(
 
 
 def _kmeans_centroids_prepped(
-    emb: DataFrame, k: int, iters: int, decimals: int
+    emb: DataFrame, k: int, iters: int, decimals: int, seed_rank: bool = False
 ) -> dict[int, list[float]]:
     """Lloyd training over an already-``_prep``-ed (id, vec) frame —
     shared by ``kmeans_centroids`` and ``kmeans_lloyd`` so the caller's
-    projection is built once (ADVICE r5)."""
+    projection is built once (ADVICE r5).
+
+    ``seed_rank=False`` (default) seeds with ``id < k`` — the historical
+    contract every kmeans oracle replays, valid when ids are dense from 0.
+    ``seed_rank=True`` seeds with the ``k`` smallest ids PRESENT in the
+    frame (``ORDER BY id LIMIT k``) — required when the caller trains on a
+    bounded sample whose id set is sparse (``pq_ann_topk``'s md5-rank
+    training sample may not contain ids 0..k-1)."""
     # seed rounding happens IN the engine (F.round = SQL half-up), not via
     # Python round (banker's) — the oracle replays the identical trajectory
+    seeds = emb.orderBy("id").limit(k) if seed_rank else emb.filter(F.col("id") < k)
     centroids: dict[int, list[float]] = {
         r["id"]: list(r["cvec"])
-        for r in emb.filter(F.col("id") < k)
-        .select("id", F.transform("vec", lambda v: F.round(v, decimals)).alias("cvec"))
-        .collect()
+        for r in seeds.select(
+            "id", F.transform("vec", lambda v: F.round(v, decimals)).alias("cvec")
+        ).collect()
     }
     for _ in range(iters):
         assigned = emb.withColumn("cid", _assign(F.col("vec"), centroids)["cid"])

@@ -2270,7 +2270,11 @@ def tokenizer_fertility(
     Plan / 100 TB: MAP-ONLY per-row metrics (length + token count as pure
     expressions) into one language-grain aggregate with map-side partials
     — the operator is a free rider on whatever scan reads the text.
-    Ratios divide exact bigint sums as doubles, rounded once.
+    Ratios divide exact bigint sums as doubles, rounded once.  A language
+    whose documents are all blank has zero tokens: Spark's non-ANSI
+    divide-by-zero yields NULL while DuckDB's IEEE float division yields
+    inf, so ``chars_per_token`` is explicitly guarded to NULL on both
+    engines (ADVICE r6; the oracle mirrors with a CASE).
     """
     rows = df.select(
         F.col(lang_col).alias("lang"),
@@ -2281,8 +2285,11 @@ def tokenizer_fertility(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("nt").cast("bigint").alias("n_tokens"),
         F.sum("nc").cast("bigint").alias("n_chars"),
-        F.round(
-            F.sum("nc").cast("double") / F.sum("nt").cast("double"), decimals
+        F.when(
+            F.sum("nt") > 0,
+            F.round(
+                F.sum("nc").cast("double") / F.sum("nt").cast("double"), decimals
+            ),
         ).alias("chars_per_token"),
         F.round(
             F.sum("nt").cast("double") / F.count("*").cast("double"), decimals

@@ -65,6 +65,22 @@ def test_tokenizer_fertility_known_ratios(spark):
     assert out["bb"]["chars_per_token"] == 10.0
 
 
+def test_tokenizer_fertility_zero_token_lang_is_null(spark):
+    """ADVICE r6: a language whose documents are all blank must yield NULL
+    chars_per_token (guarded) on BOTH engines — unguarded, Spark's
+    non-ANSI 0/0 gives NULL while DuckDB's IEEE division gives inf and
+    the parity hash diverges."""
+    rows = [Row(lang="zz", text=""), Row(lang="aa", text="ab cd")]
+    out = {
+        r["lang"]: r
+        for r in textstats.tokenizer_fertility(spark.createDataFrame(rows)).collect()
+    }
+    assert out["zz"]["n_tokens"] == 0
+    assert out["zz"]["chars_per_token"] is None
+    assert out["zz"]["tokens_per_doc"] == 0.0
+    assert out["aa"]["chars_per_token"] == 2.5
+
+
 def test_split_oov_rate_counts_unseen_types(spark):
     train = spark.createDataFrame(
         [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="alpha delta")]
