@@ -335,13 +335,47 @@ def enrich_stream_to_parquet(
     )
 
 
+def _read_epoch_sink(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read an :func:`enrich_stream_to_parquet` target with schema merge on:
+    after the first compaction the base partition carries the
+    ``__folded_upto`` bookkeeping column while stream-written epoch
+    directories do not, so the unified schema needs the footer merge
+    (epoch rows surface it as NULL)."""
+    return spark.read.option("mergeSchema", "true").parquet(target_path)
+
+
+def _folded_upto(df: DataFrame) -> int:
+    """Highest epoch already folded into the base partition, -1 if never
+    compacted.  Every base row carries the same ``__folded_upto`` value
+    (the fold rewrites the whole base each compaction), so one
+    column-pruned ``take(1)`` on the base partition answers it."""
+    if "__folded_upto" not in df.columns:
+        return -1
+    row = (
+        df.filter(F.col("__epoch") == -1).select("__folded_upto").take(1)
+    )
+    return int(row[0][0]) if row and row[0][0] is not None else -1
+
+
 def enriched_read_view(spark: SparkSession, target_path: str) -> DataFrame:
     """Reader view of the per-epoch enrichment sink: the ``__epoch``
     partition column is write-side bookkeeping (it exists so a replayed
     micro-batch overwrites exactly its own partition), not data — consumers
     read through this view and never see it.  Identical rows before and
-    after :func:`compact_enriched_epochs`."""
-    return spark.read.parquet(target_path).drop("__epoch")
+    after :func:`compact_enriched_epochs`.
+
+    Crash safety (ADVICE r6): the view also filters out any
+    ``__epoch=N`` directory with ``N <= __folded_upto`` — a leftover from
+    a compaction that died after the base overwrite committed but before
+    the directory deletes ran.  The base's own rows say which epochs are
+    already folded (the fold records it atomically in the same overwrite
+    that folds the rows), so duplicates never surface, even mid-crash.
+    """
+    df = _read_epoch_sink(spark, target_path)
+    upto = _folded_upto(df)
+    if upto >= 0:
+        df = df.filter((F.col("__epoch") == -1) | (F.col("__epoch") > upto))
+    return df.drop("__epoch", "__folded_upto")
 
 
 def compact_enriched_epochs(
@@ -360,19 +394,57 @@ def compact_enriched_epochs(
     Epochs whose commit is recorded in the checkpoint can never replay —
     compact those.
 
+    Crash safety (ADVICE r6): the fold stamps ``__folded_upto =
+    upto_epoch`` into every base row, so the SAME atomic job commit that
+    folds the rows also records which epochs they came from — there is no
+    window where folded rows exist without the record (a manifest file
+    written before or after the overwrite would leave one).  If a prior
+    run died between its overwrite and its directory deletes, the
+    leftover ``__epoch=N <= __folded_upto`` directories are (a) invisible
+    to :func:`enriched_read_view` and (b) deleted — never re-folded — by
+    the healing pass at the start of the next run, so a rerun converges
+    instead of folding the duplicate copy in permanently.
+
     The fold localCheckpoints the combined rows BEFORE touching files
     (the same read-then-overwrite barrier every fold sink here uses),
     rewrites the base partition via dynamic partition overwrite, then
     drops the folded epoch directories through the Hadoop FileSystem API
     (works on any Spark-supported filesystem, not just local disk).
-    Returns True when anything was compacted.
+    Returns True when anything was compacted or healed.
     """
-    df = spark.read.parquet(target_path)
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _drop_epoch_dirs(upto: int) -> bool:
+        dropped = False
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("__epoch="):
+                continue
+            try:
+                epoch = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if 0 <= epoch <= upto:
+                fs.delete(st.getPath(), True)
+                dropped = True
+        return dropped
+
+    already = _folded_upto(_read_epoch_sink(spark, target_path))
+    # healing pass: epoch dirs at or below the base's recorded fold
+    # horizon are leftovers of a crashed delete phase — their rows are
+    # already in the base, so delete, never re-fold
+    healed = _drop_epoch_dirs(already)
+
+    df = _read_epoch_sink(spark, target_path)
     old = df.filter(F.col("__epoch") <= upto_epoch)
     if not old.take(1):
-        return False
+        return healed
+    new_upto = max(upto_epoch, already)
     folded = (
         old.withColumn("__epoch", F.lit(-1).cast("int"))
+        .withColumn("__folded_upto", F.lit(new_upto).cast("int"))
         .localCheckpoint(eager=True)
     )
     (
@@ -381,19 +453,7 @@ def compact_enriched_epochs(
         .partitionBy("__epoch")
         .parquet(target_path)
     )
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(target_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if not name.startswith("__epoch="):
-            continue
-        try:
-            epoch = int(name.split("=", 1)[1])
-        except ValueError:
-            continue
-        if 0 <= epoch <= upto_epoch:
-            fs.delete(st.getPath(), True)
+    _drop_epoch_dirs(upto_epoch)
     return True
 
 

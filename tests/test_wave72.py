@@ -134,3 +134,65 @@ def test_enriched_read_view_equivalent_across_compaction(spark, tmp_path):
         (r["doc_id"], r["source"], r["tier"])
         for r in enriched_read_view(spark, target).collect()
     } == before
+
+
+def test_compaction_crash_window_is_self_healing(spark, tmp_path):
+    """ADVICE r6: a compaction that dies AFTER the base overwrite commits
+    but BEFORE the folded __epoch=N directories are deleted must not
+    surface duplicates (the base records __folded_upto atomically with the
+    fold) and a rerun must heal — delete the leftovers, never fold the
+    duplicate copy in permanently."""
+    import os
+    import shutil
+
+    from rss_feed_etl_spark.streaming.incremental import (
+        compact_enriched_epochs,
+        enriched_read_view,
+    )
+
+    landing = str(tmp_path / "landing")
+    dim_path = str(tmp_path / "dim")
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [Row(source="a", tier="bronze"), Row(source="b", tier="silver")]
+    ).write.mode("overwrite").parquet(dim_path)
+    for i, src in enumerate(["a", "b", "a"]):
+        spark.createDataFrame([Row(doc_id=i, source=src)]).write.mode(
+            "append"
+        ).parquet(landing)
+        stream = spark.readStream.schema("doc_id long, source string").parquet(
+            landing
+        )
+        q = enrich_stream_to_parquet(stream, dim_path, "source", target, ckpt)
+        q.awaitTermination(120)
+    before = {
+        (r["doc_id"], r["source"], r["tier"])
+        for r in enriched_read_view(spark, target).collect()
+    }
+
+    # stash the to-be-folded epoch dirs, compact, then restore them --
+    # byte-identical to a crash between the overwrite and the deletes
+    stash = tmp_path / "stash"
+    for d in ("__epoch=0", "__epoch=1"):
+        shutil.copytree(os.path.join(target, d), stash / d)
+    assert compact_enriched_epochs(spark, target, upto_epoch=1)
+    for d in ("__epoch=0", "__epoch=1"):
+        shutil.copytree(stash / d, os.path.join(target, d))
+
+    # duplicates exist on disk, but the read view must not surface them
+    rows = [
+        (r["doc_id"], r["source"], r["tier"])
+        for r in enriched_read_view(spark, target).collect()
+    ]
+    assert len(rows) == len(before) and set(rows) == before
+
+    # the rerun heals: leftovers deleted, rows STILL not duplicated
+    assert compact_enriched_epochs(spark, target, upto_epoch=1)
+    remaining = {d for d in os.listdir(target) if d.startswith("__epoch=")}
+    assert "__epoch=0" not in remaining and "__epoch=1" not in remaining
+    rows2 = [
+        (r["doc_id"], r["source"], r["tier"])
+        for r in enriched_read_view(spark, target).collect()
+    ]
+    assert len(rows2) == len(before) and set(rows2) == before
