@@ -204,6 +204,25 @@ def bench_degenerate_dedup(spark) -> dict[str, float]:
         "overwrite"
     ).format("noop").save()
     out["degenerate_kcore_star"] = round(_t.perf_counter() - t0, 3)
+
+    # universal-template boilerplate strip (VERDICT r6 #3): an identical
+    # 30-token template prepended to EVERY document makes each of its
+    # shingles hot in all 10k docs.  The (shingle, id)-grain plan costs
+    # one bounded row per (shingle, doc) — the old shingle-grain
+    # collect_list built ONE array row holding every occurrence, which
+    # cannot spill.  Timing proves the guarded shape stays linear.
+    from rss_feed_etl_spark.operators import textstats as _ts
+
+    tmpl30 = " ".join(f"tmpl{i}" for i in range(30))
+    tdocs = spark.range(10000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(tmpl30 + " body "), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    t0 = _t.perf_counter()
+    _ts.remove_boilerplate(tdocs).write.mode("overwrite").format("noop").save()
+    out["degenerate_boilerplate_template"] = round(_t.perf_counter() - t0, 3)
     return out
 
 

@@ -732,6 +732,7 @@ from . import driver_queries_wave106  # noqa: E402, F401  (registers wave-106 qu
 _RECHECK = [
     "pq_ann_topk",
     "tokenizer_fertility_by_lang",
+    "boilerplate_removed",
 ]
 
 # Static fallback only for checkouts missing the CORRECTNESS artifacts

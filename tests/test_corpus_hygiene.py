@@ -88,3 +88,33 @@ def test_remove_boilerplate_can_empty_a_document(spark):
     ).collect()
     for r in out:
         assert r["clean_text"] == "" and r["n_removed"] == 4
+
+
+def test_remove_boilerplate_universal_template(spark):
+    """VERDICT r6 #3 degenerate guard: a template present in EVERY
+    document (the worst case for the old shingle-grain occurrence array)
+    must be stripped from every document with per-record state bounded at
+    (shingle, doc) grain — the plan reads the cached grain twice and
+    broadcast-semi-joins the template-grain hot set."""
+    tmpl = "sign up for the daily newsletter today"
+    rows = [(i, f"{tmpl} body{i} tail{i}") for i in range(40)]
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r
+        for r in textstats.remove_boilerplate(df, k=3, min_docs=40).collect()
+    }
+    assert len(out) == 40
+    for i in range(40):
+        assert out[i]["clean_text"] == f"body{i} tail{i}"
+        assert out[i]["n_removed"] == 7  # the whole template, nothing else
+
+    # plan shape: cached (shingle,id) grain + broadcast LEFT-SEMI hot set
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        textstats.remove_boilerplate(df, k=3, min_docs=40).explain("formatted")
+    plan = buf.getvalue()
+    assert "InMemoryTableScan" in plan
+    assert "LeftSemi" in plan and "Broadcast" in plan
