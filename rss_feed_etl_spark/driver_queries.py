@@ -733,6 +733,7 @@ _RECHECK = [
     "pq_ann_topk",
     "tokenizer_fertility_by_lang",
     "boilerplate_removed",
+    "dsir_importance_weights",
 ]
 
 # Static fallback only for checkouts missing the CORRECTNESS artifacts
