@@ -115,6 +115,10 @@ HEADLINE = [
     "tokenizer_fertility_by_lang",
     "split_oov_rate",
     "source_scorecard",
+    # round-7 capstone: the end-to-end curation funnel (quality gate ->
+    # exact + near dedup -> exact + semantic decontamination -> mixture
+    # weights -> packing) composed over the planted-leak corpus
+    "curation_pipeline",
 ]
 
 
@@ -286,6 +290,9 @@ SCALE_QUERIES = [
     # corpus scans into source/lang-grain aggregates — the curve should
     # track data volume
     "source_scorecard",
+    # round-7 capstone: every stage is a guarded/banded operator, so the
+    # composed funnel should inherit their at-worst-linear curves
+    "curation_pipeline",
     "tokenizer_fertility_by_lang",
     "split_oov_rate",
 ]

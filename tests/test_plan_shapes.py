@@ -389,13 +389,19 @@ def test_boilerplate_removal_joins_broadcast_only(spark):
     # broadcast; the doc bodies are never exchanged on a shingle key
     assert "SortMergeJoin" not in s
     assert "CartesianProduct" not in s
-    # single-scan shape (round 4): one shingle posexplode feeds both the
-    # hot-set decision and the start lists, so only two consumers read the
-    # corpus (shingle stream + body re-read for the strip).  The aug input
-    # is a 2-scan union, so the plan holds exactly 4 parquet scans — the
-    # old two-pass shape had 6
-    assert s.count("Scan parquet") <= 4
-    assert "Window" not in s  # hot filter is an array computation, not a window
+    # round-7 bounded shape: ONE shingle posexplode aggregates to
+    # (shingle, id) grain, cached (InMemoryTableScan consumers: hot-set
+    # count + start lists), hot set broadcast back as a LEFT-SEMI; only
+    # the strip re-reads the corpus bodies — 2 distinct parquet scan
+    # NODES (the round-4 single-scan shape needed 4, the two-pass 6).
+    # Count numbered operator nodes: formatted explain textually repeats
+    # the cached child plan under every InMemoryTableScan.
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", s, re.M)) <= 2
+    assert "InMemoryTableScan" in s
+    assert "LeftSemi" in s
+    assert "Window" not in s  # hot filter is a count at grain, not a window
 
 
 def test_pagerank_iteration_state_is_checkpointed(spark):
