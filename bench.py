@@ -119,6 +119,11 @@ HEADLINE = [
     # exact + near dedup -> exact + semantic decontamination -> mixture
     # weights -> packing) composed over the planted-leak corpus
     "curation_pipeline",
+    # round-7 wave 108: IVF-PQ composed ANN (probed-cell ADC), packing
+    # fragmentation diagnostics, byte-exact media dedup
+    "ivfpq_ann_topk",
+    "packing_fragmentation",
+    "media_exact_dedup",
 ]
 
 
@@ -293,6 +298,9 @@ SCALE_QUERIES = [
     # round-7 capstone: every stage is a guarded/banded operator, so the
     # composed funnel should inherit their at-worst-linear curves
     "curation_pipeline",
+    # round-7 IVF-PQ: fixed codegen cost + probed-cell map-only scan —
+    # the curve should look like pq_ann_topk's (mostly flat at toy SFs)
+    "ivfpq_ann_topk",
     "tokenizer_fertility_by_lang",
     "split_oov_rate",
 ]

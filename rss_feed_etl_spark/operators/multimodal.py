@@ -363,3 +363,34 @@ def video_embedding_pool(
             ),
         ).alias("pooled"),
     )
+
+
+def media_exact_dedup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Exact dedup over opaque BINARY media content: group by the md5
+    digest of the bytes, keep the smallest id per group, and return the
+    DROP decisions — ``(media_id, canonical_id)`` for every non-survivor.
+    The byte-level first pass every multimodal curation run starts with
+    (re-crawled images, mirrored videos, re-encoded copies are caught by
+    the perceptual/feature stages later; byte-identical copies never need
+    a decode at all).
+
+    Plan / 100 TB: the digest computes at the scan (map-only over the
+    binary column); only ``(id, digest)`` pairs — never the media bytes —
+    reach the digest-key exchange.  One partial-agg min per digest and a
+    digest-key join back emit the drop list; singleton digests produce no
+    row.  This is ``dedup_exact``'s shape with the text fingerprint
+    swapped for a byte digest (dedup.py:82).
+    """
+    fp = media.select(
+        F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("__fp")
+    )
+    canon = fp.groupBy("__fp").agg(F.min("id").alias("canonical_id"))
+    return (
+        fp.join(canon, "__fp")
+        .filter(F.col("id") != F.col("canonical_id"))
+        .select(F.col("id").alias(id_col), "canonical_id")
+    )

@@ -74,6 +74,70 @@ def pack_sequences(
     )
 
 
+def packing_fragmentation(
+    df: DataFrame,
+    token_col: str,
+    key_col: str = "doc_id",
+    seq_len: int = 2048,
+    salt: str = "pack-v1",
+    n_buckets: int = 1024,
+    decimals: int = 6,
+) -> DataFrame:
+    """Fragmentation diagnostics for a :func:`pack_sequences` layout — the
+    numbers a pretraining run checks before committing to a sequence
+    length: how many documents straddle a sequence boundary (their
+    attention span gets cut), how many sequences each document touches,
+    and the total sequence count the token volume implies.
+
+    Output: ONE row — ``(n_docs, total_tokens, n_seqs, straddled_docs,
+    straddle_rate, mean_spans)``.  ``n_seqs = ceil(total/seq_len)`` (the
+    stream is contiguous, so the last sequence is the only padded one);
+    ``spans`` counts the sequences a document overlaps
+    (``1 + floor((offset + tokens - 1) / seq_len)`` relative to its own
+    start sequence); zero-token documents occupy no slot and are
+    excluded from the span statistics.
+
+    Plan / 100 TB: one pass over the :func:`pack_sequences` output
+    (which is itself the distributed prefix sum) into a single global
+    aggregate with map-side partials — no new exchange beyond packing's
+    own.  The ratios divide exact bigint sums as doubles, rounded once.
+    """
+    packed = pack_sequences(
+        df, token_col, key_col=key_col, seq_len=seq_len, salt=salt,
+        n_buckets=n_buckets,
+    )
+    spans = (
+        F.lit(1)
+        + F.floor((F.col("seq_offset") + F.col("n_tokens") - 1) / seq_len)
+    ).cast("bigint")
+    rows = packed.select(
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, spans).alias("spans"),
+        (
+            (F.col("n_tokens") > 0)
+            & (F.col("seq_offset") + F.col("n_tokens") > seq_len)
+        ).cast("int").alias("straddled"),
+    )
+    return rows.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.ceil(F.sum("n_tokens").cast("double") / F.lit(float(seq_len)))
+        .cast("bigint")
+        .alias("n_seqs"),
+        F.sum("straddled").cast("bigint").alias("straddled_docs"),
+        F.round(
+            F.sum("straddled").cast("double")
+            / F.sum((F.col("n_tokens") > 0).cast("int")).cast("double"),
+            decimals,
+        ).alias("straddle_rate"),
+        F.round(
+            F.sum("spans").cast("double")
+            / F.sum((F.col("n_tokens") > 0).cast("int")).cast("double"),
+            decimals,
+        ).alias("mean_spans"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

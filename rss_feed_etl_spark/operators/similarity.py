@@ -1644,3 +1644,131 @@ def pq_ann_topk(
     return top.select(
         id_col, "sqdist", F.row_number().over(rk).cast("int").alias("rank")
     )
+
+
+def ivfpq_ann_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k_top: int = 10,
+    candidates: int = 50,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 1,
+    dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+    n_train: int = 1024,
+    train_salt: str = "ivfpq-train-v1",
+    cell_salt: str = "ivfpq-cells-v1",
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbor — the composition FAISS ships
+    as its production default (Jegou et al. 2011): an IVF coarse
+    quantizer partitions the corpus into ``n_centroids`` cells, the query
+    probes only its ``nprobe`` nearest cells, and a product-quantization
+    ADC scan prices ONLY the probed cells' members before the exact
+    rerank of the ``candidates`` shortlist.
+
+    Output: the ``k_top`` nearest PROBED corpus vectors to ``query_id``
+    — ``(vec_id, sqdist, rank)`` by exact squared L2 over the shortlist,
+    ties → smaller id.  (IVF recall loss is by design: vectors in
+    unprobed cells are never scored — that is the knob that trades
+    recall for reading nprobe/n_centroids of the data.)
+
+    Determinism / oracle: the coarse quantizer is the fixed-size
+    md5-rank sample (``_ivf_centroids`` — model-sized, corpus-
+    independent); cell assignment is exact-L2 argmin with (dist, cid)
+    ties; PQ codebooks train on the bounded md5-rank sample with
+    rank-seeded Lloyd (the ``pq_ann_topk`` recipe); every distance is
+    the same sequential left fold both engines replay.
+
+    Plan / 100 TB: centroids and codebooks are driver-side literals
+    (model-sized state), so the scoring pass is ONE map-only scan —
+    assign cell, filter to the probed cells, ADC-score — into a
+    distributed TakeOrdered; the shortlist broadcasts back for the
+    exact rerank.  At production scale the cell id and PQ codes are
+    precomputed at ingest and the table is partitioned BY CELL, so a
+    probe reads nprobe/n_centroids of the data instead of filtering a
+    full scan — the filter here stands in for that partition pruning,
+    and everything that moves between stages is id-sized either way.
+    """
+    from .clustering import _assign, _kmeans_centroids_prepped, _prep
+    from .clustering import _sqdist as _sqdist_helper
+
+    w = dim // m
+    emb = _prep(embeddings, id_col, vec_col)
+
+    cents = {
+        int(cid): [float(v) for v in cvec]
+        for cid, cvec in _ivf_centroids(embeddings, id_col, vec_col, n_centroids, cell_salt)
+    }
+
+    train = _pq_training_sample(emb, n_train, train_salt).localCheckpoint(eager=True)
+    books: list[dict[int, list[float]]] = []
+    for s in range(m):
+        sub = train.select("id", F.slice("vec", s * w + 1, w).alias("vec"))
+        books.append(
+            _kmeans_centroids_prepped(sub, k_codes, iters, decimals, seed_rank=True)
+        )
+    qrows = emb.filter(F.col("id") == query_id).select("vec").collect()
+    if not qrows:
+        raise ValueError(
+            f"ivfpq_ann_topk: query_id {query_id!r} not present in column {id_col!r}"
+        )
+    qvec = list(qrows[0]["vec"])
+
+    def fold_sqdist(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    probes = [
+        cid
+        for _, cid in sorted(
+            (fold_sqdist(qvec, cvec), cid) for cid, cvec in cents.items()
+        )[:nprobe]
+    ]
+
+    def lut(cid_col, table: dict[int, float]):
+        expr = None
+        for cid, d in sorted(table.items()):
+            arm = F.lit(float(d))
+            expr = (
+                F.when(cid_col == cid, arm)
+                if expr is None
+                else expr.when(cid_col == cid, arm)
+            )
+        return expr
+
+    est = None
+    for s in range(m):
+        adc = {
+            cid: fold_sqdist(qvec[s * w : (s + 1) * w], cvec)
+            for cid, cvec in books[s].items()
+        }
+        cid_col = _assign(F.slice("vec", s * w + 1, w), books[s])["cid"]
+        term = lut(cid_col, adc)
+        est = term if est is None else est + term
+
+    cell = _assign(F.col("vec"), cents)["cid"]
+    scored = (
+        emb.filter(F.col("id") != query_id)
+        .withColumn("__cell", cell)
+        .filter(F.col("__cell").isin([int(p) for p in probes]))
+        .select(F.col("id").alias(id_col), F.round(est, decimals).alias("est_sqdist"))
+    )
+    shortlist = scored.orderBy(F.asc("est_sqdist"), F.asc(id_col)).limit(candidates)
+    reranked = emb.join(
+        F.broadcast(shortlist.select(F.col(id_col).alias("id"))), "id"
+    ).select(
+        F.col("id").alias(id_col),
+        F.round(_sqdist_helper(F.col("vec"), qvec), decimals).alias("sqdist"),
+    )
+    top = reranked.orderBy(F.asc("sqdist"), F.asc(id_col)).limit(k_top)
+    rk = Window.orderBy(F.asc("sqdist"), F.asc(id_col))
+    return top.select(
+        id_col, "sqdist", F.row_number().over(rk).cast("int").alias("rank")
+    )
