@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import MOD
-from ..functions.text import norm_text
+from ..functions.text import norm_text, tokens as _tokens
 
 
 def dedup_by_key(
@@ -1124,4 +1124,61 @@ def source_jaccard_matrix(
             / F.count("*").cast("double"),
             decimals,
         ).alias("est_jaccard"),
+    )
+
+
+def chunk_stitch_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Crawl-fragment stitching candidates: pairs of documents where the
+    LAST ``k`` tokens of one exactly equal the FIRST ``k`` tokens of
+    another — the signature a document leaves when a crawler or chunker
+    split it mid-stream with overlap.  Re-assembling such fragments
+    before dedup/packing is standard corpus reconstruction (the inverse
+    of ``chunk_documents``).
+
+    Output: ``(prev_id, next_id, boundary)`` — the shared k-token
+    boundary string; self-pairs excluded.  Documents shorter than ``k``
+    tokens carry no full boundary gram and never pair.
+
+    ``max_df`` is the hot-boundary guard, ON by default (the
+    ``ngram_jaccard_pairs`` cap): a boilerplate opening shared by
+    millions of documents would otherwise make the head-side bucket a
+    quadratic pair factory.  Capped boundaries are dropped from BOTH
+    sides — a boundary that common is template, not a split point.
+
+    Plan / 100 TB: each document emits ONE head row and ONE tail row
+    (map-only slices, no explode); the only exchange is the equi-join on
+    the boundary string, with the head side aggregated to
+    (boundary → ids) buckets first so the cap applies before any pair
+    fans out.
+    """
+    toks = _tokens(F.lower(F.col(text_col)))
+    staged = df.select(
+        F.col(id_col).alias("id"), toks.alias("__t")
+    ).filter(F.size("__t") >= k)
+    heads = staged.select(
+        "id", F.concat_ws(" ", F.slice("__t", 1, k)).alias("boundary")
+    )
+    tails = staged.select(
+        "id",
+        F.concat_ws(" ", F.slice("__t", F.size("__t") - (k - 1), k)).alias(
+            "boundary"
+        ),
+    )
+    buckets = heads.groupBy("boundary").agg(F.collect_list("id").alias("__ids"))
+    if max_df is not None:
+        buckets = buckets.filter(F.size("__ids") <= max_df)
+    return (
+        tails.join(buckets, "boundary")
+        .select(
+            F.col("id").alias("prev_id"),
+            F.explode("__ids").alias("next_id"),
+            "boundary",
+        )
+        .filter(F.col("prev_id") != F.col("next_id"))
     )

@@ -2430,3 +2430,65 @@ def source_scorecard(
             "token_share"
         ),
     )
+
+
+def vocab_oov_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    sizes: tuple[int, ...] = (1000, 2000, 4000, 8000),
+    decimals: int = 6,
+) -> DataFrame:
+    """OOV rate as a function of vocabulary size — the curve a tokenizer
+    budget decision reads: with the ``k`` most frequent types as the
+    vocabulary, what fraction of corpus TOKENS fall outside it?
+
+    Output: one row per requested size —
+    ``(vocab_size, n_types, total_types, oov_rate)`` where ``n_types =
+    min(size, total_types)`` and ``oov_rate = 1 - covered/total`` over
+    token OCCURRENCES.  Ties at the frequency boundary resolve
+    alphabetically (count desc, token asc) so both engines pick the same
+    vocabulary.
+
+    Plan / 100 TB: ONE token-grain aggregate (map-side combined) gives
+    the type-frequency table; the candidate vocabulary is a
+    TakeOrdered over it bounded by ``max(sizes)`` (model-sized driver
+    state never materializes — the limit stays distributed), and every
+    curve point is an aggregate over that bounded frame plus the two
+    corpus scalars.  The corpus is scanned once; no per-size rescan.
+    """
+    toks = df.select(F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").cast("bigint").alias("total_occ"),
+        F.count("*").cast("bigint").alias("total_types"),
+    )
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(max(sizes))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("tok").asc())),
+        )
+    )
+    sizes_df = df.sparkSession.createDataFrame(
+        [(int(s),) for s in sorted(sizes)], "vocab_size int"
+    )
+    covered = (
+        sizes_df.join(top, F.col("rank") <= F.col("vocab_size"), "left")
+        .groupBy("vocab_size")
+        .agg(
+            F.count("rank").cast("bigint").alias("n_types"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("covered"),
+        )
+    )
+    return covered.crossJoin(F.broadcast(totals)).select(
+        "vocab_size",
+        "n_types",
+        "total_types",
+        F.round(
+            1.0 - F.col("covered").cast("double") / F.col("total_occ").cast("double"),
+            decimals,
+        ).alias("oov_rate"),
+    )
