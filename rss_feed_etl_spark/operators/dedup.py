@@ -1182,3 +1182,79 @@ def chunk_stitch_pairs(
         )
         .filter(F.col("prev_id") != F.col("next_id"))
     )
+
+
+def minhash_threshold_sweep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    thresholds: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Threshold sensitivity for MinHash near-dedup: how many candidate
+    pairs survive at each estimated-Jaccard cutoff — the curve read
+    before committing a dedup threshold (too low merges topical
+    neighbors, too high leaves boilerplate clones).
+
+    Output: one row per threshold — ``(threshold, n_pairs)``.
+
+    Plan / 100 TB: signatures, banding, and candidate generation run
+    ONCE at the lowest requested threshold; the sweep is then a
+    conditional count over the candidate-pair frame (pair-grain — the
+    duplicate-rate-sized table, never the corpus).
+    """
+    lo = min(thresholds)
+    pairs = minhash_lsh_pairs(
+        df, id_col=id_col, text_col=text_col, n=n, threshold=lo,
+        max_bucket=max_bucket,
+    )
+    ts = F.array(*[F.lit(round(float(t), 6)) for t in sorted(thresholds)])
+    return (
+        pairs.select(F.explode(ts).alias("threshold"), "est_jaccard")
+        .groupBy("threshold")
+        .agg(
+            F.sum((F.col("est_jaccard") >= F.col("threshold")).cast("int"))
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+    )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate FLOW between sources: for every near-dup pair, the
+    (source, source) cell it falls in — the provenance matrix that shows
+    which feeds mirror which (a mirror site shows up as an off-diagonal
+    spike; within-source templates as a heavy diagonal).
+
+    Output: ``(source_a, source_b, n_pairs)`` with the two sources
+    ordered lexicographically so each unordered cell counts once.
+
+    Plan / 100 TB: the pair list (duplicate-rate-sized) joins the
+    id→source projection twice on the id key — the corpus text never
+    joins anything; source-grain aggregate with map-side partials.
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col=id_col, text_col=text_col, n=n, threshold=threshold,
+        max_bucket=max_bucket,
+    )
+    src_a = df.select(F.col(id_col).alias("id_a"), F.col(source_col).alias("__sa"))
+    src_b = df.select(F.col(id_col).alias("id_b"), F.col(source_col).alias("__sb"))
+    return (
+        pairs.join(src_a, "id_a")
+        .join(src_b, "id_b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
