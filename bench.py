@@ -214,6 +214,15 @@ def bench_degenerate_dedup(spark) -> dict[str, float]:
     ).format("noop").save()
     out["degenerate_kcore_star"] = round(_t.perf_counter() - t0, 3)
 
+    # crawl-fragment stitching on a template corpus: 5k identical docs
+    # mean every head/tail boundary is the SAME 4-gram — unguarded that
+    # bucket is a 25M-pair factory; the max_df cap drops it
+    t0 = _t.perf_counter()
+    dedup.chunk_stitch_pairs(docs, id_col="id", text_col="text", max_df=1000).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    out["degenerate_stitch_guarded"] = round(_t.perf_counter() - t0, 3)
+
     # universal-template boilerplate strip (VERDICT r6 #3): an identical
     # 30-token template prepended to EVERY document makes each of its
     # shingles hot in all 10k docs.  The (shingle, id)-grain plan costs

@@ -602,7 +602,9 @@ def dsir_importance_weights(
     spillably so the tokenize + md5-per-bigram work runs once, not once
     per pass — VERDICT r6 #4, warm same-process noop A/B on the 10x
     corpus: 21.7–24.3 s → 10.3–14.9 s (~0.5x; the sf0.1 cost is
-    cache-write-bound and moves 0.84 → 0.95 s, inside the drift band).
+    cache-write-bound and moves 0.84 → 0.95 s, inside the drift band);
+    the official round-7 bench 10x entry moved 22.7 s → 2.5 s (scale
+    ratio 8.64 → 3.63, ``BENCH_LOCAL.json``).
     An integer-code bigram mixer (the ``source_jaccard_matrix`` recipe)
     was measured in the same A/B and REJECTED: 20.4 vs 20.1 s unpersisted
     — the md5-per-bigram is not the bottleneck once the stream is reused,

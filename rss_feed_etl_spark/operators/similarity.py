@@ -1570,10 +1570,11 @@ def pq_ann_topk(
     Local cost profile: most of the local wall time is fixed per-job
     analysis/codegen latency for the k_codes-way argmin expression trees
     (the training collects and the scoring scan each pay it), so cost
-    grows well sub-linearly with corpus size at toy SFs — the bench's
-    10x scale entry tracks the measured ratio — and with ``n_train``
-    bounding the training side, only the single map-only ADC scan scales
-    with the corpus at all.
+    grows well sub-linearly with corpus size at toy SFs — measured
+    ratio 1.82 on the 10x corpus in the round-7 same-day bench
+    (8.2 s → 15.0 s; ``BENCH_LOCAL.json``) — and with ``n_train``
+    bounding the training side, only the single map-only ADC scan
+    scales with the corpus at all.
     """
     from .clustering import _assign, _kmeans_centroids_prepped, _prep
     from .clustering import _sqdist as _sqdist_helper
