@@ -50,6 +50,36 @@ def test_pq_ann_recall_bound_vs_exact(spark):
     assert full == exact  # shortlist covers corpus -> rerank IS exact
 
 
+def test_batched_codebooks_match_per_subspace_loop(spark):
+    """The batched trainer (one seed collect + one update collect per
+    iteration over the union of subspace slices) must walk the EXACT
+    trajectory of the per-subspace seed_rank Lloyd loop — the oracle
+    CTEs replay the per-subspace form, so any divergence is a parity
+    break."""
+    if not os.path.exists(f"{SF_DIR}/embeddings.parquet"):
+        import pytest
+
+        pytest.skip("testdata not present")
+    from rss_feed_etl_spark.operators.clustering import _kmeans_centroids_prepped
+    from rss_feed_etl_spark.operators.similarity import (
+        _pq_codebooks,
+        _pq_training_sample,
+    )
+
+    emb = _prep(td.load_table(spark, SF_DIR, "embeddings"), "vec_id", "embedding")
+    m, w, k, iters, dec = 4, 16, 16, 2, 6  # two iterations: exercise the loop
+    train = _pq_training_sample(emb, 256, "pq-train-v1").localCheckpoint(eager=True)
+    old = [
+        _kmeans_centroids_prepped(
+            train.select("id", F.slice("vec", s * w + 1, w).alias("vec")),
+            k, iters, dec, seed_rank=True,
+        )
+        for s in range(m)
+    ]
+    new = _pq_codebooks(train, m, w, k, iters, dec)
+    assert new == old
+
+
 def test_pq_ann_output_contract(spark):
     if not os.path.exists(f"{SF_DIR}/embeddings.parquet"):
         import pytest
