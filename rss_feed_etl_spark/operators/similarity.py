@@ -1641,8 +1641,8 @@ def pq_ann_topk(
     analysis/codegen latency for the k_codes-way argmin expression trees
     (the training collects and the scoring scan each pay it), so cost
     grows well sub-linearly with corpus size at toy SFs — measured
-    ratio 1.82 on the 10x corpus in the round-7 same-day bench
-    (8.2 s → 15.0 s; ``BENCH_LOCAL.json``) — and with ``n_train``
+    ratio 1.66 on the 10x corpus in the round-7 same-day bench
+    (7.8 s → 12.9 s; ``BENCH_LOCAL.json``) — and with ``n_train``
     bounding the training side, only the single map-only ADC scan
     scales with the corpus at all.
     """
