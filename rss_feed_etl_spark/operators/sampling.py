@@ -934,3 +934,75 @@ def semantic_contamination(
             F.col("cos").alias("cosine_sim"),
         )
     )
+
+
+def quality_select_cutoffs(
+    scores: DataFrame,
+    source_col: str = "source",
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+    keep_permille: tuple[int, ...] = (500, 700, 900),
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-source score thresholds for top-fraction selection: for each
+    requested keep fraction (in PER-MILLE so the rank arithmetic is
+    exact integer math on both engines — ``0.7 * n`` in IEEE floats and
+    in DuckDB's DECIMAL literals round differently), the score of the
+    ``ceil(n * pm / 1000)``-th best document.  "Keep everything at or
+    above the cutoff" then keeps at least the requested fraction — the
+    per-source top-p gate a mixture-aware curation run applies instead
+    of one global threshold (which silently starves clean-but-small
+    sources).
+
+    Output: ``(source, keep_permille, n_docs, cutoff)``.  Ties at the
+    boundary share a score, so the cutoff VALUE is deterministic no
+    matter how the tied documents order.
+
+    Plan / 100 TB: one rank window partitioned BY SOURCE over
+    score-grain rows (each partition is one source's documents), a
+    source-grain count, and a source×fraction (tiny) join against the
+    ranked rows — document text never enters.
+    """
+    ranked = scores.select(
+        F.col(source_col).alias("source"),
+        F.col(score_col).alias("__score"),
+        F.col(id_col).alias("__id"),
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("__score").desc(), F.col("__id").asc()
+            )
+        ),
+    )
+    counts = ranked.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    fr = scores.sparkSession.createDataFrame(
+        [(int(p),) for p in sorted(keep_permille)], "keep_permille int"
+    )
+    ks = (
+        counts.crossJoin(F.broadcast(fr))
+        .withColumn(
+            "__k",
+            F.floor((F.col("n_docs") * F.col("keep_permille") + 999) / 1000).cast(
+                "bigint"
+            ),
+        )
+        # renamed join key: counts and ranked derive from the same frame,
+        # so an unaliased equi-join on "source" trips the ambiguous
+        # self-join check
+        .select(
+            F.col("source").alias("__ksrc"), "keep_permille", "n_docs", "__k"
+        )
+    )
+    return (
+        ranked.join(
+            ks,
+            (F.col("source") == F.col("__ksrc")) & (F.col("__rn") == F.col("__k")),
+        )
+        .select(
+            "source",
+            "keep_permille",
+            "n_docs",
+            F.round(F.col("__score"), decimals).alias("cutoff"),
+        )
+    )

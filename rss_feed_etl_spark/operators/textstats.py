@@ -2492,3 +2492,53 @@ def vocab_oov_curve(
             decimals,
         ).alias("oov_rate"),
     )
+
+
+def pii_density(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-source PII exposure: email / phone / SSN pattern hits per
+    1000 tokens — the safety scorecard a curation run reads to decide
+    which feeds need scrubbing (``redact_pii``) or exclusion before the
+    corpus ships.  Uses the same three patterns the redactor applies
+    (``functions.text.PII_EMAIL/PHONE/SSN``), so density-then-redact is
+    consistent by construction.
+
+    Output: ``(source, n_docs, n_tokens, n_emails, n_phones, n_ssns,
+    pii_per_1k_tokens)``; the rate is NULL for a source with zero
+    tokens (both engines — the fertility zero guard).
+
+    Plan / 100 TB: map-only per-row regexp counts (JVM regex, no UDF)
+    into one source-grain aggregate with map-side partials — a free
+    rider on whatever scan reads the text.
+    """
+    from ..functions.text import PII_EMAIL, PII_PHONE, PII_SSN
+
+    t = F.col(text_col)
+    rows = df.select(
+        F.col(source_col).alias("source"),
+        token_count(t).cast("bigint").alias("nt"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("e"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("bigint").alias("p"),
+        F.regexp_count(t, F.lit(PII_SSN)).cast("bigint").alias("s"),
+    )
+    return rows.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+        F.sum("e").cast("bigint").alias("n_emails"),
+        F.sum("p").cast("bigint").alias("n_phones"),
+        F.sum("s").cast("bigint").alias("n_ssns"),
+        F.when(
+            F.sum("nt") > 0,
+            F.round(
+                1000.0
+                * (F.sum("e") + F.sum("p") + F.sum("s")).cast("double")
+                / F.sum("nt").cast("double"),
+                decimals,
+            ),
+        ).alias("pii_per_1k_tokens"),
+    )
