@@ -713,6 +713,7 @@ from . import driver_queries_wave108  # noqa: E402, F401  (registers wave-108 qu
 from . import driver_queries_wave109  # noqa: E402, F401  (registers wave-109 queries)
 from . import driver_queries_wave110  # noqa: E402, F401  (registers wave-110 queries)
 from . import driver_queries_wave111  # noqa: E402, F401  (registers wave-111 queries)
+from . import driver_queries_wave112  # noqa: E402, F401  (registers wave-112 queries)
 
 
 # SELF-REFRESHING ROTATION (round 6; VERDICT r5 task #1).  The driver's

@@ -441,3 +441,147 @@ def partition_granularity_advisor(
             decimals,
         ).alias("read_amplification"),
     )
+
+
+def zonemap_skip_stats(
+    df: DataFrame,
+    key_col: str = "l_orderkey",
+    ts_col: str = "l_shipdate",
+    file_span: int = 1024,
+    window_days: tuple[int, ...] = (7, 30, 90),
+    decimals: int = 6,
+) -> DataFrame:
+    """Measure parquet/Delta zone-map (per-file min-max) skipping for a
+    family of trailing date-range predicates on a SIMULATED file layout:
+    rows land in synthetic files by ``floor(key/file_span)`` — i.e. the
+    ingest order the reference's append-mode loads produce
+    (src/etl/rss_feed_etl.py appends batches keyed by feed order, so file
+    boundaries track the write key, not the query column).  A file can be
+    skipped for ``ts >= lo`` exactly when its per-file ``max(ts) < lo`` —
+    the same one-sided prune a reader applies from parquet row-group
+    statistics.
+
+    Output per window: ``(window_days, n_files, files_read, rows_read,
+    rows_matching, file_skip_ratio, read_amplification)``.  A layout
+    whose write key is uncorrelated with the query column shows
+    read_amplification near n_rows/rows_matching (zone maps useless); a
+    time-clustered layout drives it toward 1.
+
+    Plan / 100 TB: ONE fact scan to (file) grain — min/max/count plus one
+    conditional sum per window, all map-side partials into a groupBy at
+    file cardinality (corpus_bytes / ~128 MB rows, model-sized).  The
+    window bounds ride in as a broadcast 1-row max aggregate; everything
+    after the first agg runs at file grain.
+    """
+    hi = F.broadcast(df.agg(F.max(F.col(ts_col)).alias("tmax_all")))
+    per_file = (
+        df.select(
+            (F.floor(F.col(key_col) / F.lit(int(file_span)))).alias("file_id"),
+            F.col(ts_col).alias("ts"),
+        )
+        .crossJoin(hi)
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("long").alias("rows"),
+            F.max("ts").alias("fmax"),
+            F.max("tmax_all").alias("tmax_all"),
+            *[
+                F.sum(
+                    (
+                        F.col("ts")
+                        >= F.col("tmax_all") - F.expr(f"INTERVAL {int(d)} DAYS")
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias(f"m{d}")
+                for d in window_days
+            ],
+        )
+    )
+    picks = [
+        per_file.select(
+            F.lit(int(d)).alias("window_days"),
+            F.col("rows"),
+            (
+                F.col("fmax")
+                >= F.col("tmax_all") - F.expr(f"INTERVAL {int(d)} DAYS")
+            ).cast("long").alias("read"),
+            F.col(f"m{d}").alias("match"),
+        )
+        for d in window_days
+    ]
+    stacked = picks[0]
+    for p in picks[1:]:
+        stacked = stacked.unionByName(p)
+    agg = stacked.groupBy("window_days").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("read").cast("bigint").alias("files_read"),
+        F.sum(F.col("read") * F.col("rows")).cast("bigint").alias("rows_read"),
+        F.sum("match").cast("bigint").alias("rows_matching"),
+    )
+    return agg.select(
+        "window_days", "n_files", "files_read", "rows_read", "rows_matching",
+        F.round(
+            (F.col("n_files") - F.col("files_read")).cast("double")
+            / F.col("n_files").cast("double"),
+            decimals,
+        ).alias("file_skip_ratio"),
+        F.when(
+            F.col("rows_matching") > 0,
+            F.round(
+                F.col("rows_read").cast("double")
+                / F.col("rows_matching").cast("double"),
+                decimals,
+            ),
+        ).alias("read_amplification"),
+    )
+
+
+def skew_salting_plan(
+    df: DataFrame,
+    key_col: str,
+    target_rows_per_task: int = 1000,
+    top_n: int = 20,
+    decimals: int = 6,
+) -> DataFrame:
+    """Actionable skew mitigation: for every join/shuffle key whose row
+    count exceeds ``target_rows_per_task``, compute the salt factor
+    (``ceil(rows/target)`` sub-keys) that caps any single salted task at
+    the target, plus the per-key share of the table and the resulting
+    salted task size.  This turns ``key_skew_report``'s diagnosis
+    (profiling.py) into the prescription: replicate the small side
+    ``salt_factor`` ways and append ``pmod(hash(...), salt_factor)`` to
+    the big side's key.
+
+    Output: top ``top_n`` hot keys by rows — ``(key, rows, share,
+    salt_factor, salted_task_rows)`` — deterministic order (rows DESC,
+    key ASC).
+
+    Plan / 100 TB: one map-side-combined groupBy to key grain, a filter
+    to hot keys only, and a TakeOrdered top-k — no full sort, no second
+    scan.  The total-rows denominator rides in as a broadcast 1-row
+    aggregate.
+    """
+    tot = F.broadcast(df.agg(F.count("*").cast("long").alias("n_total")))
+    per_key = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count("*").cast("long").alias("rows"))
+        .crossJoin(tot)
+        .filter(F.col("rows") > int(target_rows_per_task))
+    )
+    planned = per_key.select(
+        "key",
+        F.col("rows").cast("bigint").alias("rows"),
+        F.round(F.col("rows") / F.col("n_total"), decimals).alias("share"),
+        F.ceil(F.col("rows") / F.lit(int(target_rows_per_task)))
+        .cast("bigint")
+        .alias("salt_factor"),
+    )
+    return (
+        planned.withColumn(
+            "salted_task_rows",
+            F.ceil(F.col("rows") / F.col("salt_factor")).cast("bigint"),
+        )
+        .orderBy(F.col("rows").desc(), F.col("key").asc())
+        .limit(int(top_n))
+    )
