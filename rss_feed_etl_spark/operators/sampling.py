@@ -1006,3 +1006,213 @@ def quality_select_cutoffs(
             F.round(F.col("__score"), decimals).alias("cutoff"),
         )
     )
+
+
+def doremi_mixture_step(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    eta: float = 1.0,
+    smoothing: float = 0.1,
+    decimals: int = 6,
+) -> DataFrame:
+    """One DoReMi-style exponentiated-gradient update of domain mixture
+    weights (Xie et al. 2023): domains whose text is HARDER than the
+    corpus average get upweighted multiplicatively, then the weights are
+    smoothed toward uniform so no domain ever starves.  The published
+    recipe's per-domain excess loss needs a proxy+reference model pair;
+    the deterministic stand-in here is unigram token entropy — a domain
+    whose token distribution carries more bits/token than the REFERENCE
+    (the token-share-weighted mean of all domains' entropies, i.e. the
+    average difficulty a share-proportional mixture would see) is
+    "harder" in exactly the sense an LM's loss measures.
+
+        excess_d = max(0, H_d - sum_j share_j * H_j)
+        u_d      = token_share_d * exp(eta * excess_d)
+        weight_d = (1 - smoothing) * u_d / sum(u) + smoothing / n_domains
+
+    (The pooled-corpus entropy is NOT a usable reference: mixture
+    entropy dominates every component's entropy, so excess would be
+    identically zero and the update a no-op.)
+
+    Output per domain: ``(source, n_tokens, token_share, entropy,
+    excess, weight)``.
+
+    Plan / 100 TB: one token-grain aggregate — (source, tok) counts —
+    then pure arithmetic at domain grain (tens of rows).  Entropy terms
+    are rounded to 9 dp and summed as DECIMAL so cross-engine float fold
+    order cannot move the result; ``exp`` is applied once per domain to
+    an already-rounded argument.  No per-document state survives the
+    first aggregate.
+    """
+    from .textstats import _tokens
+
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sc = toks.groupBy("source", "tok").agg(F.count("*").alias("n"))
+    per_src = sc.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.round(F.col("n") * F.log("n"), 9).cast("decimal(20,10)"))
+        .alias("nlogn"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.log("n_tokens")
+            - F.col("nlogn").cast("double") / F.col("n_tokens"),
+            decimals,
+        ).alias("entropy"),
+    )
+    ref = F.broadcast(
+        per_src.agg(
+            F.sum("n_tokens").cast("bigint").alias("gt"),
+            F.sum(
+                F.round(F.col("entropy") * F.col("n_tokens"), 4)
+                .cast("decimal(30,10)")
+            ).alias("hw"),
+        ).select(
+            "gt",
+            F.round(
+                F.col("hw").cast("double") / F.col("gt"), decimals
+            ).alias("h_ref"),
+        )
+    )
+    scored = per_src.crossJoin(ref).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("gt"), 9)
+        .alias("token_share"),
+        "entropy",
+        "h_ref",
+    ).select(
+        "source", "n_tokens", "token_share", "entropy",
+        F.round(
+            F.greatest(F.lit(0.0), F.col("entropy") - F.col("h_ref")),
+            decimals,
+        ).alias("excess"),
+    )
+    scored = scored.withColumn(
+        "u",
+        F.round(
+            F.col("token_share") * F.exp(F.lit(float(eta)) * F.col("excess")),
+            9,
+        ),
+    )
+    tot = F.broadcast(
+        scored.agg(
+            F.sum(F.col("u").cast("decimal(20,10)")).cast("double").alias("usum"),
+            F.count("*").cast("double").alias("k"),
+        )
+    )
+    s = float(smoothing)
+    return scored.crossJoin(tot).select(
+        "source", "n_tokens", "token_share", "entropy", "excess",
+        F.round(
+            F.lit(1.0 - s) * F.col("u") / F.col("usum") + F.lit(s) / F.col("k"),
+            decimals,
+        ).alias("weight"),
+    )
+
+
+def epoch_budget_plan(
+    df: DataFrame,
+    budget_multiplier: float,
+    source_col: str = "source",
+    text_col: str = "text",
+    max_epochs: float = 4.0,
+    decimals: int = 4,
+) -> DataFrame:
+    """Data-constrained epoch planner (Muennighoff et al. 2023): split a
+    training token budget of ``budget_multiplier × total unique tokens``
+    across domains under a sqrt-temperature mixture (weight ∝
+    sqrt(unique_tokens) — the multilingual-LM smoothing that lifts small
+    domains without letting a giant one dominate), cap every domain at
+    ``max_epochs`` repeats (value decays fast past ~4 epochs), and
+    redistribute the budget the capped domains hand back to the uncapped
+    ones in ONE water-filling pass (documented approximation: a domain
+    capped only BY the redistribution keeps the cap, it does not
+    re-redistribute).  The budget rides as a multiple of the corpus's
+    own token count so the plan is scale-free — the same multiplier
+    stresses the cap identically at any SF.
+
+    Output per domain: ``(source, unique_tokens, weight, desired_tokens,
+    realized_tokens, epochs, capped)``.
+
+    Plan / 100 TB: one corpus scan to domain-grain token sums; every
+    later step is arithmetic over the domain-grain frame with two 1-row
+    broadcast totals (the sqrt-weight normalizer + budget, then the
+    leftover).  Sums that cross engines are DECIMAL; sqrt is IEEE
+    correctly-rounded on both engines so the weights replay exactly.
+    """
+    from .textstats import token_count
+
+    m = float(budget_multiplier)
+    r = float(max_epochs)
+    per_src = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(token_count(F.col(text_col))).cast("bigint").alias("unique_tokens")
+    )
+    per_src = per_src.withColumn(
+        "sw", F.round(F.sqrt(F.col("unique_tokens").cast("double")), 9)
+    )
+    tot = F.broadcast(
+        per_src.agg(
+            F.sum(F.col("sw").cast("decimal(20,10)")).cast("double").alias("swtot"),
+            (F.lit(m) * F.sum("unique_tokens").cast("double")).alias("b"),
+        )
+    )
+    base = per_src.crossJoin(tot).select(
+        "source", "unique_tokens", "sw", "b",
+        F.round(F.col("sw") / F.col("swtot"), 9).alias("weight"),
+        F.round(F.col("b") * F.col("sw") / F.col("swtot"), decimals)
+        .alias("desired_tokens"),
+    )
+    base = base.withColumn(
+        "cap_tokens", F.round(F.lit(r) * F.col("unique_tokens"), decimals)
+    ).withColumn(
+        "first_pass",
+        F.when(
+            F.col("desired_tokens") < F.col("cap_tokens"),
+            F.col("desired_tokens"),
+        ).otherwise(F.col("cap_tokens")),
+    ).withColumn("uncapped", F.col("desired_tokens") < F.col("cap_tokens"))
+    leftover = F.broadcast(
+        base.agg(
+            (
+                F.max("b")
+                - F.sum(F.col("first_pass").cast("decimal(30,10)")).cast("double")
+            ).alias("leftover"),
+            F.sum(
+                F.when(F.col("uncapped"), F.col("sw"))
+                .otherwise(F.lit(0.0))
+                .cast("decimal(20,10)")
+            )
+            .cast("double")
+            .alias("sw_uncapped"),
+        )
+    )
+    planned = base.crossJoin(leftover).withColumn(
+        "extra",
+        F.when(
+            F.col("uncapped") & (F.col("leftover") > 0),
+            F.round(
+                F.col("leftover") * F.col("sw") / F.col("sw_uncapped"), decimals
+            ),
+        ).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "realized_tokens",
+        F.when(
+            F.col("first_pass") + F.col("extra") < F.col("cap_tokens"),
+            F.round(F.col("first_pass") + F.col("extra"), decimals),
+        ).otherwise(F.col("cap_tokens")),
+    )
+    return planned.select(
+        "source", "unique_tokens", "weight", "desired_tokens",
+        "realized_tokens",
+        F.round(
+            F.col("realized_tokens") / F.col("unique_tokens").cast("double"),
+            decimals,
+        ).alias("epochs"),
+        (F.col("realized_tokens") >= F.col("cap_tokens")).alias("capped"),
+    )
