@@ -2542,3 +2542,166 @@ def pii_density(
             ),
         ).alias("pii_per_1k_tokens"),
     )
+
+
+def _trigram_triples(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, a, b, c) adjacent lowercase-token trigrams, one row per
+    position (the ``_bigram_pairs`` shape extended one order up)."""
+    toks = _tokens(F.lower(F.col(text_col)))
+    n2 = F.greatest(F.size(toks) - 2, F.lit(0))
+    trips = F.arrays_zip(
+        F.slice(toks, 1, n2).alias("a"),
+        F.slice(toks, 2, n2).alias("b"),
+        F.slice(toks, 3, n2).alias("c"),
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(trips).alias("t")).select(
+        "id",
+        F.col("t.a").alias("a"),
+        F.col("t.b").alias("b"),
+        F.col("t.c").alias("c"),
+    )
+
+
+def interp_trigram_logppl(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document log-perplexity under a Jelinek-Mercer INTERPOLATED
+    trigram LM — the next order up from ``bigram_logppl``'s stupid
+    backoff, and the form KenLM-quality CCNet filters actually use:
+    every order contributes at every position (backoff only fires on a
+    miss; interpolation always mixes), so the score degrades smoothly on
+    out-of-domain text instead of cliff-dropping to the unigram floor.
+
+        p(c|a,b) = λ3·C3(abc)/C2(ab) + λ2·C2(bc)/C1(b)
+                 + λ1·(C1(c)+1)/(T+V)
+
+    ``model`` is the training corpus (defaults to ``df``; pass a held-out
+    half to see the higher orders miss).  Zero-count higher orders
+    contribute 0 (their λ mass is NOT renormalized — standard JM);
+    the add-one unigram floor keeps p > 0 for any token.
+
+    Output: ``(doc_id, n_trigrams, logppl)``; docs with < 3 tokens emit
+    no trigrams and are absent.
+
+    Plan / 100 TB: the model folds to three count tables — trigram,
+    bigram, unigram — each vocabulary-sized with map-side partial
+    aggregation; scoring is the corpus trigram stream LEFT-joined to
+    the three (the bigram table twice: once as history (a,b), once as
+    (b,c)), all token-keyed exchanges over id+token tuples, never
+    document bodies.  T and V ride in as a broadcast 1-row aggregate.
+    nll terms round to 9 dp before the per-doc mean so cross-engine
+    float fold order cannot move the result.
+    """
+    model = df if model is None else model
+    l3, l2, l1 = (float(x) for x in lambdas)
+    trig = _trigram_triples(df, id_col, text_col)
+    c3 = _trigram_triples(model, id_col, text_col).groupBy("a", "b", "c").agg(
+        F.count("*").alias("n3")
+    )
+    c2 = _bigram_pairs(model, id_col, text_col).groupBy("a", "b").agg(
+        F.count("*").alias("n2")
+    )
+    c1 = (
+        model.select(F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n1"))
+    )
+    totals = c1.agg(F.sum("n1").alias("total"), F.count("*").alias("vocab"))
+    p3 = F.when(
+        F.col("n3").isNotNull() & (F.col("n2h") > 0),
+        F.col("n3") / F.col("n2h"),
+    ).otherwise(F.lit(0.0))
+    p2 = F.when(
+        F.col("n2bc").isNotNull() & (F.col("n1b") > 0),
+        F.col("n2bc") / F.col("n1b"),
+    ).otherwise(F.lit(0.0))
+    p1 = (F.coalesce(F.col("n1c"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("total") + F.col("vocab")
+    )
+    scored = (
+        trig.join(c3, ["a", "b", "c"], "left")
+        .join(
+            c2.select(
+                F.col("a"), F.col("b"), F.col("n2").alias("n2h")
+            ),
+            ["a", "b"],
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("a").alias("b"), F.col("b").alias("c"),
+                F.col("n2").alias("n2bc"),
+            ),
+            ["b", "c"],
+            "left",
+        )
+        .join(
+            c1.select(F.col("tok").alias("b"), F.col("n1").alias("n1b")),
+            "b",
+            "left",
+        )
+        .join(
+            c1.select(F.col("tok").alias("c"), F.col("n1").alias("n1c")),
+            "c",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            F.round(
+                -F.log(F.lit(l3) * p3 + F.lit(l2) * p2 + F.lit(l1) * p1), 9
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").cast("bigint").alias("n_trigrams"),
+        F.round(F.avg("nll"), decimals).alias("logppl"),
+    )
+
+
+def utf8_expansion_by_lang(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-language UTF-8 byte economics: how many BYTES a character
+    costs (CJK text triples storage and tokenizer byte-fallback load;
+    ASCII English is 1.0), and what share of documents is pure ASCII.
+    Planning input for byte-level tokenizers and storage budgeting —
+    a corpus's byte mix, not its char mix, is what a 100 TB quota
+    actually buys.
+
+    Output per lang: ``(lang, n_docs, n_chars, n_bytes, bytes_per_char,
+    ascii_doc_share)``.
+
+    Plan / 100 TB: MAP-ONLY per-row byte/char lengths (no tokenize, no
+    explode) into one lang-grain aggregate with map-side partials.
+    Pure-ASCII detection is the exact byte==char identity, not a regex
+    scan.
+    """
+    rows = df.select(
+        F.col(lang_col).alias("lang"),
+        F.length(F.col(text_col)).cast("long").alias("nc"),
+        F.octet_length(F.col(text_col)).cast("long").alias("nb"),
+    )
+    return rows.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nc").cast("bigint").alias("n_chars"),
+        F.sum("nb").cast("bigint").alias("n_bytes"),
+        F.when(
+            F.sum("nc") > 0,
+            F.round(
+                F.sum("nb").cast("double") / F.sum("nc").cast("double"),
+                decimals,
+            ),
+        ).alias("bytes_per_char"),
+        F.round(
+            F.avg((F.col("nb") == F.col("nc")).cast("double")), decimals
+        ).alias("ascii_doc_share"),
+    )
