@@ -716,6 +716,7 @@ from . import driver_queries_wave111  # noqa: E402, F401  (registers wave-111 qu
 from . import driver_queries_wave112  # noqa: E402, F401  (registers wave-112 queries)
 from . import driver_queries_wave113  # noqa: E402, F401  (registers wave-113 queries)
 from . import driver_queries_wave114  # noqa: E402, F401  (registers wave-114 queries)
+from . import driver_queries_wave115  # noqa: E402, F401  (registers wave-115 queries)
 
 
 # SELF-REFRESHING ROTATION (round 6; VERDICT r5 task #1).  The driver's

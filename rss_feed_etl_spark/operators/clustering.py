@@ -343,3 +343,74 @@ def kcenter_diversity_sample(
         [(r + 1, int(i), float(d)) for r, (i, _, d) in enumerate(centers)],
         out_schema,
     )
+
+
+def silhouette_by_cluster(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette (Hruschka et al.) for a Lloyd
+    clustering: for every point, a = distance to its own centroid, b =
+    distance to the nearest OTHER centroid, s = (b-a)/max(a,b) — the
+    O(n·k) centroid-based form of the classic O(n²) silhouette, the only
+    form that survives a 100 TB corpus (all-pairs silhouette is a
+    cartesian product; this is one codegen expression per row).  Scores
+    near 1 = tight, well-separated cluster; near 0 = boundary points;
+    negative = likely mis-assigned.
+
+    Output per cluster: ``(cluster_id, n_points, mean_a,
+    mean_silhouette)``, ordered by construction grain (cluster id).
+
+    Plan / 100 TB: centroids are model-sized driver state bound as
+    literals (the ``kmeans_centroids`` contract), so scoring is MAP-ONLY
+    — distances, the per-point argmin/second-min, and the silhouette all
+    run inside whole-stage codegen with zero corpus exchange; the single
+    shuffle is the cluster-grain aggregate with map-side partials.
+    Per-point scores round to 9 dp and sum as DECIMAL so cross-engine
+    fold order cannot move the means.
+    """
+    emb = _prep(embeddings, id_col, vec_col)
+    centroids = _kmeans_centroids_prepped(emb, k, iters, decimals)
+    dists = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist(F.col("vec"), cvec).alias("dist"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in sorted(centroids.items())
+            ]
+        )
+    )
+    scored = emb.select(
+        dists[0]["cid"].alias("cluster_id"),
+        F.sqrt(dists[0]["dist"]).alias("a"),
+        F.sqrt(dists[1]["dist"]).alias("b"),
+    ).select(
+        "cluster_id",
+        F.round(F.col("a"), 9).alias("a"),
+        F.round(
+            F.when(
+                F.greatest(F.col("a"), F.col("b")) > 0,
+                (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("s"),
+    )
+    return scored.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.round(
+            F.sum(F.col("a").cast("decimal(30,10)")).cast("double")
+            / F.count("*"),
+            decimals,
+        ).alias("mean_a"),
+        F.round(
+            F.sum(F.col("s").cast("decimal(30,10)")).cast("double")
+            / F.count("*"),
+            decimals,
+        ).alias("mean_silhouette"),
+    )

@@ -1257,3 +1257,97 @@ def pr_curve(
         F.round(recall, decimals).alias("recall"),
         F.round(f1, decimals).alias("f1"),
     )
+
+
+def erasure_impact_audit(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    erase_keys: DataFrame | None = None,
+    key_mod: int = 97,
+    decimals: int = 2,
+) -> DataFrame:
+    """Right-to-erasure (GDPR art. 17) impact audit: before executing a
+    deletion batch, price its blast radius — per nation, how many
+    customers are in the batch, how many orders and line items reference
+    them (and must cascade or be anonymized), and how much booked revenue
+    the cascade removes from every downstream aggregate.  The compliance
+    twin of ``k_anonymity_violations``: that one finds rows to protect,
+    this one audits the rows about to disappear.
+
+    ``erase_keys`` is a 1-column (``c_custkey``) deletion batch; the
+    default selects ``c_custkey % key_mod == 0`` — a deterministic
+    stand-in for an uploaded deletion list.
+
+    Output per nation: ``(n_name, n_customers, n_orders, n_lineitems,
+    revenue_removed)``; customers with no orders still count.
+
+    Plan / 100 TB: the customer-grain deletion batch and the nation dim
+    are BROADCAST (erasure lists are always tiny next to the fact
+    tables), so orders is touched once with no shuffle; the erased
+    customers' ORDER set is a fixed fraction of all orders — fact-scale,
+    NOT broadcastable — so lineitem meets it in a standard shuffled hash
+    join on the order key.  Per-nation partials combine map-side, and
+    the three nation-grain aggregates join at dimension cardinality.
+    """
+    erased = (
+        customer.filter((F.col("c_custkey") % int(key_mod)) == 0)
+        if erase_keys is None
+        else customer.join(F.broadcast(erase_keys), "c_custkey")
+    ).select("c_custkey", "c_nationkey")
+    n = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    cust_g = (
+        erased.join(F.broadcast(n), "c_nationkey")
+        .groupBy("n_name")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+    ord_keys = orders.join(
+        F.broadcast(erased), orders["o_custkey"] == erased["c_custkey"]
+    ).select("o_orderkey", "c_nationkey")
+    ord_g = (
+        ord_keys.join(F.broadcast(n), "c_nationkey")
+        .groupBy("n_name")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    # NOT broadcast: the erased customers' ORDER set scales with the fact
+    # table (a fixed fraction of all orders), so lineitem meets it in a
+    # standard shuffled hash join on the order key; only the customer-
+    # grain erasure list and the nation dim are broadcast.
+    li_g = (
+        lineitem.join(
+            ord_keys, lineitem["l_orderkey"] == ord_keys["o_orderkey"]
+        )
+        .join(F.broadcast(n), "c_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lineitems"),
+            # per-row terms round to 4 dp and sum as DECIMAL: the raw
+            # double fold diverged from the oracle in the last cent at
+            # sf0.1 (fold-order ulp across a .005 rounding boundary)
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                    ).cast("decimal(30,10)")
+                ).cast("double"),
+                decimals,
+            ).alias("revenue_removed"),
+        )
+    )
+    return (
+        cust_g.join(ord_g, "n_name", "left")
+        .join(li_g, "n_name", "left")
+        .select(
+            "n_name",
+            "n_customers",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint")
+            .alias("n_orders"),
+            F.coalesce(F.col("n_lineitems"), F.lit(0)).cast("bigint")
+            .alias("n_lineitems"),
+            F.coalesce(F.col("revenue_removed"), F.lit(0.0))
+            .alias("revenue_removed"),
+        )
+    )
