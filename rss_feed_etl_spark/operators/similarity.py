@@ -1833,3 +1833,73 @@ def ivfpq_ann_topk(
     return top.select(
         id_col, "sqdist", F.row_number().over(rk).cast("int").alias("rank")
     )
+
+
+def ivf_nprobe_recall_curve(
+    embeddings: DataFrame,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 40,
+    salt: str = "ivf-v1",
+) -> DataFrame:
+    """Recall@k of the IVF index as a function of ``nprobe`` — the tuning
+    curve every IVF deployment reads before picking its speed/recall
+    point (FAISS's `nprobe` sweep, run as a single declarative plan).
+    For each setting, recall is measured against the EXACT brute-force
+    top-k over the same deterministic query set.
+
+    Output: one row per setting — ``(nprobe, n_queries, mean_recall)``
+    with ``mean_recall = Σ|approx ∩ exact| / (k · n_queries)`` (integer
+    hit counts; no float accumulation anywhere).
+
+    Plan / 100 TB: the exact baseline broadcasts the tiny query set
+    against one corpus scan (the ``cosine_topk`` shape); each probed
+    setting reuses the SAME fixed-``n_centroids`` quantizer (model-sized,
+    collected once) and costs one map-only cell-assignment scan plus a
+    candidate join on the int cell key — the curve over p settings is
+    p+1 linear scans, never an all-pairs.  A production sweep would
+    share one corpus assignment across settings; the per-setting scan
+    here keeps every branch an independent, plan-pinnable unit.
+    """
+    cent_rows = _ivf_centroids(embeddings, id_col, vec_col, n_centroids, salt)
+    queries = embeddings.filter(F.col(id_col) < n_queries)
+    exact = cosine_topk(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    branches = []
+    for p in nprobes:
+        approx = cosine_topk_ivf(
+            embeddings,
+            queries,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=n_centroids,
+            nprobe=int(p),
+            salt=salt,
+            centroids=cent_rows,
+        ).select("query_id", "neighbor_id")
+        hits = approx.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.count("*").cast("long").alias("n_hits")
+        )
+        nq = exact.agg(
+            F.countDistinct("query_id").cast("long").alias("nq")
+        )
+        branches.append(
+            hits.crossJoin(nq).select(
+                F.lit(int(p)).alias("nprobe"),
+                F.col("nq").cast("bigint").alias("n_queries"),
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / (F.lit(int(k)) * F.col("nq")).cast("double"),
+                    6,
+                ).alias("mean_recall"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

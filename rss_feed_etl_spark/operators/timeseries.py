@@ -863,3 +863,55 @@ def holt_forecast_interval(
         F.round(F.col("fc") - F.col("rq"), decimals).alias("lo"),
         F.round(F.col("fc") + F.col("rq"), decimals).alias("hi"),
     )
+
+
+def classical_decompose_daily(
+    daily: DataFrame,
+    day_col: str = "day",
+    value_col: str = "total",
+    ma_days: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Classical additive decomposition of a day-grain series:
+    value = trend + seasonal + residual, where trend is the CENTERED
+    ``ma_days``-day moving average, the seasonal term is the
+    day-of-week mean of the DETRENDED series, and the residual is what
+    neither explains — the STL-shaped upgrade of
+    ``dow_seasonal_residuals`` (which has no trend term, so a growing
+    series leaks growth into every weekday's "seasonal" mean).
+
+    Output per day: ``(day, value, trend, seasonal, residual)``; edge
+    days average over the window rows that exist (standard clipped
+    frame), so the series keeps its full length.
+
+    Plan / 100 TB: the input is already day-grain (thousands of rows
+    from any corpus), so the unpartitioned centered window and the 7-row
+    weekday profile are deliberate REDUCED-GRAIN operations — the
+    pattern `tests/test_plan_shapes.py` pins for distinct-score grids.
+    Upstream aggregation to day grain is the only corpus-sized work and
+    belongs to the caller's scan.
+    """
+    w = Window.orderBy("day").rowsBetween(
+        -(int(ma_days) // 2), int(ma_days) // 2
+    )
+    d = daily.select(
+        F.col(day_col).alias("day"),
+        F.col(value_col).cast("double").alias("val"),
+        (F.dayofweek(day_col) - 1).alias("dow"),  # 0=Sunday, matches DuckDB
+    ).withColumn("trend", F.round(F.avg("val").over(w), decimals))
+    d = d.withColumn("detr", F.round(F.col("val") - F.col("trend"), decimals))
+    profile = d.groupBy("dow").agg(
+        F.round(F.avg("detr"), decimals).alias("seasonal")
+    )
+    return (
+        d.join(F.broadcast(profile), "dow")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("val").alias("value"),
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("val") - F.col("trend") - F.col("seasonal"), decimals
+            ).alias("residual"),
+        )
+    )
