@@ -159,3 +159,106 @@ def pca_project(
         project, f"id bigint, pc int, coord double"
     )
     return out.withColumnRenamed("id", id_col)
+
+
+def alignment_uniformity(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    t: float = 2.0,
+    salt: str = "au-v1",
+    decimals: int = 6,
+) -> DataFrame:
+    """Alignment & uniformity (Wang & Isola 2020) — the two-number
+    health check of a contrastive embedding space: *alignment* = mean
+    squared distance between positive (same-label) pairs, lower is
+    better; *uniformity* = log mean exp(-t·d²) over arbitrary pairs,
+    lower means the space spreads over the hypersphere instead of
+    collapsing.  Vectors are L2-normalized first (both metrics are
+    defined on the sphere).
+
+    The published estimators sample pairs; the deterministic stand-in
+    pairs each vector with its md5-rank RING NEIGHBOR — within its label
+    for alignment, across the whole corpus for uniformity — so the pair
+    count is n/2 per metric (LINEAR, never the O(n²) all-pairs sum) and
+    both engines derive identical pairs from the data alone.
+
+    Output: one row — ``(n_align_pairs, alignment, n_unif_pairs,
+    uniformity)``.
+
+    Plan / 100 TB: two hash-rank windows (label grain and corpus grain)
+    + a self-join on the pair index; per-pair exp terms round to 9 dp
+    and sum as DECIMAL so cross-engine fold order cannot move either
+    metric.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_bucket
+
+    emb = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lab"),
+        F.transform(vec_col, lambda v: v.cast("double")).alias("raw"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("raw"), F.lit(0.0), lambda acc, v: acc + v * v
+        )
+    )
+    emb = emb.select(
+        "id", "lab",
+        F.transform("raw", lambda v: v / norm).alias("vec"),
+        md5_bucket(
+            F.concat(F.lit(salt + ":"), F.col("id").cast("string"))
+        ).alias("hk"),
+    )
+
+    def _pairs(df, part_cols):
+        w = (
+            Window.partitionBy(*part_cols).orderBy("hk", "id")
+            if part_cols
+            else Window.orderBy("hk", "id")
+        )
+        ranked = df.withColumn("rn", F.row_number().over(w))
+        left = ranked.filter(F.col("rn") % 2 == 1).select(
+            *part_cols,
+            ((F.col("rn") - 1) / 2).cast("long").alias("p"),
+            F.col("vec").alias("va"),
+        )
+        right = ranked.filter(F.col("rn") % 2 == 0).select(
+            *part_cols,
+            ((F.col("rn") - 2) / 2).cast("long").alias("p"),
+            F.col("vec").alias("vb"),
+        )
+        on = [*part_cols, "p"]
+        return left.join(right, on)
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    align = _pairs(emb, ["lab"]).select(
+        F.round(d2, 9).alias("d2")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_align_pairs"),
+        F.round(
+            F.sum(F.col("d2").cast("decimal(30,10)")).cast("double")
+            / F.count("*"),
+            decimals,
+        ).alias("alignment"),
+    )
+    unif = _pairs(emb, []).select(
+        F.round(F.exp(F.lit(-float(t)) * F.round(d2, 9)), 9).alias("e")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_unif_pairs"),
+        F.round(
+            F.log(
+                F.sum(F.col("e").cast("decimal(30,10)")).cast("double")
+                / F.count("*")
+            ),
+            decimals,
+        ).alias("uniformity"),
+    )
+    return align.crossJoin(unif)

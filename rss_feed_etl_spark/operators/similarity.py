@@ -1903,3 +1903,74 @@ def ivf_nprobe_recall_curve(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def label_knn_accuracy(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out k-NN label accuracy — the classic embedding-quality
+    probe: if an embedding space is any good, a vector's nearest
+    neighbors share its label.  Each of the first ``n_queries`` vectors
+    is classified by the majority label of its ``k`` nearest corpus
+    neighbors (itself excluded; majority ties -> smaller label), and the
+    per-label accuracy is reported.
+
+    Output per label: ``(label, n_queries, n_correct, accuracy)``.
+
+    Plan / 100 TB: the query set is broadcast against ONE corpus scan
+    (the ``cosine_topk`` shape — the corpus is never exchanged); the
+    vote and accuracy run at query and label grain.  Integer vote
+    counts, no float accumulation anywhere but the final ratio.
+    """
+    q = F.broadcast(
+        embeddings.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("true_label"),
+        )
+    )
+    pairs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ev"),
+        F.col(label_col).alias("nlabel"),
+    ).join(q, F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "true_label",
+        "neighbor_id",
+        "nlabel",
+        cosine(F.col("qv"), F.col("ev")).alias("cs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id").asc()
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    votes = topk.groupBy("query_id", "true_label", "nlabel").agg(
+        F.count("*").alias("v")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("v").desc(), F.col("nlabel").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("true_label").alias("label"),
+            (F.col("nlabel") == F.col("true_label")).cast("long").alias("ok"),
+        )
+    )
+    return pred.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum("ok").cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum("ok").cast("double") / F.count("*").cast("double"), 6
+        ).alias("accuracy"),
+    )
