@@ -585,3 +585,66 @@ def skew_salting_plan(
         .orderBy(F.col("rows").desc(), F.col("key").asc())
         .limit(int(top_n))
     )
+
+
+def shuffle_partition_advisor(
+    tables: dict[str, "DataFrame"],
+    target_partition_mb: float = 128.0,
+    decimals: int = 4,
+) -> DataFrame:
+    """Size ``spark.sql.shuffle.partitions`` from the data instead of the
+    200-partition default: for each table (projected to the columns the
+    shuffle will actually carry), estimate the serialized bytes (fixed
+    type widths + MEASURED string lengths — the ``star_join_advisor``
+    estimator) and recommend ``ceil(bytes / target)`` partitions, the
+    number that makes each shuffle partition land near the target size
+    AQE coalescing aims for.  A 100 TB join at the default 200 puts
+    ~500 GB in every task; a 50 MB dim at 200 makes 200 near-empty files
+    — both failure modes are one advisor row here.
+
+    Output per table: ``(table, n_rows, est_row_bytes, est_total_mb,
+    target_partition_mb, recommended_partitions, est_rows_per_partition)``.
+
+    Plan / 100 TB: ONE map-side-combined stats aggregate per table
+    (count + mean width), unioned at table-count grain — the tables are
+    scanned once, nothing is shuffled to produce the advice.
+    """
+    from .profiling import _TYPE_BYTES
+
+    out = None
+    for name, df in tables.items():
+        width = F.lit(0)
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if t == "string":
+                width = width + F.coalesce(F.length(f.name), F.lit(0))
+            else:
+                width = width + F.lit(_TYPE_BYTES.get(t, 8))
+        row = df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.avg(width), 2).alias("est_row_bytes"),
+        ).select(
+            F.lit(name).alias("table"),
+            "n_rows",
+            "est_row_bytes",
+            F.round(
+                F.col("n_rows") * F.col("est_row_bytes") / F.lit(1048576.0),
+                decimals,
+            ).alias("est_total_mb"),
+            F.lit(float(target_partition_mb)).alias("target_partition_mb"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    F.col("n_rows") * F.col("est_row_bytes")
+                    / F.lit(float(target_partition_mb) * 1048576.0)
+                ),
+            ).cast("bigint").alias("recommended_partitions"),
+        )
+        row = row.withColumn(
+            "est_rows_per_partition",
+            F.ceil(
+                F.col("n_rows") / F.col("recommended_partitions")
+            ).cast("bigint"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

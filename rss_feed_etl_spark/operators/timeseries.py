@@ -915,3 +915,107 @@ def classical_decompose_daily(
             ).alias("residual"),
         )
     )
+
+
+def conformal_interval_coverage(
+    daily: DataFrame,
+    day_col: str = "day",
+    value_col: str = "total",
+    train_frac: float = 0.6,
+    cal_frac: float = 0.2,
+    alpha: float = 0.1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Split-conformal prediction interval, evaluated honestly: fit a
+    day-of-week mean model on the FIRST ``train_frac`` of the series,
+    take the ceil((n_cal+1)(1-alpha))-th smallest absolute residual on
+    the NEXT ``cal_frac`` as the interval half-width q̂ (the
+    finite-sample-valid conformal quantile, Vovk et al.), and report the
+    fraction of the held-out TAIL the interval actually covers.  Any
+    forecast operator in this module can be audited the same way — the
+    guarantee needs no distributional assumption, only exchangeability.
+
+    Output: one row — ``(n_train, n_cal, n_test, q_hat, target_coverage,
+    coverage)``.
+
+    Plan / 100 TB: day-grain input (the caller's one corpus aggregate);
+    the temporal split is a rank against broadcast count, the model is a
+    7-row profile, and q̂ is one ordered rank over the calibration
+    residuals — all reduced-grain by construction.
+    """
+    n1 = F.broadcast(daily.agg(F.count("*").cast("long").alias("n")))
+    d = (
+        daily.select(
+            F.col(day_col).alias("day"),
+            F.col(value_col).cast("double").alias("val"),
+            (F.dayofweek(day_col) - 1).alias("dow"),
+        )
+        .crossJoin(n1)
+        .withColumn("rn", F.row_number().over(Window.orderBy("day")))
+        .withColumn("n_train", F.floor(F.lit(float(train_frac)) * F.col("n")))
+        .withColumn("n_cal", F.floor(F.lit(float(cal_frac)) * F.col("n")))
+    )
+    train = d.filter(F.col("rn") <= F.col("n_train"))
+    cal = d.filter(
+        (F.col("rn") > F.col("n_train"))
+        & (F.col("rn") <= F.col("n_train") + F.col("n_cal"))
+    )
+    test = d.filter(F.col("rn") > F.col("n_train") + F.col("n_cal"))
+    profile = F.broadcast(
+        train.groupBy("dow").agg(F.round(F.avg("val"), decimals).alias("pred"))
+    )
+    gmean = F.broadcast(
+        train.agg(F.round(F.avg("val"), decimals).alias("gpred"))
+    )
+
+    def _resid(df):
+        return (
+            df.join(profile, "dow", "left")
+            .crossJoin(gmean)
+            .withColumn(
+                "r",
+                F.round(
+                    F.abs(
+                        F.col("val") - F.coalesce(F.col("pred"), F.col("gpred"))
+                    ),
+                    decimals,
+                ),
+            )
+        )
+
+    calr = _resid(cal).withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("r").asc(), F.col("day").asc()))
+    )
+    qpos = F.broadcast(
+        cal.agg(
+            F.least(
+                F.ceil(
+                    (F.count("*") + 1) * F.lit(1.0 - float(alpha))
+                ).cast("long"),
+                F.count("*").cast("long"),
+            ).alias("k"),
+            F.count("*").cast("bigint").alias("n_cal_rows"),
+        )
+    )
+    qhat = F.broadcast(
+        calr.crossJoin(qpos)
+        .filter(F.col("rk") == F.col("k"))
+        .select(F.col("r").alias("q_hat"), "n_cal_rows")
+    )
+    testr = _resid(test).crossJoin(qhat)
+    cov = testr.agg(
+        F.max("n_cal_rows").alias("n_cal"),
+        F.count("*").cast("bigint").alias("n_test"),
+        F.max("q_hat").alias("q_hat"),
+        F.round(
+            F.avg((F.col("r") <= F.col("q_hat")).cast("double")), decimals
+        ).alias("coverage"),
+    )
+    ntr = F.broadcast(
+        train.agg(F.count("*").cast("bigint").alias("n_train"))
+    )
+    return cov.crossJoin(ntr).select(
+        "n_train", "n_cal", "n_test", "q_hat",
+        F.lit(round(1.0 - float(alpha), 6)).alias("target_coverage"),
+        "coverage",
+    )
