@@ -1216,3 +1216,63 @@ def epoch_budget_plan(
         ).alias("epochs"),
         (F.col("realized_tokens") >= F.col("cap_tokens")).alias("capped"),
     )
+
+
+def contamination_overlap_fraction(
+    docs: DataFrame,
+    eval_mod: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    dirty_threshold: float = 0.2,
+) -> DataFrame:
+    """Per-document contamination DEGREE (the GPT-3-appendix "dirtiness"
+    measure): for every eval document, the fraction of its distinct word
+    ``n``-gram shingles that appear ANYWHERE in the training split.
+    ``exact_substring_contamination`` answers "is there a literal copy";
+    this answers "how much of this eval doc leaks, even scattered" — the
+    number an eval-suite audit actually reports, and the basis for
+    drop-vs-keep decisions at a dirtiness threshold.
+
+    Split: ``id % eval_mod == 0`` → eval, else train (deterministic,
+    engine-replayable).  Output per eval doc: ``(doc_id, n_shingles,
+    n_hit, dirty_frac, is_dirty)``.
+
+    Plan / 100 TB: both splits shingle in ONE Arrow ``mapInPandas`` pass
+    each (the ``banded_minhash`` discipline); the train side collapses
+    to a DISTINCT shingle-code set (vocabulary-shaped, map-side
+    partials) and the eval side LEFT-SEMI-shaped joins it on the int64
+    code — a token-grain exchange, never document bodies, never
+    all-pairs.  Integer hit counts; the only float is the final ratio.
+    """
+    from .dedup import _shingle_codes_arrow
+
+    ev = docs.filter(F.col(id_col) % int(eval_mod) == 0)
+    tr = docs.filter(F.col(id_col) % int(eval_mod) != 0)
+    ecodes = _shingle_codes_arrow(ev, id_col, text_col, n=n).select(
+        "id", F.explode("codes").alias("code")
+    )
+    tcodes = (
+        _shingle_codes_arrow(tr, id_col, text_col, n=n)
+        .select(F.explode("codes").alias("code"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    scored = (
+        ecodes.join(tcodes, "code", "left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+    )
+    frac = F.col("n_hit").cast("double") / F.col("n_shingles").cast("double")
+    return scored.select(
+        id_col,
+        "n_shingles",
+        "n_hit",
+        F.round(frac, 6).alias("dirty_frac"),
+        (frac >= F.lit(float(dirty_threshold))).alias("is_dirty"),
+    )

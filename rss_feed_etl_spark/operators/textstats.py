@@ -2705,3 +2705,62 @@ def utf8_expansion_by_lang(
             F.avg((F.col("nb") == F.col("nc")).cast("double")), decimals
         ).alias("ascii_doc_share"),
     )
+
+
+def host_crawl_scorecard(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-HOST crawl curation scorecard: document volume, exact-dup
+    rate (md5 of the body — mirror pages and boilerplate farms show up
+    as hosts whose unique-text count collapses), token mass, and share
+    of the corpus.  Host grain is where crawl curation acts — blocklists,
+    rate limits, and per-domain quality cutoffs are all per-host knobs
+    (the C4/RefinedWeb recipe), so the scorecard is the table those
+    decisions read.
+
+    Output per host: ``(host, n_docs, n_unique_texts, dup_rate,
+    n_tokens, corpus_share)``.
+
+    Plan / 100 TB: MAP-ONLY per-row host extraction + md5 + token count
+    into one host-grain aggregate (count-distinct over the md5 partial-
+    aggregates map-side); the corpus total rides in as a broadcast 1-row
+    aggregate.  No document body survives the first aggregate.
+    """
+    host = F.lower(
+        F.regexp_extract(
+            F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1
+        )
+    )
+    rows = df.select(
+        host.alias("host"),
+        F.md5(F.col(text_col)).alias("h"),
+        token_count(F.col(text_col)).alias("nt"),
+    )
+    tot = F.broadcast(rows.agg(F.count("*").cast("long").alias("n_total")))
+    return (
+        rows.groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("h").cast("bigint").alias("n_unique_texts"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(tot)
+        .select(
+            "host",
+            "n_docs",
+            "n_unique_texts",
+            F.round(
+                1.0
+                - F.col("n_unique_texts").cast("double")
+                / F.col("n_docs").cast("double"),
+                decimals,
+            ).alias("dup_rate"),
+            "n_tokens",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_total"), decimals
+            ).alias("corpus_share"),
+        )
+    )
