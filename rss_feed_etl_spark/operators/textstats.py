@@ -2764,3 +2764,176 @@ def host_crawl_scorecard(
             ).alias("corpus_share"),
         )
     )
+
+
+def npmi_topic_coherence(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_terms: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-source NPMI topic coherence (Bouma 2009; the standard topic-
+    model eval, applied to each source's top terms): take the source's
+    ``top_terms`` most frequent tokens, score every pair by normalized
+    PMI over DOCUMENT co-occurrence, and average.  A source whose top
+    terms keep appearing together reads as one coherent topic (≈ +1);
+    independent terms → 0; terms that avoid each other → negative.  A
+    never-co-occurring pair is -1 by convention.
+
+        npmi(a,b) = ln(p(a,b) / (p(a)p(b))) / -ln p(a,b)
+
+    with p() = document frequency / n_docs, computed per source.
+
+    Output per source: ``(source, n_docs, n_pairs, coherence)``.
+
+    Plan / 100 TB: one tokenize pass to (source, doc, token) PRESENCE
+    grain filtered by the broadcast top-term set (top sets are
+    sources × top_terms rows — model-sized, derived in one token-grain
+    aggregate); pair co-occurrence is a self-join at that bounded
+    presence grain, never over raw tokens.  ln terms round to 9 dp and
+    the pair mean sums as DECIMAL.
+    """
+    pres = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(_tokens(F.lower(F.col(text_col)))))
+            .alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    tf = pres.groupBy("source", "tok").agg(F.count("*").alias("dfreq"))
+    wtop = Window.partitionBy("source").orderBy(
+        F.col("dfreq").desc(), F.col("tok").asc()
+    )
+    top = F.broadcast(
+        tf.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= int(top_terms))
+        .select("source", "tok", "dfreq")
+    )
+    nd = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tp = pres.join(top, ["source", "tok"]).select("source", "id", "tok")
+    pairs = (
+        tp.alias("a")
+        .join(
+            tp.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.id") == F.col("b.id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source"),
+            F.col("a.tok").alias("ta"),
+            F.col("b.tok").alias("tb"),
+        )
+        .agg(F.count("*").alias("co"))
+    )
+    # every top-term pair, including the never-co-occurring ones
+    allp = (
+        top.alias("x")
+        .join(
+            top.alias("y"),
+            (F.col("x.source") == F.col("y.source"))
+            & (F.col("x.tok") < F.col("y.tok")),
+        )
+        .select(
+            F.col("x.source").alias("source"),
+            F.col("x.tok").alias("ta"),
+            F.col("y.tok").alias("tb"),
+            F.col("x.dfreq").alias("fa"),
+            F.col("y.dfreq").alias("fb"),
+        )
+    )
+    scored = (
+        allp.join(pairs, ["source", "ta", "tb"], "left")
+        .join(F.broadcast(nd), "source")
+        .withColumn(
+            "npmi",
+            # conventions at the degenerate poles: never co-occur -> -1;
+            # co-occur in EVERY doc -> +1 (the -ln p(a,b) denominator is 0)
+            F.when(F.coalesce(F.col("co"), F.lit(0)) == 0, F.lit(-1.0))
+            .when(F.col("co") == F.col("n_docs"), F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.log(
+                        F.col("co").cast("double")
+                        * F.col("n_docs")
+                        / (F.col("fa") * F.col("fb")).cast("double")
+                    )
+                    / -F.log(F.col("co").cast("double") / F.col("n_docs")),
+                    9,
+                )
+            ),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.max("n_docs").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("npmi").cast("decimal(30,10)")).cast("double")
+            / F.count("*"),
+            decimals,
+        ).alias("coherence"),
+    )
+
+
+def vocab_prune_impact(
+    df: DataFrame,
+    text_col: str = "text",
+    min_counts: tuple[int, ...] = (2, 5, 10),
+    decimals: int = 6,
+) -> DataFrame:
+    """What pruning rare vocabulary actually costs: for each candidate
+    ``min_count`` threshold, the vocab size before/after, the share of
+    token OCCURRENCES whose type gets pruned, and the sequence-length
+    inflation if pruned tokens fall back to character pieces (each
+    pruned occurrence re-tokenizes to ~len(token) char units — the
+    byte/char-fallback a production tokenizer pays).  The table a vocab
+    budget decision reads: tiny tail types are cheap to cut; cutting
+    into the body inflates every sequence.
+
+    Output per threshold: ``(min_count, vocab_before, vocab_after,
+    pruned_token_share, length_inflation)``.
+
+    Plan / 100 TB: ONE token-grain aggregate (count + summed char
+    lengths per type, map-side partials); the threshold sweep is
+    arithmetic over per-type rows unioned at threshold-count grain —
+    the corpus is scanned once for the whole table.
+    """
+    toks = df.select(
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok")
+    ).filter(F.col("tok") != "")
+    types = toks.groupBy("tok").agg(F.count("*").alias("n")).withColumn(
+        "chars", F.col("n") * F.length(F.col("tok"))
+    )
+    branches = []
+    for mc in min_counts:
+        keep = F.col("n") >= int(mc)
+        branches.append(
+            types.agg(
+                F.lit(int(mc)).alias("min_count"),
+                F.count("*").cast("bigint").alias("vocab_before"),
+                F.sum(keep.cast("long")).cast("bigint").alias("vocab_after"),
+                F.round(
+                    F.sum(F.when(~keep, F.col("n")).otherwise(0)).cast("double")
+                    / F.sum("n").cast("double"),
+                    decimals,
+                ).alias("pruned_token_share"),
+                F.round(
+                    (
+                        F.sum(F.when(keep, F.col("n")).otherwise(0))
+                        + F.sum(F.when(~keep, F.col("chars")).otherwise(0))
+                    ).cast("double")
+                    / F.sum("n").cast("double"),
+                    decimals,
+                ).alias("length_inflation"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
