@@ -394,3 +394,132 @@ def media_exact_dedup(
         .filter(F.col("id") != F.col("canonical_id"))
         .select(F.col("id").alias(id_col), "canonical_id")
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def image_phash(media: DataFrame, strict: bool = False) -> DataFrame:
+    """image rows → (media_id, phash) perceptual fingerprints via one
+    Arrow ``mapInPandas`` pass.  Production computes a dHash: resize to
+    9×8 grayscale (PIL), emit 64 horizontal-gradient bits — re-encodes,
+    small crops, and watermarks land within a few bits.  STUB (no codec
+    in this environment): the first 15 hex digits of md5(content) as a
+    60-bit integer — deterministic, oracle-replayable (the hex-chain
+    discipline of ``video_embedding_pool``), and byte-identical copies
+    still collide exactly.
+
+    Plan / 100 TB: map-only over the binary column (salt-repartitioned
+    like ``decode_images``); only (id, 8-byte hash) rows survive the
+    stage — the media bytes never reach any exchange.
+    """
+    import pandas as pd
+
+    from ..session import ensure_executors_can_import
+
+    spark = media.sparkSession
+    ensure_executors_can_import(spark)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "dHash requires PIL; not available in this environment"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        int(
+                            hashlib.md5(bytes(c) if c is not None else b"")
+                            .hexdigest()[:15],
+                            16,
+                        )
+                        for c in pdf["content"]
+                    ],
+                }
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "content")
+    imgs = imgs.repartition(32, F.pmod(F.xxhash64("media_id"), F.lit(32)))
+    return imgs.mapInPandas(ph, PHASH_SCHEMA)
+
+
+def phash_hamming_neardup(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    bits: int = 60,
+    max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming distance ≤
+    ``max_hamming`` — ``dedup.simhash_neardup_pairs``'s pigeonhole
+    banding (Manku et al.) lifted to a PRECOMPUTED hash column: split
+    the ``bits``-bit fingerprint into ``max_hamming + 1`` bands; two
+    hashes within distance k must agree exactly on one band, so
+    candidates meet in (band, value) buckets and exact
+    ``bit_count(xor)`` re-verification admits no false positive and
+    misses no pair.  Returns ``(id_a, id_b, hamming)``.
+
+    Plan / 100 TB: the only exchange is the bucket groupBy carrying
+    (id, 8-byte hash) — never media bytes; ``max_bucket`` caps the
+    degenerate all-same-hash bucket (the ``ngram_jaccard_pairs``
+    guard).  Pairs enumerate inside each bucket's sorted member array
+    (expression-level, no join explosion).
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("ph"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(hash_col), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "ph", F.col("bs.band").alias("band"), F.col("bs.val").alias("val"))
+    grouped = (
+        bands.groupBy("band", "val")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "ph"))).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("members") <= max_bucket)
+    m = F.col("members")
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + 2, F.greatest(F.size(m) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["ph"].bitwiseXOR(y["ph"]))
+                    .cast("bigint")
+                    .alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
