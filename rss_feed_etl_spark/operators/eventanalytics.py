@@ -2095,3 +2095,123 @@ def next_item_training_pairs(
         "next_item",
         neg.cast("bigint").alias("neg_bucket"),
     )
+
+
+def shapley_attribution(
+    events: DataFrame,
+    channels: tuple[str, ...] = ("click", "error", "signup", "view"),
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    decimals: int = 6,
+) -> DataFrame:
+    """EXACT Shapley-value attribution (the game-theoretic gold standard
+    the heuristics in this module — last-touch, time-decay, positional —
+    approximate): each converting user's journey is its distinct set of
+    pre-conversion channels; the characteristic function v(T) = number
+    of conversions whose channel set ⊆ T; channel i's credit is the
+    Shapley sum  Σ_{T∌i} |T|!(n-|T|-1)!/n! · (v(T∪{i}) − v(T)).
+    Credits over all channels sum to the attributable conversions
+    (efficiency axiom) — the property no heuristic here satisfies
+    against a coalition-aware v.
+
+    Tractability is structural, not sampled: with n channels the whole
+    lattice is 2^n subsets — channel alphabets are single digits in any
+    real funnel, so the lattice frame is dozens of rows.
+
+    Output per channel: ``(channel, shapley_credit, n_conversions)``.
+
+    Plan / 100 TB: ONE user-grain aggregate turns the event stream into
+    journey bitmasks (map-side partials; the corpus is touched once);
+    everything after runs on the ≤2^n-row mask/lattice frames.  Shapley
+    weights enter as exact integer numerators over the common n!
+    denominator, so the arithmetic is pure integers until one final
+    division.
+    """
+    import math
+
+    chans = list(channels)
+    n = len(chans)
+    if n > 16:
+        raise ValueError(f"channel alphabet too large for the exact lattice: {n}")
+    spark = events.sparkSession
+    first_conv = (
+        events.filter(F.col(type_col) == convert_type)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ts_col).alias("conv_ts"))
+    )
+    pre = (
+        events.join(first_conv, events[user_col] == F.col("u"))
+        .filter(
+            (F.col(ts_col) < F.col("conv_ts"))
+            & (F.col(type_col) != convert_type)
+        )
+        .select("u", F.col(type_col).alias("t"))
+        .distinct()
+    )
+    masks = (
+        pre.withColumn(
+            "b",
+            sum(
+                (F.when(F.col("t") == c, F.lit(1 << i)).otherwise(F.lit(0)))
+                for i, c in enumerate(chans)
+            ),
+        )
+        .groupBy("u")
+        .agg(F.sum("b").cast("long").alias("mask"))
+        .filter(F.col("mask") > 0)
+        .groupBy("mask")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    subsets = spark.range(1 << n).select(F.col("id").cast("long").alias("T"))
+    v = (
+        subsets.join(
+            masks,
+            F.col("mask").bitwiseAND(F.col("T")) == F.col("mask"),
+            "left",
+        )
+        .groupBy("T")
+        .agg(F.sum(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("v"))
+    )
+    # exact weights: numerator t!(n-1-t)! over common denominator n!
+    numer = {t: math.factorial(t) * math.factorial(n - 1 - t) for t in range(n)}
+    denom = math.factorial(n)
+    wexpr = None
+    for t, num in numer.items():
+        cond = F.bit_count(F.col("T")) == t
+        wexpr = (
+            F.when(cond, F.lit(num))
+            if wexpr is None
+            else wexpr.when(cond, F.lit(num))
+        )
+    chan_rows = spark.createDataFrame(
+        [(c, 1 << i) for i, c in enumerate(chans)], ["channel", "bit"]
+    )
+    pairs = (
+        v.alias("a")
+        .crossJoin(F.broadcast(chan_rows))
+        .filter(F.col("a.T").bitwiseAND(F.col("bit")) == 0)
+        .join(
+            v.select(F.col("T").alias("Ti"), F.col("v").alias("vi")).alias("b"),
+            F.col("a.T") + F.col("bit") == F.col("Ti"),
+        )
+        .select(
+            "channel",
+            (wexpr * (F.col("vi") - F.col("a.v"))).alias("term"),
+        )
+    )
+    totals = F.broadcast(
+        masks.agg(F.sum("cnt").cast("bigint").alias("n_conversions"))
+    )
+    return (
+        pairs.groupBy("channel")
+        .agg(F.sum("term").cast("long").alias("num"))
+        .crossJoin(totals)
+        .select(
+            "channel",
+            F.round(F.col("num").cast("double") / F.lit(float(denom)), decimals)
+            .alias("shapley_credit"),
+            "n_conversions",
+        )
+    )

@@ -1351,3 +1351,85 @@ def erasure_impact_audit(
             .alias("revenue_removed"),
         )
     )
+
+
+def brier_decomposition(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score for a [0,1]
+    probability forecast: BRIER = RELIABILITY − RESOLUTION +
+    UNCERTAINTY, computed over ``n_bins`` fixed-width forecast bins.
+    ``score_calibration`` draws the reliability diagram; this collapses
+    it to the three scalars a model comparison actually ranks on —
+    REL (how wrong the probabilities are, lower better), RES (how much
+    the forecast separates outcomes, higher better), UNC (the base-rate
+    entropy nobody can beat).
+
+    Output: one row — ``(n, brier, reliability, resolution,
+    uncertainty)``; the binned identity REL − RES + UNC equals the
+    binned Brier up to within-bin variance (standard for the binned
+    estimator).
+
+    Plan / 100 TB: one map-only bin assignment into a bin-grain
+    aggregate, then arithmetic over ≤n_bins+1 rows with the global base
+    rate broadcast; the per-row Brier sums as rounded DECIMAL terms so
+    cross-engine fold order cannot move it.
+    """
+    b = (
+        F.when(F.col(score_col) >= 1.0, F.lit(int(n_bins) - 1))
+        .otherwise(F.floor(F.col(score_col) * int(n_bins)).cast("int"))
+    )
+    rows = scored.select(
+        b.alias("bin"),
+        F.col(score_col).cast("double").alias("s"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    bins = rows.groupBy("bin").agg(
+        F.count("*").cast("long").alias("nk"),
+        F.round(F.avg("s"), 9).alias("sk"),
+        F.round(F.avg("y"), 9).alias("yk"),
+    )
+    base = F.broadcast(
+        rows.agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("y"), 9).alias("ybar"),
+            F.round(
+                F.sum(
+                    F.round((F.col("s") - F.col("y")) * (F.col("s") - F.col("y")), 9)
+                    .cast("decimal(30,10)")
+                ).cast("double")
+                / F.count("*"),
+                decimals,
+            ).alias("brier"),
+        )
+    )
+    parts = bins.crossJoin(base).select(
+        "n", "ybar", "brier",
+        F.round(
+            (F.col("nk") / F.col("n"))
+            * (F.col("sk") - F.col("yk"))
+            * (F.col("sk") - F.col("yk")),
+            9,
+        ).cast("decimal(30,10)").alias("rel_t"),
+        F.round(
+            (F.col("nk") / F.col("n"))
+            * (F.col("yk") - F.col("ybar"))
+            * (F.col("yk") - F.col("ybar")),
+            9,
+        ).cast("decimal(30,10)").alias("res_t"),
+    )
+    return parts.groupBy("n", "ybar", "brier").agg(
+        F.round(F.sum("rel_t").cast("double"), decimals).alias("reliability"),
+        F.round(F.sum("res_t").cast("double"), decimals).alias("resolution"),
+    ).select(
+        F.col("n").cast("bigint").alias("n"),
+        "brier",
+        "reliability",
+        "resolution",
+        F.round(F.col("ybar") * (1.0 - F.col("ybar")), decimals)
+        .alias("uncertainty"),
+    )
