@@ -2215,3 +2215,58 @@ def shapley_attribution(
             "n_conversions",
         )
     )
+
+
+def click_position_bias(
+    events: DataFrame,
+    position_col: str = "position",
+    type_col: str = "event_type",
+    impression_type: str = "view",
+    click_type: str = "click",
+    decimals: int = 6,
+) -> DataFrame:
+    """Rank-CTR position-bias curve (the COEC denominator every
+    counterfactual learning-to-rank pipeline needs): per display
+    position, impressions, clicks, CTR, and the bias ratio vs position
+    1 — the examination probability a propensity-weighted training run
+    divides by.  Feeding raw clicks to a ranker without this curve
+    bakes "position 1 gets clicked" into the model as relevance.
+
+    Output per position: ``(position, impressions, clicks, ctr,
+    bias_vs_top)``.
+
+    Plan / 100 TB: one conditional-sum aggregate at position grain
+    (map-side partials over the event scan); the position-1 CTR rides
+    back as a broadcast 1-row frame.  Integer counts; floats only in
+    the two final ratios.
+    """
+    rows = events.select(
+        F.col(position_col).alias("position"),
+        (F.col(type_col) == impression_type).cast("long").alias("imp"),
+        (F.col(type_col) == click_type).cast("long").alias("clk"),
+    )
+    g = rows.groupBy("position").agg(
+        F.sum("imp").cast("bigint").alias("impressions"),
+        F.sum("clk").cast("bigint").alias("clicks"),
+    )
+    g = g.withColumn(
+        "ctr",
+        F.when(
+            F.col("impressions") > 0,
+            F.round(
+                F.col("clicks").cast("double")
+                / F.col("impressions").cast("double"),
+                decimals,
+            ),
+        ),
+    )
+    top = F.broadcast(
+        g.filter(F.col("position") == 1).select(F.col("ctr").alias("top_ctr"))
+    )
+    return g.crossJoin(top).select(
+        "position", "impressions", "clicks", "ctr",
+        F.when(
+            F.col("top_ctr") > 0,
+            F.round(F.col("ctr") / F.col("top_ctr"), decimals),
+        ).alias("bias_vs_top"),
+    )

@@ -355,3 +355,80 @@ def prf_query_expansion(
         .filter(F.col("rank") <= fb_terms)
         .select("term", "fb_tf", "dfreq", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def query_likelihood_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: float = 300.0,
+    topk: int = 20,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty) —
+    the language-modeling classic next to ``bm25_topk``, and the better
+    ranker on short queries/long docs:
+
+        score(q, d) = Σ_t ln( (tf_{t,d} + μ·cf_t/|C|) / (dl_d + μ) )
+
+    Every query term contributes for every CANDIDATE document (a doc
+    matching ≥1 term) — absent terms pull the score down through the
+    collection prior, which is exactly the smoothing BM25 lacks.
+
+    Plan / 100 TB: one tokenize scan builds candidate (doc, dl) rows and
+    per-(doc, term) tfs; the query-term collection stats (cf_t, |C|) are
+    a broadcast few-row frame, so the candidate × query-term expansion
+    is |candidates|·|q| — never O(corpus·q) past the scan.  Scores round
+    to 6 dp BEFORE the top-k so the ranking is discrete and
+    engine-reproducible; ties break by doc id.
+    """
+    from ..functions.text import tokens
+
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    q = F.array(*[F.lit(t) for t in query_terms])
+    ctot = toks.agg(F.sum(F.size("toks")).cast("double").alias("c_total"))
+    ex = toks.select("doc_id", F.explode("toks").alias("term"))
+    cf = (
+        ex.filter(F.array_contains(q, F.col("term")))
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("cf"))
+    )
+    cand = toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.filter("toks", lambda t: F.array_contains(q, t)).alias("hits"),
+    ).filter(F.size("hits") > 0)
+    tf = (
+        cand.select("doc_id", F.explode("hits").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    qterms = F.broadcast(cf.crossJoin(ctot))
+    scored = (
+        cand.select("doc_id", "dl")
+        .crossJoin(qterms)
+        .join(tf, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (
+                        F.coalesce(F.col("tf"), F.lit(0.0))
+                        + F.lit(float(mu)) * F.col("cf") / F.col("c_total")
+                    )
+                    / (F.col("dl") + F.lit(float(mu)))
+                ),
+                9,
+            ).alias("t"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("t").cast("decimal(30,10)")).cast("double"), 6
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(topk)
+    )
