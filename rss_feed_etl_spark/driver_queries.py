@@ -725,6 +725,7 @@ from . import driver_queries_wave120  # noqa: E402, F401  (registers wave-120 qu
 from . import driver_queries_wave121  # noqa: E402, F401  (registers wave-121 queries)
 from . import driver_queries_wave122  # noqa: E402, F401  (registers wave-122 queries)
 from . import driver_queries_wave123  # noqa: E402, F401  (registers wave-123 queries)
+from . import driver_queries_wave124  # noqa: E402, F401  (registers wave-124 queries)
 
 
 # SELF-REFRESHING ROTATION (round 6; VERDICT r5 task #1).  The driver's

@@ -1433,3 +1433,60 @@ def brier_decomposition(
         F.round(F.col("ybar") * (1.0 - F.col("ybar")), decimals)
         .alias("uncertainty"),
     )
+
+
+def temperature_scaling_fit(
+    scored: DataFrame,
+    logit_col: str = "logit",
+    label_col: str = "label",
+    temperatures: tuple[float, ...] = (
+        0.25, 0.35, 0.5, 0.7, 1.0, 1.4, 2.0, 2.8, 4.0,
+    ),
+    decimals: int = 6,
+) -> DataFrame:
+    """Post-hoc temperature scaling (Guo et al. 2017) fitted by
+    deterministic grid search: for each candidate T, the mean negative
+    log-likelihood of sigmoid(logit / T) against the binary label; the
+    argmin row is flagged.  The one-parameter recalibration every
+    overconfident classifier gets before its scores feed a threshold —
+    and the grid is the honest distributed form (a closed-form Newton
+    step needs per-iteration driver sync; a 9-point grid is one pass).
+
+    Output per candidate: ``(temperature, nll, is_best)``.
+
+    Plan / 100 TB: the grid enters as a broadcast literal array, so the
+    corpus is scanned ONCE with a grid-times-row map expansion folded
+    into one (temperature)-grain aggregate with map-side partials.  NLL
+    terms round to 9 dp and sum as DECIMAL; argmin ties break toward
+    the smaller temperature.
+    """
+    grid = F.array(*[F.lit(float(t)) for t in temperatures])
+    rows = scored.select(
+        F.col(logit_col).cast("double").alias("z"),
+        F.col(label_col).cast("double").alias("y"),
+        F.explode(grid).alias("t"),
+    )
+    # clamp: an extreme logit at a small T saturates the sigmoid to an
+    # EXACT 1.0 in double, and ln(0) poisons the term even under the y=1
+    # branch (both engines evaluate both logs)
+    raw = 1.0 / (1.0 + F.exp(-F.col("z") / F.col("t")))
+    p = F.least(F.lit(1.0 - 1e-9), F.greatest(F.lit(1e-9), raw))
+    nll_term = F.round(
+        -(F.col("y") * F.log(p) + (1.0 - F.col("y")) * F.log(1.0 - p)), 9
+    )
+    g = rows.select("t", nll_term.alias("nll_t")).groupBy("t").agg(
+        F.round(
+            F.sum(F.col("nll_t").cast("decimal(30,10)")).cast("double")
+            / F.count("*"),
+            decimals,
+        ).alias("nll")
+    )
+    w = Window.orderBy(F.col("nll").asc(), F.col("t").asc())
+    return (
+        g.withColumn("rk", F.row_number().over(w))
+        .select(
+            F.col("t").alias("temperature"),
+            "nll",
+            (F.col("rk") == 1).alias("is_best"),
+        )
+    )

@@ -1276,3 +1276,76 @@ def contamination_overlap_fraction(
         F.round(frac, 6).alias("dirty_frac"),
         (frac >= F.lit(float(dirty_threshold))).alias("is_dirty"),
     )
+
+
+def length_matched_pairs(
+    docs: DataFrame,
+    eval_mod: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Matched-control selection: pair every eval document
+    (``id % eval_mod == 0``) with the TRAIN document of nearest token
+    length in the same group — the covariate-matching step behind any
+    "did the filter change quality, or just length?" comparison.
+    Nearest is resolved by one sort-merge staircase (the as-of-join
+    pattern): within each group, order by (length, split, id); the
+    closest train doc is either the last train row at-or-before the
+    eval row or the first after; equal distance prefers the shorter.
+
+    Output per matched eval doc: ``(eval_id, train_id, eval_len,
+    train_len, len_diff)``; eval docs in groups with no train doc drop.
+
+    Plan / 100 TB: ONE window pass over (group)-partitioned,
+    length-ordered rows — two IGNORE-NULLS running extremes, no
+    self-join, no pair explosion; the corpus is exchanged once on the
+    group key.
+    """
+    from .textstats import token_count  # local import, avoids cycle
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("g"),
+        token_count(F.col(text_col)).cast("long").alias("len"),
+        (F.col(id_col) % int(eval_mod) == 0).alias("is_eval"),
+    )
+    # train rows sort BEFORE an equal-length eval row so a zero-diff
+    # match lands on the "prev" side of the staircase
+    order = [F.col("len").asc(), F.col("is_eval").asc(), F.col("id").asc()]
+    wprev = (
+        Window.partitionBy("g").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy("g").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tlen = F.when(~F.col("is_eval"), F.col("len"))
+    tid = F.when(~F.col("is_eval"), F.col("id"))
+    stair = base.select(
+        "id", "g", "len", "is_eval",
+        F.last(tlen, ignorenulls=True).over(wprev).alias("prev_len"),
+        F.last(tid, ignorenulls=True).over(wprev).alias("prev_id"),
+        F.first(tlen, ignorenulls=True).over(wnext).alias("next_len"),
+        F.first(tid, ignorenulls=True).over(wnext).alias("next_id"),
+    ).filter(F.col("is_eval"))
+    prev_diff = F.abs(F.col("len") - F.col("prev_len"))
+    next_diff = F.abs(F.col("len") - F.col("next_len"))
+    use_prev = F.col("prev_id").isNotNull() & (
+        F.col("next_id").isNull() | (prev_diff <= next_diff)
+    )
+    return (
+        stair.filter(
+            F.col("prev_id").isNotNull() | F.col("next_id").isNotNull()
+        )
+        .select(
+            F.col("id").alias("eval_id"),
+            F.when(use_prev, F.col("prev_id")).otherwise(F.col("next_id"))
+            .alias("train_id"),
+            F.col("len").alias("eval_len"),
+            F.when(use_prev, F.col("prev_len")).otherwise(F.col("next_len"))
+            .alias("train_len"),
+            F.when(use_prev, prev_diff).otherwise(next_diff).alias("len_diff"),
+        )
+    )
