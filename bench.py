@@ -124,6 +124,36 @@ HEADLINE = [
     "ivfpq_ann_topk",
     "packing_fragmentation",
     "media_exact_dedup",
+    # round-7 waves 112-124: lakehouse layout economics (zone-map skip,
+    # salting plan), mixture planning (DoReMi step, epoch budget),
+    # interpolated trigram LM, per-eval-doc contamination degree,
+    # perceptual-hash media near-dup, exact Shapley attribution, QL
+    # retrieval, and the embedding evals (alignment/uniformity, kNN
+    # accuracy, IVF nprobe recall)
+    "zonemap_skip_stats",
+    "skew_salting_plan",
+    "doremi_mixture_step",
+    "epoch_budget_plan",
+    "interp_trigram_logppl",
+    "utf8_expansion_by_lang",
+    "erasure_impact_audit",
+    "silhouette_by_cluster",
+    "ivf_nprobe_recall_curve",
+    "classical_decompose_daily",
+    "alignment_uniformity",
+    "label_knn_accuracy",
+    "shuffle_partition_advisor",
+    "conformal_interval_coverage",
+    "contamination_overlap_fraction",
+    "host_crawl_scorecard",
+    "npmi_topic_coherence",
+    "vocab_prune_impact",
+    "image_phash_neardup",
+    "shapley_attribution",
+    "brier_decomposition",
+    "query_likelihood_search",
+    "temperature_scaling_fit",
+    "length_matched_pairs",
 ]
 
 
@@ -312,6 +342,20 @@ SCALE_QUERIES = [
     "ivfpq_ann_topk",
     "tokenizer_fertility_by_lang",
     "split_oov_rate",
+    # round-7 waves 112-124 flagships: the corpus-scan-heavy new entries.
+    # trigram LM is three token-grain count joins; contamination degree is
+    # a shingle-code semi-join; phash near-dup is a banded hamming join;
+    # QL search and coherence are token-grain aggregates; the zone-map
+    # stats are one file-grain aggregate — all should track data volume.
+    "interp_trigram_logppl",
+    "contamination_overlap_fraction",
+    "image_phash_neardup",
+    "query_likelihood_search",
+    "npmi_topic_coherence",
+    "zonemap_skip_stats",
+    "doremi_mixture_step",
+    "alignment_uniformity",
+    "label_knn_accuracy",
 ]
 
 SCALE_FACTOR = 10
