@@ -726,6 +726,7 @@ from . import driver_queries_wave121  # noqa: E402, F401  (registers wave-121 qu
 from . import driver_queries_wave122  # noqa: E402, F401  (registers wave-122 queries)
 from . import driver_queries_wave123  # noqa: E402, F401  (registers wave-123 queries)
 from . import driver_queries_wave124  # noqa: E402, F401  (registers wave-124 queries)
+from . import driver_queries_wave125  # noqa: E402, F401  (registers wave-125 queries)
 
 
 # SELF-REFRESHING ROTATION (round 6; VERDICT r5 task #1).  The driver's

@@ -2270,3 +2270,143 @@ def click_position_bias(
             F.round(F.col("ctr") / F.col("top_ctr"), decimals),
         ).alias("bias_vs_top"),
     )
+
+
+def ipw_treatment_effect(
+    df: DataFrame,
+    stratum_col: str = "stratum",
+    treated_col: str = "treated",
+    outcome_col: str = "outcome",
+    decimals: int = 6,
+) -> DataFrame:
+    """Inverse-propensity-weighted treatment effect with stratum-
+    estimated propensities and Hájek (self-normalized) weighting — the
+    observational companion to ``diff_in_diff``/``cuped_adjustment``:
+    when treatment assignment varies by an observed stratum, the naive
+    treated-minus-control mean confounds the stratum effect; weighting
+    each unit by 1/p̂ (treated) or 1/(1−p̂) (control), with p̂ the
+    stratum's empirical treatment rate, removes it.
+
+        ATE_ipw = Σ_t y/p̂ / Σ_t 1/p̂  −  Σ_c y/(1−p̂) / Σ_c 1/(1−p̂)
+
+    Strata with p̂ ∈ {0, 1} violate positivity and are EXCLUDED (their
+    count is reported — silent exclusion is how IPW analyses lie).
+
+    Output: one row — ``(n_units, n_treated, n_excluded_strata,
+    naive_diff, ipw_ate)``.
+
+    Plan / 100 TB: one stratum-grain aggregate estimates every p̂
+    (map-side partials), broadcast back for the weighted second
+    aggregate — two passes, no row ever carries more than its own
+    weight.  Weighted sums round to 4 dp and accumulate as DECIMAL.
+    """
+    rows = df.select(
+        F.col(stratum_col).alias("s"),
+        F.col(treated_col).cast("int").alias("t"),
+        F.col(outcome_col).cast("double").alias("y"),
+    )
+    prop = rows.groupBy("s").agg(
+        F.count("*").cast("long").alias("nb"),
+        F.sum("t").cast("long").alias("tb"),
+    ).withColumn("p", F.col("tb").cast("double") / F.col("nb"))
+    ok = F.broadcast(prop.filter((F.col("p") > 0) & (F.col("p") < 1)))
+    n_excl = F.broadcast(
+        prop.filter((F.col("p") <= 0) | (F.col("p") >= 1)).agg(
+            F.count("*").cast("bigint").alias("n_excluded_strata")
+        )
+    )
+    w = F.when(F.col("t") == 1, 1.0 / F.col("p")).otherwise(
+        1.0 / (1.0 - F.col("p"))
+    )
+    j = rows.join(ok.select("s", "p"), "s")
+    dec = lambda c: F.sum(F.round(c, 4).cast("decimal(30,10)")).cast("double")  # noqa: E731
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum("t").cast("bigint").alias("n_treated"),
+        dec(F.when(F.col("t") == 1, w * F.col("y")).otherwise(0.0)).alias("twy"),
+        dec(F.when(F.col("t") == 1, w).otherwise(0.0)).alias("tw"),
+        dec(F.when(F.col("t") == 0, w * F.col("y")).otherwise(0.0)).alias("cwy"),
+        dec(F.when(F.col("t") == 0, w).otherwise(0.0)).alias("cw"),
+        dec(F.when(F.col("t") == 1, F.col("y")).otherwise(0.0)).alias("ty"),
+        dec(F.when(F.col("t") == 0, F.col("y")).otherwise(0.0)).alias("cy"),
+        F.sum(1 - F.col("t")).cast("long").alias("nc"),
+    )
+    return agg.crossJoin(n_excl).select(
+        "n_units",
+        "n_treated",
+        "n_excluded_strata",
+        F.round(
+            F.col("ty") / F.col("n_treated") - F.col("cy") / F.col("nc"),
+            decimals,
+        ).alias("naive_diff"),
+        F.round(
+            F.col("twy") / F.col("tw") - F.col("cwy") / F.col("cw"), decimals
+        ).alias("ipw_ate"),
+    )
+
+
+def regression_discontinuity(
+    df: DataFrame,
+    running_col: str = "running",
+    outcome_col: str = "outcome",
+    cutoff: float = 0.0,
+    bandwidth: float = 1.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate by LOCAL LINEAR fits: a
+    closed-form OLS line on each side of the cutoff within ±bandwidth,
+    both extrapolated to the cutoff; the jump between the two intercepts
+    is the causal estimate (Imbens & Lemieux).  Local means alone are
+    biased by the running variable's own slope — the two-line form is
+    the standard fix, and closed-form OLS needs only five sums per side.
+
+    Output: one row — ``(n_left, n_right, left_pred, right_pred,
+    rd_estimate)``.
+
+    Plan / 100 TB: one filtered scan into a 2-row (side-grain)
+    aggregate of the OLS sufficient statistics (Σx, Σy, Σxy, Σx², n),
+    each term rounded to 4 dp and summed as DECIMAL; the algebra runs
+    on the 2-row frame.
+    """
+    rows = df.select(
+        (F.col(running_col).cast("double") - F.lit(float(cutoff))).alias("x"),
+        F.col(outcome_col).cast("double").alias("y"),
+    ).filter(
+        (F.col("x") >= -F.lit(float(bandwidth)))
+        & (F.col("x") < F.lit(float(bandwidth)))
+    )
+    dec = lambda c: F.sum(F.round(c, 4).cast("decimal(38,10)")).cast("double")  # noqa: E731
+    side = rows.groupBy(
+        (F.col("x") >= 0).alias("right")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    pred = side.select(
+        "right",
+        F.col("n"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), decimals)
+        .alias("pred_at_cutoff"),
+    )
+    left = pred.filter(~F.col("right")).select(
+        F.col("n").alias("n_left"), F.col("pred_at_cutoff").alias("left_pred")
+    )
+    right = pred.filter(F.col("right")).select(
+        F.col("n").alias("n_right"),
+        F.col("pred_at_cutoff").alias("right_pred"),
+    )
+    return left.crossJoin(right).select(
+        F.col("n_left").cast("bigint").alias("n_left"),
+        F.col("n_right").cast("bigint").alias("n_right"),
+        "left_pred",
+        "right_pred",
+        F.round(F.col("right_pred") - F.col("left_pred"), decimals)
+        .alias("rd_estimate"),
+    )
