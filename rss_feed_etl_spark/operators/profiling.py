@@ -1490,3 +1490,79 @@ def temperature_scaling_fit(
             (F.col("rk") == 1).alias("is_best"),
         )
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str = "grp",
+    value_col: str = "v",
+    group_a: str = "a",
+    group_b: str = "b",
+    decimals: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) with midranks and the tie-
+    corrected normal approximation — the nonparametric two-sample test
+    this module's parametric tools (``tukey_fences``, ``srm_check``)
+    can't replace when the metric is heavy-tailed (revenue, latency):
+    it compares RANKS, so one whale in either arm cannot move it.
+
+        U_a = R_a − n_a(n_a+1)/2,   z = (U_a − n_a·n_b/2) / σ_tie
+
+    Output: one row — ``(n_a, n_b, u_a, z)``; |z| > 1.96 rejects equal
+    distributions at 5%.
+
+    Plan / 100 TB: midranks come from ONE value-grain aggregate (count
+    per distinct value + a running cumulative — the distinct-score-grid
+    window pattern pinned in test_plan_shapes), so the rows are ranked
+    without a global per-row sort; the tie-correction term rides the
+    same value-grain frame.  All rank sums are exact integers over 2
+    (midranks are halves) accumulated as DECIMAL.
+    """
+    rows = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+    ).filter(F.col("g").isin([group_a, group_b]))
+    vals = rows.groupBy("v").agg(
+        F.count("*").cast("long").alias("t"),
+        F.sum((F.col("g") == group_a).cast("long")).cast("long").alias("ta"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "before", F.coalesce(F.sum("t").over(w), F.lit(0))
+    ).withColumn(
+        # midrank of the tie group, doubled so everything stays integer
+        "mid2", 2 * F.col("before") + F.col("t") + 1
+    )
+    agg = ranked.agg(
+        F.sum("ta").cast("long").alias("n_a"),
+        F.sum(F.col("t") - F.col("ta")).cast("long").alias("n_b"),
+        F.sum(
+            (F.col("ta") * F.col("mid2")).cast("decimal(38,0)")
+        ).alias("ra2"),
+        F.sum(
+            (F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("decimal(38,0)")
+        ).alias("tie3"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    ua = F.col("ra2").cast("double") / 2.0 - F.col("n_a") * (
+        F.col("n_a") + 1
+    ) / F.lit(2.0)
+    var = (
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("tie3").cast("double") / (n * (n - 1)).cast("double")
+        )
+    )
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(ua, decimals).alias("u_a"),
+        F.round(
+            (ua - F.col("n_a").cast("double") * F.col("n_b") / 2.0)
+            / F.sqrt(var),
+            decimals,
+        ).alias("z"),
+    )
