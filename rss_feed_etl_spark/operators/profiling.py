@@ -1566,3 +1566,51 @@ def mann_whitney_u(
             decimals,
         ).alias("z"),
     )
+
+
+def bh_fdr_select(
+    tests: DataFrame,
+    id_col: str = "test_id",
+    p_col: str = "p",
+    alpha: float = 0.1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR selection over a battery of hypothesis
+    tests: rank the p-values, find the largest k with
+    p_(k) ≤ k·α/m, and return every test at rank ≤ k — the multiple-
+    testing discipline a metrics sweep needs (query this registry's own
+    per-segment z-scores through it: at 300 segments, α=0.05 per-test
+    fabricates 15 "wins" per sweep; BH caps the FALSE DISCOVERY RATE at
+    α instead).
+
+    Output: one row per SELECTED test — ``(test_id, p, rank,
+    n_tests, k_selected)``; empty result = nothing survives.
+
+    Plan / 100 TB: one rank window over the test battery (batteries are
+    segment-count-sized, never corpus-sized) and a broadcast 1-row
+    argmax for k — the corpus never appears; feeding it is the caller's
+    aggregate.
+    """
+    m = F.broadcast(tests.agg(F.count("*").cast("long").alias("m")))
+    w = Window.orderBy(F.col(p_col).asc(), F.col(id_col).asc())
+    ranked = (
+        tests.select(F.col(id_col).alias("test_id"), F.col(p_col).alias("p"))
+        .withColumn("rank", F.row_number().over(w))
+        .crossJoin(m)
+    )
+    kstar = F.broadcast(
+        ranked.filter(
+            F.col("p") <= F.col("rank") * F.lit(float(alpha)) / F.col("m")
+        ).agg(F.coalesce(F.max("rank"), F.lit(0)).cast("long").alias("k"))
+    )
+    return (
+        ranked.crossJoin(kstar)
+        .filter(F.col("rank") <= F.col("k"))
+        .select(
+            "test_id",
+            F.round("p", decimals).alias("p"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("m").cast("bigint").alias("n_tests"),
+            F.col("k").cast("bigint").alias("k_selected"),
+        )
+    )

@@ -2937,3 +2937,71 @@ def vocab_prune_impact(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def good_turing_mass(
+    df: DataFrame,
+    text_col: str = "text",
+    max_r: int = 5,
+    ngram: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Simple Good-Turing frequency re-estimation (Gale & Sampson): from
+    the count-of-counts table N_r, the adjusted count
+    r* = (r+1)·N_{r+1}/N_r for rare frequencies and the total UNSEEN
+    probability mass p₀ = N₁/N — the number that says how much of the
+    next corpus shard will be word types this one has never seen
+    (directly: how fast ``vocab_coverage_curve`` will keep growing, and
+    the smoothing floor an n-gram LM should reserve).
+
+    Output per r in 1..``max_r``: ``(r, n_r, n_r_plus1, r_star,
+    unseen_mass)`` (the unseen mass repeats — it belongs to the table,
+    not a row).
+
+    ``ngram`` picks the type universe: 1 = word types (needs a corpus
+    with a real vocabulary tail), 3 = word trigrams (every corpus has a
+    trigram tail — the form an n-gram LM smooths).
+
+    Plan / 100 TB: tokenize scan → type-grain counts → count-of-counts
+    — two map-side-combined aggregates, ending at ≤max_r+1 rows; the
+    token total rides the same pass.
+    """
+    if ngram == 1:
+        toks = df.select(
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok")
+        ).filter(F.col("tok") != "")
+    elif ngram == 3:
+        toks = _trigram_triples(df, df.columns[0], text_col).select(
+            F.concat_ws(" ", "a", "b", "c").alias("tok")
+        )
+    else:
+        raise ValueError(f"ngram must be 1 or 3, got {ngram}")
+    types = toks.groupBy("tok").agg(F.count("*").alias("r"))
+    coc = types.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    tot = F.broadcast(
+        types.agg(F.sum("r").cast("double").alias("n_tokens"))
+    )
+    n1 = F.broadcast(
+        coc.filter(F.col("r") == 1).select(F.col("n_r").alias("n1"))
+    )
+    nxt = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_plus1"))
+    out = (
+        coc.filter(F.col("r") <= int(max_r))
+        .join(nxt, "r", "left")
+        .crossJoin(tot)
+        .crossJoin(n1)
+    )
+    return out.select(
+        F.col("r").cast("bigint").alias("r"),
+        "n_r",
+        F.coalesce(F.col("n_r_plus1"), F.lit(0)).cast("bigint")
+        .alias("n_r_plus1"),
+        F.round(
+            (F.col("r") + 1)
+            * F.coalesce(F.col("n_r_plus1"), F.lit(0)).cast("double")
+            / F.col("n_r"),
+            decimals,
+        ).alias("r_star"),
+        F.round(F.col("n1").cast("double") / F.col("n_tokens"), decimals)
+        .alias("unseen_mass"),
+    )
