@@ -1258,3 +1258,81 @@ def cross_source_dup_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )
+
+
+def lsh_param_plan(
+    spark,
+    threshold: float = 0.5,
+    candidates: tuple[tuple[int, int], ...] = (
+        (4, 4), (8, 4), (16, 2), (8, 8), (32, 2), (16, 4), (4, 8), (2, 16),
+    ),
+    grid_step: float = 0.05,
+    decimals: int = 6,
+) -> DataFrame:
+    """ANALYTIC (bands, rows) planner for MinHash LSH — the design-time
+    complement of the MEASURED ``lsh_sensitivity_curve``: for each
+    candidate banding, integrate the collision curve
+    P(s) = 1 − (1 − s^r)^b against the target Jaccard ``threshold`` —
+    false-positive area below it, false-negative area above — and flag
+    the cost-minimizing setting.  This is the table that justifies the
+    registry's own 8×4 default before any data is touched.
+
+    Output per candidate: ``(bands, rows, n_hashes, fp_area, fn_area,
+    cost, is_best)``; cost = fp_area + fn_area, ties → fewer hashes,
+    then more bands.
+
+    Plan: pure model arithmetic — a (candidate × grid-midpoint) literal
+    expansion of a few hundred rows; nothing reads data at all.  Powers
+    go through exp/ln on 9-dp-rounded arguments so both engines replay
+    the same curve.
+    """
+    from pyspark.sql import Window as W
+
+    n_mid = int(round(1.0 / grid_step))
+    cand_rows = spark.createDataFrame(
+        [(int(b), int(r)) for b, r in candidates], ["bands", "rows"]
+    )
+    mids = spark.range(n_mid).select(
+        ((F.col("id") + 0.5) * F.lit(float(grid_step))).alias("s")
+    )
+    grid = cand_rows.crossJoin(mids)
+    # P(s) = 1 - (1 - s^r)^b with exp/ln powers, rounded at each stage
+    sr = F.round(F.exp(F.col("rows") * F.log(F.col("s"))), 9)
+    p = F.round(
+        1.0 - F.exp(F.col("bands") * F.log(1.0 - sr)), 9
+    )
+    scored = grid.select(
+        "bands", "rows", "s",
+        F.when(F.col("s") < F.lit(float(threshold)), p)
+        .otherwise(F.lit(0.0)).alias("fp_t"),
+        F.when(F.col("s") >= F.lit(float(threshold)), 1.0 - p)
+        .otherwise(F.lit(0.0)).alias("fn_t"),
+    )
+    agg = scored.groupBy("bands", "rows").agg(
+        F.round(
+            F.sum(F.col("fp_t").cast("decimal(30,10)")).cast("double")
+            * F.lit(float(grid_step)),
+            decimals,
+        ).alias("fp_area"),
+        F.round(
+            F.sum(F.col("fn_t").cast("decimal(30,10)")).cast("double")
+            * F.lit(float(grid_step)),
+            decimals,
+        ).alias("fn_area"),
+    )
+    agg = agg.select(
+        "bands", "rows",
+        (F.col("bands") * F.col("rows")).cast("bigint").alias("n_hashes"),
+        "fp_area", "fn_area",
+        F.round(F.col("fp_area") + F.col("fn_area"), decimals).alias("cost"),
+    )
+    wbest = W.orderBy(
+        F.col("cost").asc(), F.col("n_hashes").asc(), F.col("bands").desc()
+    )
+    return agg.withColumn(
+        "is_best", F.row_number().over(wbest) == 1
+    ).select(
+        F.col("bands").cast("bigint").alias("bands"),
+        F.col("rows").cast("bigint").alias("rows"),
+        "n_hashes", "fp_area", "fn_area", "cost", "is_best",
+    )

@@ -432,3 +432,101 @@ def query_likelihood_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(topk)
     )
+
+
+def postinglist_compression_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Index-engineering advisor: for the inverted index this corpus
+    would build, estimate bits-per-posting under the three standard
+    posting-list encodings — delta+varint (gap bit-lengths, 8 bits per
+    7), Elias-Fano (≈⌈log₂(U/n)⌉+2 bits, here the integer bit-length of
+    ⌊U/n⌋ plus 2 — documented approximation, integer-exact on both
+    engines), and a plain bitmap (U/n bits per posting) — aggregated by
+    document-frequency decile, with the cheapest encoding named.  Rare
+    terms want varint, mid terms Elias-Fano, stop-word-dense terms a
+    bitmap: the decile table shows exactly where the crossovers land on
+    THIS corpus.
+
+    Output per df-decile: ``(df_bucket, n_terms, n_postings,
+    varint_bits, ef_bits, bitmap_bits, best_encoding)``.
+
+    Plan / 100 TB: tokenize scan → (term, doc) presence grain → one lag
+    window per term for gaps (term-partitioned, the inverted_index
+    shape) → decile-grain aggregate.  All size math is integer bit
+    lengths via ``bin()`` — no floating log whose last-ulp could flip a
+    floor cross-engine.
+    """
+    from ..functions.text import tokens
+
+    pres = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    u = F.broadcast(
+        df.agg((F.max(F.col(id_col)) + 1).cast("long").alias("U"))
+    )
+    w = Window.partitionBy("term").orderBy("doc")
+    gaps = pres.withColumn(
+        "gap", F.col("doc") - F.coalesce(F.lag("doc").over(w), F.lit(-1))
+    ).withColumn(
+        "vbits",
+        8 * F.ceil(F.length(F.bin(F.greatest(F.col("gap"), F.lit(1)))) / 7.0)
+        .cast("long"),
+    )
+    terms = gaps.groupBy("term").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("vbits").cast("long").alias("varint_total"),
+    )
+    ntile = F.ntile(int(n_buckets)).over(
+        Window.orderBy(F.col("n").asc(), F.col("term").asc())
+    )
+    scored = (
+        terms.withColumn("df_bucket", ntile)
+        .crossJoin(u)
+        .withColumn(
+            "ef_bits_term",
+            (
+                F.length(F.bin(F.floor(F.col("U") / F.col("n")).cast("long")))
+                + 2
+            ).cast("long")
+            * F.col("n"),
+        )
+        .withColumn(
+            "bitmap_bits_term", F.col("U").cast("long")
+        )
+    )
+    agg = scored.groupBy("df_bucket").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("n").cast("bigint").alias("n_postings"),
+        F.round(
+            F.sum("varint_total").cast("double") / F.sum("n"), decimals
+        ).alias("varint_bits"),
+        F.round(
+            F.sum("ef_bits_term").cast("double") / F.sum("n"), decimals
+        ).alias("ef_bits"),
+        F.round(
+            F.sum("bitmap_bits_term").cast("double") / F.sum("n"), decimals
+        ).alias("bitmap_bits"),
+    )
+    best = (
+        F.when(
+            (F.col("varint_bits") <= F.col("ef_bits"))
+            & (F.col("varint_bits") <= F.col("bitmap_bits")),
+            F.lit("varint"),
+        )
+        .when(F.col("ef_bits") <= F.col("bitmap_bits"), F.lit("elias_fano"))
+        .otherwise(F.lit("bitmap"))
+    )
+    return agg.select(
+        F.col("df_bucket").cast("bigint").alias("df_bucket"),
+        "n_terms", "n_postings", "varint_bits", "ef_bits", "bitmap_bits",
+        best.alias("best_encoding"),
+    )
