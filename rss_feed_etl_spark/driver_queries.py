@@ -730,6 +730,7 @@ from . import driver_queries_wave125  # noqa: E402, F401  (registers wave-125 qu
 from . import driver_queries_wave126  # noqa: E402, F401  (registers wave-126 queries)
 from . import driver_queries_wave127  # noqa: E402, F401  (registers wave-127 queries)
 from . import driver_queries_wave128  # noqa: E402, F401  (registers wave-128 queries)
+from . import driver_queries_wave129  # noqa: E402, F401  (registers wave-129 queries)
 
 
 # SELF-REFRESHING ROTATION (round 6; VERDICT r5 task #1).  The driver's

@@ -285,3 +285,124 @@ def kcore_membership(
     return deg_final.select(
         F.col("node"), F.col("degree").cast("bigint").alias("degree")
     )
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """HITS (Kleinberg) over a bipartite src→dst graph: dst AUTHORITY =
+    how much hub mass points at it, src HUB = how much authority it
+    points at, alternated ``iters`` times from uniform hubs with
+    L1 normalization each half-step (sum-normalized instead of the
+    textbook L2 so every value is a DECIMAL-safe rational — the ranking
+    is identical).  PageRank measures global flow; HITS separates
+    "curators" from "canon" — on a user→item graph the authorities are
+    the items the broadest users converge on.
+
+    Output per dst node: ``(node, authority)``, the final normalized
+    authority mass.
+
+    Plan / 100 TB: each half-step is one join of the edge list against
+    the CURRENT score frame (node-grain, model-sized vs the edges) and
+    one partial-aggregated groupBy — the 2·iters exchanges all carry
+    (node, score) pairs, never raw events.  Scores round to 9 dp per
+    half-step so both engines replay the trajectory exactly.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    hubs = e.select("src").distinct().withColumn("h", F.lit(1.0))
+    auth = None
+    for _ in range(int(iters)):
+        raw_a = (
+            e.join(hubs, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(F.round(F.col("h"), 9).cast("decimal(30,10)"))
+                .cast("double")
+                .alias("ra")
+            )
+        )
+        asum = F.broadcast(
+            raw_a.agg(
+                F.sum(F.round(F.col("ra"), 9).cast("decimal(30,10)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        auth = raw_a.crossJoin(asum).select(
+            "dst", F.round(F.col("ra") / F.col("s"), 9).alias("a")
+        )
+        raw_h = (
+            e.join(auth, "dst")
+            .groupBy("src")
+            .agg(
+                F.sum(F.round(F.col("a"), 9).cast("decimal(30,10)"))
+                .cast("double")
+                .alias("rh")
+            )
+        )
+        hsum = F.broadcast(
+            raw_h.agg(
+                F.sum(F.round(F.col("rh"), 9).cast("decimal(30,10)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        hubs = raw_h.crossJoin(hsum).select(
+            "src", F.round(F.col("rh") / F.col("s"), 9).alias("h")
+        )
+    return auth.select(
+        F.col("dst").alias("node"),
+        F.round(F.col("a"), decimals).alias("authority"),
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    decimals: int = 6,
+) -> DataFrame:
+    """Degree assortativity of a (bipartite or directed) edge list: the
+    Pearson correlation between the source's out-degree and the
+    destination's in-degree ACROSS EDGES (Newman 2002).  Positive =
+    hubs preferentially link to other hubs (rich-club crawl graphs);
+    negative = hubs fan out to the periphery (star-shaped catalogs) —
+    the single number that says which skew mitigation a graph algorithm
+    here (pagerank, k-core, HITS) will face.
+
+    Output: one row — ``(n_edges, assortativity)``.
+
+    Plan / 100 TB: two degree aggregates (node grain), joined back to
+    the edge list by key — three key exchanges, no materialized
+    adjacency; the Pearson runs on DECIMAL-summed edge-grain moments.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    dout = e.groupBy("src").agg(F.count("*").cast("long").alias("dx"))
+    din = e.groupBy("dst").agg(F.count("*").cast("long").alias("dy"))
+    j = e.join(dout, "src").join(din, "dst")
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    agg = j.agg(
+        F.count("*").cast("long").alias("n"),
+        dec(F.col("dx")).alias("sx"),
+        dec(F.col("dy")).alias("sy"),
+        dec(F.col("dx") * F.col("dy")).alias("sxy"),
+        dec(F.col("dx") * F.col("dx")).alias("sxx"),
+        dec(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.when(den > 0, F.round(num / den, decimals)).alias("assortativity"),
+    )
