@@ -731,6 +731,7 @@ from . import driver_queries_wave126  # noqa: E402, F401  (registers wave-126 qu
 from . import driver_queries_wave127  # noqa: E402, F401  (registers wave-127 queries)
 from . import driver_queries_wave128  # noqa: E402, F401  (registers wave-128 queries)
 from . import driver_queries_wave129  # noqa: E402, F401  (registers wave-129 queries)
+from . import driver_queries_wave130  # noqa: E402, F401  (registers wave-130 queries)
 
 
 # SELF-REFRESHING ROTATION (round 6; VERDICT r5 task #1).  The driver's

@@ -2410,3 +2410,47 @@ def regression_discontinuity(
         F.round(F.col("right_pred") - F.col("left_pred"), decimals)
         .alias("rd_estimate"),
     )
+
+
+def ucb1_ranking(
+    events: DataFrame,
+    item_col: str = "item",
+    reward_col: str = "reward",
+    top: int = 20,
+    decimals: int = 6,
+) -> DataFrame:
+    """UCB1 bandit scores (Auer et al. 2002) over logged interactions:
+    per item, mean reward plus the exploration bonus √(2·ln N / n) —
+    the index an optimism-under-uncertainty scheduler pulls next.  The
+    ranking differs from plain popularity exactly where it should:
+    rarely-tried items with decent means outrank exhausted ones, which
+    is what a curation loop allocating LLM-scoring budget across
+    sources wants (treat each source as an arm, each scored doc as a
+    pull).
+
+    Output: top ``top`` arms — ``(item, n_pulls, mean_reward, ucb)``,
+    ordered (ucb DESC, item ASC).
+
+    Plan / 100 TB: one item-grain conditional-sum aggregate (map-side
+    partials) + a broadcast 1-row total; the TakeOrdered top-k never
+    sorts the full arm table.
+    """
+    arms = events.groupBy(F.col(item_col).alias("item")).agg(
+        F.count("*").cast("long").alias("n_pulls"),
+        F.sum(F.col(reward_col).cast("double")).alias("rsum"),
+    )
+    tot = F.broadcast(arms.agg(F.sum("n_pulls").cast("double").alias("N")))
+    scored = arms.crossJoin(tot).select(
+        "item",
+        F.col("n_pulls").cast("bigint").alias("n_pulls"),
+        F.round(F.col("rsum") / F.col("n_pulls"), decimals)
+        .alias("mean_reward"),
+        F.round(
+            F.col("rsum") / F.col("n_pulls")
+            + F.sqrt(2.0 * F.log(F.col("N")) / F.col("n_pulls")),
+            decimals,
+        ).alias("ucb"),
+    )
+    return scored.orderBy(F.col("ucb").desc(), F.col("item").asc()).limit(
+        int(top)
+    )

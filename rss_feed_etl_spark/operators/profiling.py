@@ -1614,3 +1614,87 @@ def bh_fdr_select(
             F.col("k").cast("bigint").alias("k_selected"),
         )
     )
+
+
+def logistic_1d_fit(
+    df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    iters: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """One-feature logistic regression P(y|x) = σ(a + b·x), fitted by
+    ``iters`` UNROLLED Newton-Raphson (IRLS) steps from (0, 0) — the
+    "train a real model inside the engine" demonstration: every step is
+    ONE aggregate of five sufficient statistics (Σ(y−p), Σ(y−p)x, Σw,
+    Σwx, Σwx² with w = p(1−p)) and a closed-form 2×2 solve, so the whole
+    fit is ``iters`` corpus scans with nothing but two scalars between
+    them.  Two steps reach ~3 correct digits on separable-ish data —
+    enough for a quality-score direction check; more steps are more
+    scans, linearly.
+
+    Output: one row — ``(n, a, b, mean_nll)`` after the final step.
+
+    Plan / 100 TB: per step, one map-side-combined aggregate (terms
+    rounded to 9 dp, DECIMAL sums); the running (a, b) ride as broadcast
+    1-row frames so the plan stays lazy end-to-end.  σ is clamped to
+    [1e-9, 1−1e-9] before every log (the temperature_scaling_fit
+    discipline).
+    """
+    rows = df.select(
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    state = rows.sparkSession.range(1).select(
+        F.lit(0.0).alias("a"), F.lit(0.0).alias("b")
+    )
+    dec = lambda c: F.sum(F.round(c, 9).cast("decimal(38,10)")).cast("double")  # noqa: E731
+    for _ in range(int(iters)):
+        raw = 1.0 / (1.0 + F.exp(-(F.col("a") + F.col("b") * F.col("x"))))
+        p = F.least(F.lit(1.0 - 1e-9), F.greatest(F.lit(1e-9), raw))
+        wgt = p * (1.0 - p)
+        stats = (
+            rows.crossJoin(F.broadcast(state))
+            .agg(
+                dec(F.col("y") - p).alias("g0"),
+                dec((F.col("y") - p) * F.col("x")).alias("g1"),
+                dec(wgt).alias("h00"),
+                dec(wgt * F.col("x")).alias("h01"),
+                dec(wgt * F.col("x") * F.col("x")).alias("h11"),
+                F.max("a").alias("a"),
+                F.max("b").alias("b"),
+            )
+        )
+        det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        state = stats.select(
+            F.round(
+                F.col("a")
+                + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1"))
+                / det,
+                9,
+            ).alias("a"),
+            F.round(
+                F.col("b")
+                + (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0"))
+                / det,
+                9,
+            ).alias("b"),
+        )
+    raw = 1.0 / (1.0 + F.exp(-(F.col("a") + F.col("b") * F.col("x"))))
+    p = F.least(F.lit(1.0 - 1e-9), F.greatest(F.lit(1e-9), raw))
+    nll = -(F.col("y") * F.log(p) + (1.0 - F.col("y")) * F.log(1.0 - p))
+    return (
+        rows.crossJoin(F.broadcast(state))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.max("a").alias("fa"),
+            F.max("b").alias("fb"),
+            F.round(dec(nll) / F.count("*"), decimals).alias("mean_nll"),
+        )
+        .select(
+            "n",
+            F.round("fa", decimals).alias("a"),
+            F.round("fb", decimals).alias("b"),
+            "mean_nll",
+        )
+    )
