@@ -154,6 +154,20 @@ HEADLINE = [
     "query_likelihood_search",
     "temperature_scaling_fit",
     "length_matched_pairs",
+    # round-7 waves 125-130: causal estimators, nonparametric tests,
+    # index-engineering planners, graph centrality, in-engine ML
+    "ipw_treatment_effect",
+    "regression_discontinuity",
+    "mann_whitney_u",
+    "competing_risks_cif",
+    "bh_fdr_select",
+    "good_turing_mass",
+    "postinglist_compression_plan",
+    "lsh_param_plan",
+    "hits_authorities",
+    "degree_assortativity",
+    "logistic_1d_fit",
+    "ucb1_ranking",
 ]
 
 
@@ -356,6 +370,13 @@ SCALE_QUERIES = [
     "doremi_mixture_step",
     "alignment_uniformity",
     "label_knn_accuracy",
+    # waves 126-130 scan-heavy additions: trigram-type Good-Turing
+    # (token-grain counts), posting-list gaps (term-partitioned lag),
+    # the two-scan logistic fit, and the HITS half-step joins
+    "good_turing_mass",
+    "postinglist_compression_plan",
+    "logistic_1d_fit",
+    "hits_authorities",
 ]
 
 SCALE_FACTOR = 10
