@@ -422,6 +422,23 @@ def ensure_scaled_corpus(src_dir: str, dst_dir: str, factor: int = SCALE_FACTOR)
             ) TO '{dst_dir}/embeddings.parquet' (FORMAT PARQUET)
             """
         )
+    if not os.path.exists(f"{dst_dir}/lineitem.parquet"):
+        # copy k offsets the order key (the zone-map file span tracks the
+        # write key, so file count scales with data — the property the
+        # zonemap_skip_stats curve measures); dates are unchanged so the
+        # trailing windows match the same fraction of rows per copy
+        con.execute(
+            f"""
+            COPY (
+              SELECT l_orderkey + k * 100000000 AS l_orderkey,
+                     l_partkey, l_suppkey, l_linenumber, l_quantity,
+                     l_extendedprice, l_discount, l_tax,
+                     l_returnflag, l_linestatus, l_shipdate
+              FROM '{src_dir}/lineitem.parquet',
+                   (SELECT unnest(range({factor})) AS k)
+            ) TO '{dst_dir}/lineitem.parquet' (FORMAT PARQUET)
+            """
+        )
     if not os.path.exists(f"{dst_dir}/events.parquet"):
         # copy k offsets event/user ids (independent traffic copies over the
         # SAME item vocabulary in props — catalogs grow slower than traffic)
