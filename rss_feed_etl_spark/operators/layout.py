@@ -498,21 +498,25 @@ def zonemap_skip_stats(
             ],
         )
     )
-    picks = [
-        per_file.select(
-            F.lit(int(d)).alias("window_days"),
-            F.col("rows"),
-            (
-                F.col("fmax")
-                >= F.col("tmax_all") - F.expr(f"INTERVAL {int(d)} DAYS")
-            ).cast("long").alias("read"),
-            F.col(f"m{d}").alias("match"),
-        )
-        for d in window_days
-    ]
-    stacked = picks[0]
-    for p in picks[1:]:
-        stacked = stacked.unionByName(p)
+    # one explode, NOT a union of per-window selects: a union re-evaluates
+    # the file-grain aggregate subtree once per branch (3 windows scanned
+    # lineitem 12x before this — caught by the plan pin), while the struct
+    # explode reshapes the single aggregated frame map-side
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(d)).alias("window_days"),
+                F.col("rows").alias("rows"),
+                (
+                    F.col("fmax")
+                    >= F.col("tmax_all") - F.expr(f"INTERVAL {int(d)} DAYS")
+                ).cast("long").alias("read"),
+                F.col(f"m{d}").alias("match"),
+            )
+            for d in window_days
+        ]
+    )
+    stacked = per_file.select(F.explode(arr).alias("w")).select("w.*")
     agg = stacked.groupBy("window_days").agg(
         F.count("*").cast("bigint").alias("n_files"),
         F.sum("read").cast("bigint").alias("files_read"),

@@ -813,3 +813,71 @@ def test_pq_ann_training_scan_is_limit_bounded(spark):
     a = {r["id"] for r in tiny.collect()}
     b = {r["id"] for r in _pq_training_sample(emb, 7, "pq-train-v1").collect()}
     assert a == b
+
+
+def test_erasure_audit_broadcasts_deletion_list_not_orders(spark):
+    s = _plan(_queries()["erasure_impact_audit"](spark, SF_DIR))
+    # the tiny erased-customer list and the nation dim ride broadcasts...
+    assert s.count("BroadcastHashJoin") >= 3
+    # ...but the erased ORDER set is fact-scale: lineitem must meet it in
+    # a shuffled join, never a broadcast (the 100 TB contract in the
+    # docstring)
+    assert "SortMergeJoin" in s or "ShuffledHashJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_knn_accuracy_broadcasts_queries_once(spark):
+    s = _plan(_queries()["label_knn_accuracy"](spark, SF_DIR))
+    # one corpus scan joined to broadcast queries; votes at query grain
+    assert "BroadcastHashJoin" not in s  # inequality join -> BNL below
+    assert "BroadcastNestedLoopJoin" in s
+    assert "CartesianProduct" not in s
+    assert "SortMergeJoin" not in s
+
+
+def test_contamination_fraction_exchanges_codes_only(spark):
+    s = _plan(_queries()["contamination_overlap_fraction"](spark, SF_DIR))
+    # the eval-train meeting point is the int64 shingle code: no text
+    # column may survive into any Exchange
+    for line in s.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+    assert "CartesianProduct" not in s
+
+
+def test_shapley_lattice_stays_model_sized(spark):
+    s = _plan(_queries()["shapley_attribution"](spark, SF_DIR))
+    # the event stream is aggregated to user grain before anything else;
+    # the 2^n lattice joins are all broadcast-scale
+    assert "CartesianProduct" not in s
+    assert s.count("HashAggregate") >= 4  # partial+final on both aggs
+
+
+def test_zonemap_single_fact_scan(spark):
+    s = _plan(_queries()["zonemap_skip_stats"](spark, SF_DIR))
+    # 3 windows ride ONE file-grain aggregate of one lineitem scan;
+    # the union must not triple-scan the fact table
+    assert s.count("Scan parquet") <= 4  # lineitem + tmax branches
+    assert "CartesianProduct" not in s
+
+
+def test_skew_salting_plan_is_takeordered(spark):
+    s = _plan(_queries()["skew_salting_plan"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in s  # top-20 hot keys never sort
+    assert s.count("HashAggregate") >= 2
+
+
+def test_ucb1_is_takeordered_over_arm_grain(spark):
+    s = _plan(_queries()["ucb1_ranking"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in s
+    assert "CartesianProduct" not in s
+
+
+def test_trigram_logppl_joins_are_token_keyed(spark):
+    s = _plan(_queries()["interp_trigram_logppl"](spark, SF_DIR))
+    # five model joins, all token-string keyed; document bodies must not
+    # survive into the scoring joins
+    assert "CartesianProduct" not in s
+    for line in s.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert " text" not in line, line
