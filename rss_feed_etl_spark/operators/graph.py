@@ -314,7 +314,9 @@ def hits_bipartite(
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)  # every half-step joins the
+    # edge list; without the checkpoint each join re-runs the upstream
+    # distinct (the neardup_components discipline)
     hubs = e.select("src").distinct().withColumn("h", F.lit(1.0))
     auth = None
     for _ in range(int(iters)):

@@ -1064,7 +1064,9 @@ def doremi_mixture_step(
             - F.col("nlogn").cast("double") / F.col("n_tokens"),
             decimals,
         ).alias("entropy"),
-    )
+    ).localCheckpoint(eager=True)  # domain-grain (tens of rows): the ref
+    # aggregate and the scored projection both read it — without the
+    # checkpoint each re-runs the token-grain aggregate
     ref = F.broadcast(
         per_src.agg(
             F.sum("n_tokens").cast("bigint").alias("gt"),
@@ -1155,7 +1157,9 @@ def epoch_budget_plan(
     )
     per_src = per_src.withColumn(
         "sw", F.round(F.sqrt(F.col("unique_tokens").cast("double")), 9)
-    )
+    ).localCheckpoint(eager=True)  # domain-grain: read by the normalizer,
+    # the base plan, and the leftover aggregate — checkpointing keeps the
+    # corpus token-count scan at exactly one
     tot = F.broadcast(
         per_src.agg(
             F.sum(F.col("sw").cast("decimal(20,10)")).cast("double").alias("swtot"),

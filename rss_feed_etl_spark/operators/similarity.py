@@ -1868,7 +1868,9 @@ def ivf_nprobe_recall_curve(
     queries = embeddings.filter(F.col(id_col) < n_queries)
     exact = cosine_topk(
         embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    # ^ query-set-sized: every probed setting joins it and counts its
+    # queries — checkpointing keeps the brute-force baseline at ONE scan
     branches = []
     for p in nprobes:
         approx = cosine_topk_ivf(

@@ -2910,33 +2910,47 @@ def vocab_prune_impact(
     types = toks.groupBy("tok").agg(F.count("*").alias("n")).withColumn(
         "chars", F.col("n") * F.length(F.col("tok"))
     )
-    branches = []
+    # ONE aggregate carrying every threshold's conditional sums, exploded
+    # to threshold grain after — a union of per-threshold aggs would
+    # re-tokenize the corpus once per branch (the zonemap lesson)
+    aggs = [F.count("*").cast("long").alias("vb"), F.sum("n").alias("tot")]
     for mc in min_counts:
         keep = F.col("n") >= int(mc)
-        branches.append(
-            types.agg(
+        aggs += [
+            F.sum(keep.cast("long")).cast("long").alias(f"va{mc}"),
+            F.sum(F.when(~keep, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias(f"pr{mc}"),
+            (
+                F.sum(F.when(keep, F.col("n")).otherwise(0))
+                + F.sum(F.when(~keep, F.col("chars")).otherwise(0))
+            ).cast("long").alias(f"ln{mc}"),
+        ]
+    one = types.agg(*aggs)
+    arr = F.array(
+        *[
+            F.struct(
                 F.lit(int(mc)).alias("min_count"),
-                F.count("*").cast("bigint").alias("vocab_before"),
-                F.sum(keep.cast("long")).cast("bigint").alias("vocab_after"),
-                F.round(
-                    F.sum(F.when(~keep, F.col("n")).otherwise(0)).cast("double")
-                    / F.sum("n").cast("double"),
-                    decimals,
-                ).alias("pruned_token_share"),
-                F.round(
-                    (
-                        F.sum(F.when(keep, F.col("n")).otherwise(0))
-                        + F.sum(F.when(~keep, F.col("chars")).otherwise(0))
-                    ).cast("double")
-                    / F.sum("n").cast("double"),
-                    decimals,
-                ).alias("length_inflation"),
+                F.col(f"va{mc}").alias("va"),
+                F.col(f"pr{mc}").alias("pr"),
+                F.col(f"ln{mc}").alias("ln"),
             )
-        )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
+            for mc in min_counts
+        ]
+    )
+    return one.select("vb", "tot", F.explode(arr).alias("w")).select(
+        F.col("w.min_count").alias("min_count"),
+        F.col("vb").cast("bigint").alias("vocab_before"),
+        F.col("w.va").cast("bigint").alias("vocab_after"),
+        F.round(
+            F.col("w.pr").cast("double") / F.col("tot").cast("double"),
+            decimals,
+        ).alias("pruned_token_share"),
+        F.round(
+            F.col("w.ln").cast("double") / F.col("tot").cast("double"),
+            decimals,
+        ).alias("length_inflation"),
+    )
 
 
 def good_turing_mass(

@@ -1058,7 +1058,8 @@ def competing_risks_cif(
         F.count("*").cast("long").alias("m"),
         F.sum((F.col("et") == event_a).cast("long")).cast("long").alias("d_a"),
         F.sum((F.col("et") == event_b).cast("long")).cast("long").alias("d_b"),
-    )
+    ).localCheckpoint(eager=True)  # distinct-time grain: the total, the
+    # risk-set window, and both CIF sums all read it — one subject scan
     wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
     wcur = Window.orderBy("dur").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
