@@ -1698,3 +1698,115 @@ def logistic_1d_fit(
             "mean_nll",
         )
     )
+
+
+def risk_coverage_curve(
+    scored: DataFrame,
+    conf_col: str = "confidence",
+    correct_col: str = "correct",
+    n_buckets: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Risk-coverage curve for selective prediction (Geifman & El-Yaniv):
+    sort by confidence, and for each coverage decile report the
+    SELECTIVE RISK — the error rate among the predictions the model
+    would actually serve if it abstained below that confidence.  The
+    curve is the deployment contract of any quality/match scorer in
+    this registry: "at 60% coverage the served error rate is X".  A
+    well-calibrated scorer's curve rises monotonically toward the full
+    error rate.
+
+    Output per decile: ``(coverage, n_served, n_errors,
+    selective_risk)``.
+
+    Plan / 100 TB: one ntile over the confidence ranking (ordered by
+    confidence DESC then the row's own correctness bit — fully
+    deterministic), collapsed to bucket grain; the cumulative runs over
+    ``n_buckets`` rows.
+    """
+    w = Window.orderBy(
+        F.col(conf_col).desc(), F.col(correct_col).asc()
+    )
+    b = scored.select(
+        F.ntile(int(n_buckets)).over(w).alias("bucket"),
+        (~F.col(correct_col).cast("boolean")).cast("long").alias("err"),
+    ).groupBy("bucket").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("err").cast("long").alias("e"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return b.select(
+        F.round(F.col("bucket") / F.lit(float(n_buckets)), decimals)
+        .alias("coverage"),
+        F.sum("m").over(wc).cast("bigint").alias("n_served"),
+        F.sum("e").over(wc).cast("bigint").alias("n_errors"),
+        F.round(
+            F.sum("e").over(wc).cast("double")
+            / F.sum("m").over(wc).cast("double"),
+            decimals,
+        ).alias("selective_risk"),
+    )
+
+
+def gini_mean_difference(
+    df: DataFrame,
+    group_col: str = "grp",
+    value_col: str = "v",
+    decimals: int = 6,
+) -> DataFrame:
+    """Gini mean difference per group — the mean |xᵢ − xⱼ| over all
+    pairs, the robust dispersion the variance overstates on heavy
+    tails (one whale inflates σ² quadratically, GMD linearly).
+    Computed EXACTLY at distinct-value grain: for sorted distinct
+    values v with counts c, running count C and running sum S (both
+    exclusive), Σ_{i<j}|xᵢ−xⱼ| = Σ_v c·(C·v − S) — no pair ever
+    materializes.
+
+    Output per group: ``(group, n, mean, gmd, relative_gmd)``
+    (relative = gmd / mean, the Gini-coefficient-flavored
+    scale-free form).
+
+    Plan / 100 TB: one (group, value)-grain aggregate, then the
+    cumulative window walks DISTINCT values per group (the
+    ``mann_whitney_u`` discipline); value sums are DECIMAL.
+    """
+    rows = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+    )
+    vals = rows.groupBy("g", "v").agg(F.count("*").cast("long").alias("c"))
+    w = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    vg = vals.withColumn(
+        "cb", F.coalesce(F.sum("c").over(w), F.lit(0))
+    ).withColumn(
+        "sb",
+        F.coalesce(
+            F.sum(
+                F.round(F.col("c") * F.col("v"), 6).cast("decimal(38,10)")
+            ).over(w),
+            F.lit(0).cast("decimal(38,10)"),
+        ).cast("double"),
+    )
+    agg = vg.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(
+            F.round(F.col("c") * F.col("v"), 6).cast("decimal(38,10)")
+        ).cast("double").alias("vs"),
+        F.sum(
+            F.round(
+                F.col("c") * (F.col("cb") * F.col("v") - F.col("sb")), 6
+            ).cast("decimal(38,10)")
+        ).cast("double").alias("pairsum"),
+    )
+    mean = F.col("vs") / F.col("n")
+    gmd = 2.0 * F.col("pairsum") / (F.col("n") * (F.col("n") - 1)).cast("double")
+    return agg.filter(F.col("n") > 1).select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mean, decimals).alias("mean"),
+        F.round(gmd, decimals).alias("gmd"),
+        F.when(mean > 0, F.round(gmd / mean, decimals)).alias("relative_gmd"),
+    )
