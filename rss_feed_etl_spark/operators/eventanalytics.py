@@ -2454,3 +2454,129 @@ def ucb1_ranking(
     return scored.orderBy(F.col("ucb").desc(), F.col("item").asc()).limit(
         int(top)
     )
+
+
+def bradley_terry_ranks(
+    comparisons: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 2,
+    top: int = 20,
+    decimals: int = 6,
+) -> DataFrame:
+    """Bradley-Terry strength estimation from pairwise outcomes by
+    ``iters`` UNROLLED minorization-maximization steps (Hunter 2004) —
+    the arena-style ranking: P(i beats j) = wᵢ/(wᵢ+wⱼ), each MM step
+
+        wᵢ ← Wᵢ / Σ_j nᵢⱼ / (wᵢ + wⱼ)
+
+    (Wᵢ = total wins, nᵢⱼ = matches against j), then sum-normalized to
+    the item count.  Win RATE ranks a 2-1 record above a 20-10 record
+    against champions; Bradley-Terry credits opponent strength — the
+    difference that matters whenever comparisons are not uniformly
+    scheduled (LLM judge tournaments, interleaving experiments).
+
+    Output: top ``top`` items — ``(item, n_wins, n_matches,
+    strength)``, ordered (strength DESC, item ASC).
+
+    Plan / 100 TB: comparisons collapse ONCE to unordered-pair grain
+    (nᵢⱼ, map-side partials); each MM step is one join of that pair
+    table against the item-grain weight frame and one item-grain
+    aggregate — 2·iters exchanges over pair/item rows, never raw
+    events.  Weights round to 9 dp per step (engine-replayable
+    trajectory); the weight frame is localCheckpointed per step so
+    iteration lineage never re-runs.
+    """
+    raw = comparisons.select(
+        F.col(winner_col).alias("w"), F.col(loser_col).alias("l")
+    ).filter(F.col("w") != F.col("l"))
+    pairs = (
+        raw.select(
+            F.least("w", "l").alias("i"),
+            F.greatest("w", "l").alias("j"),
+            (F.col("w") == F.least("w", "l")).cast("long").alias("wi"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("wi").cast("long").alias("wins_i"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    items = (
+        pairs.select(F.col("i").alias("item"), F.col("wins_i").alias("win"))
+        .unionByName(
+            pairs.select(
+                F.col("j").alias("item"),
+                (F.col("n") - F.col("wins_i")).alias("win"),
+            )
+        )
+        .groupBy("item")
+        .agg(F.sum("win").cast("long").alias("n_wins"))
+        .localCheckpoint(eager=True)
+    )
+    k = F.broadcast(items.agg(F.count("*").cast("double").alias("k")))
+    weights = items.select("item", F.lit(1.0).alias("wt"))
+    for _ in range(int(iters)):
+        m = (
+            pairs.join(
+                weights.select(F.col("item").alias("i"), F.col("wt").alias("wti")),
+                "i",
+            )
+            .join(
+                weights.select(F.col("item").alias("j"), F.col("wt").alias("wtj")),
+                "j",
+            )
+            .withColumn(
+                "d",
+                F.round(
+                    F.col("n") / (F.col("wti") + F.col("wtj")), 9
+                ).cast("decimal(38,10)"),
+            )
+        )
+        dsum = (
+            m.select(F.col("i").alias("item"), F.col("d"))
+            .unionByName(m.select(F.col("j").alias("item"), F.col("d")))
+            .groupBy("item")
+            .agg(F.sum("d").cast("double").alias("dsum"))
+        )
+        raw_w = items.join(dsum, "item").select(
+            "item",
+            F.when(
+                F.col("dsum") > 0, F.col("n_wins") / F.col("dsum")
+            ).otherwise(F.lit(0.0)).alias("rw"),
+        )
+        tot = F.broadcast(
+            raw_w.agg(
+                F.sum(F.round(F.col("rw"), 9).cast("decimal(38,10)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        weights = (
+            raw_w.crossJoin(tot)
+            .crossJoin(k)
+            .select(
+                "item",
+                F.round(F.col("rw") * F.col("k") / F.col("s"), 9).alias("wt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    n_matches = (
+        pairs.select(F.col("i").alias("item"), F.col("n"))
+        .unionByName(pairs.select(F.col("j").alias("item"), F.col("n")))
+        .groupBy("item")
+        .agg(F.sum("n").cast("long").alias("n_matches"))
+    )
+    return (
+        items.join(weights, "item")
+        .join(n_matches, "item")
+        .select(
+            "item",
+            "n_wins",
+            F.col("n_matches").cast("bigint").alias("n_matches"),
+            F.round(F.col("wt"), decimals).alias("strength"),
+        )
+        .orderBy(F.col("strength").desc(), F.col("item").asc())
+        .limit(int(top))
+    )
