@@ -168,6 +168,11 @@ HEADLINE = [
     "degree_assortativity",
     "logistic_1d_fit",
     "ucb1_ranking",
+    # round-7 waves 131-132: selective-prediction risk, robust dispersion,
+    # arena-style pairwise strength
+    "risk_coverage_curve",
+    "gini_mean_difference",
+    "bradley_terry_ranks",
 ]
 
 
@@ -377,6 +382,10 @@ SCALE_QUERIES = [
     "postinglist_compression_plan",
     "logistic_1d_fit",
     "hits_authorities",
+    # wave 131-132: distinct-value-grain dispersion and the pair-grain
+    # MM iterations (both collapse the event stream before any window)
+    "gini_mean_difference",
+    "bradley_terry_ranks",
 ]
 
 SCALE_FACTOR = 10
