@@ -881,3 +881,44 @@ def test_trigram_logppl_joins_are_token_keyed(spark):
     for line in s.splitlines():
         if "Exchange hashpartitioning" in line:
             assert " text" not in line, line
+
+
+def test_mann_whitney_ranks_at_distinct_value_grain(spark):
+    s = _plan(_queries()["mann_whitney_u"](spark, SF_DIR))
+    # midranks come from the value-grain aggregate, never a per-row sort
+    assert "CartesianProduct" not in s
+    assert s.count("HashAggregate") >= 2
+    assert "Sort " in s or "Window" in s  # the one distinct-grain window
+
+
+def test_gmd_never_materializes_pairs(spark):
+    s = _plan(_queries()["gini_mean_difference"](spark, SF_DIR))
+    assert "CartesianProduct" not in s
+    assert "Join" not in s  # pure aggregate + window chain, zero joins
+
+
+def test_bradley_terry_iterates_over_checkpoints(spark):
+    s = _plan(_queries()["bradley_terry_ranks"](spark, SF_DIR))
+    # MM iterations must read the checkpointed pair/weight RDDs, not
+    # re-run the event-sequence window per step
+    assert "Scan ExistingRDD" in s
+    assert "CartesianProduct" not in s
+    assert "TakeOrderedAndProject" in s
+
+
+def test_postinglist_windows_are_term_partitioned(spark):
+    s = _plan(_queries()["postinglist_compression_plan"](spark, SF_DIR))
+    assert "CartesianProduct" not in s
+    # the gap lag runs per term: a partition-less window here would
+    # single-task the whole posting stream
+    win_lines = [l for l in s.splitlines() if "Arguments" in l and "lag" in l]
+    for l in win_lines:
+        assert "term" in l, l
+
+
+def test_conformal_profile_joins_are_broadcast(spark):
+    s = _plan(_queries()["conformal_interval_coverage"](spark, SF_DIR))
+    # the dow-profile and fallback-mean joins must be broadcast; the
+    # day-grain frame never shuffles for them
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
