@@ -3019,3 +3019,60 @@ def good_turing_mass(
         F.round(F.col("n1").cast("double") / F.col("n_tokens"), decimals)
         .alias("unseen_mass"),
     )
+
+
+def chao1_vocab_estimate(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """Chao1 richness estimate of the TOTAL vocabulary (observed +
+    unseen), bias-corrected form:
+
+        V̂ = V_obs + N₁(N₁−1) / (2(N₂+1))
+
+    with N₁/N₂ the singleton/doubleton type counts — the capture-
+    recapture answer to "how many distinct types does the full
+    population hold", where ``good_turing_mass`` prices the unseen
+    PROBABILITY mass, this prices the unseen TYPE count (how much a
+    dedup table or tokenizer vocab will still grow).  Also reports
+    Good's sample coverage 1 − N₁/N.
+
+    Output: one row — ``(v_observed, n1, n2, chao1, coverage)``.
+
+    Plan / 100 TB: the ``good_turing_mass`` shape — tokenize scan →
+    type-grain counts → ONE 1-row aggregate (conditional sums for N₁,
+    N₂, V, N); everything is integer until the two final ratios.
+    """
+    if ngram == 1:
+        toks = df.select(
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("tok")
+        ).filter(F.col("tok") != "")
+    elif ngram == 3:
+        toks = _trigram_triples(df, df.columns[0], text_col).select(
+            F.concat_ws(" ", "a", "b", "c").alias("tok")
+        )
+    else:
+        raise ValueError(f"ngram must be 1 or 3, got {ngram}")
+    types = toks.groupBy("tok").agg(F.count("*").alias("r"))
+    return types.agg(
+        F.count("*").cast("long").alias("v"),
+        F.sum((F.col("r") == 1).cast("long")).cast("long").alias("n1"),
+        F.sum((F.col("r") == 2).cast("long")).cast("long").alias("n2"),
+        F.sum("r").cast("long").alias("nt"),
+    ).select(
+        F.col("v").cast("bigint").alias("v_observed"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(
+            F.col("v")
+            + F.col("n1").cast("double")
+            * (F.col("n1") - 1)
+            / (2.0 * (F.col("n2") + 1)),
+            decimals,
+        ).alias("chao1"),
+        F.round(
+            1.0 - F.col("n1").cast("double") / F.col("nt"), decimals
+        ).alias("coverage"),
+    )
