@@ -749,18 +749,17 @@ from . import driver_queries_wave133  # noqa: E402, F401  (registers wave-133 qu
 #
 # ``_RECHECK`` is the one remaining manual knob: queries whose CODE
 # changed this round and therefore must re-verify even though they hold a
-# green row.  Round 7: ``pq_ann_topk`` now trains its codebooks on a
-# bounded md5-rank sample (VERDICT r6 #1 -- the training trajectory, and
-# therefore the output, changes whenever the corpus exceeds ``n_train``),
-# and ``tokenizer_fertility_by_lang`` gained a zero-token divide guard.
-# ``bitext_mining_pairs`` dropped out: its banded-surface green row landed
-# in CORRECTNESS_r06 (VERDICT r6 #2).  Keep this short: every slot it
-# takes delays a never-sampled name by a round.
+# green row.  Round 8: the ADVICE fixes — ``risk_coverage_curve`` swapped
+# its per-row ntile for the grain-level arithmetic reconstruction,
+# ``click_position_bias`` anchors on an always-one-row aggregate, and
+# ``contamination_overlap_fraction`` left-joins the eval id set (both
+# sides of the oracle pair changed where required).  The round-7 entries
+# all landed green rows in CORRECTNESS_r07 and drop out.  Keep this
+# short: every slot it takes delays a never-sampled name by a round.
 _RECHECK = [
-    "pq_ann_topk",
-    "tokenizer_fertility_by_lang",
-    "boilerplate_removed",
-    "dsir_importance_weights",
+    "risk_coverage_curve",
+    "click_position_bias",
+    "contamination_overlap_fraction",
 ]
 
 # Static fallback only for checkouts missing the CORRECTNESS artifacts

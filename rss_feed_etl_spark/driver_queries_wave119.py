@@ -47,14 +47,16 @@ tr AS (SELECT DISTINCT unnest(s) AS code FROM sh
 h AS (SELECT e.doc_id,
              count(*) AS n_shingles,
              sum(CASE WHEN tr.code IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
-      FROM e LEFT JOIN tr USING (code) GROUP BY 1)
-SELECT doc_id,
-       CAST(n_shingles AS BIGINT) AS n_shingles,
-       CAST(n_hit AS BIGINT) AS n_hit,
-       round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS dirty_frac,
-       CAST(n_hit AS DOUBLE) / n_shingles >= CAST({_CT_THRESH} AS DOUBLE)
-         AS is_dirty
-FROM h
+      FROM e LEFT JOIN tr USING (code) GROUP BY 1),
+ids AS (SELECT doc_id FROM documents WHERE doc_id % {_CT_EVAL_MOD} = 0)
+SELECT ids.doc_id,
+       CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       coalesce(round(CAST(n_hit AS DOUBLE) / n_shingles, 6), 0.0)
+         AS dirty_frac,
+       coalesce(CAST(n_hit AS DOUBLE) / n_shingles
+                  >= CAST({_CT_THRESH} AS DOUBLE), FALSE) AS is_dirty
+FROM ids LEFT JOIN h USING (doc_id)
 """,
 )
 

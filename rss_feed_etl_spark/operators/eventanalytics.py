@@ -2260,8 +2260,16 @@ def click_position_bias(
             ),
         ),
     )
+    # The anchor rides back as an ALWAYS-one-row aggregate (max over the
+    # conditional), not a filter: with no position-1 row a filtered frame
+    # is EMPTY and the cross join silently erases every position, whereas
+    # the aggregate yields a null top_ctr and keeps the full curve with
+    # bias_vs_top = null — the scalar-subquery semantics the SQL oracle
+    # already has.
     top = F.broadcast(
-        g.filter(F.col("position") == 1).select(F.col("ctr").alias("top_ctr"))
+        g.agg(
+            F.max(F.when(F.col("position") == 1, F.col("ctr"))).alias("top_ctr")
+        )
     )
     return g.crossJoin(top).select(
         "position", "impressions", "clicks", "ctr",

@@ -312,6 +312,10 @@ def hits_bipartite(
     (node, score) pairs, never raw events.  Scores round to 9 dp per
     half-step so both engines replay the trajectory exactly.
     """
+    if int(iters) < 1:
+        # auth is only assigned inside the loop; with zero iterations the
+        # final select would crash on None, so fail loudly at entry
+        raise ValueError(f"hits_bipartite requires iters >= 1, got {iters!r}")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().localCheckpoint(eager=True)  # every half-step joins the

@@ -1719,20 +1719,84 @@ def risk_coverage_curve(
     Output per decile: ``(coverage, n_served, n_errors,
     selective_risk)``.
 
-    Plan / 100 TB: one ntile over the confidence ranking (ordered by
-    confidence DESC then the row's own correctness bit — fully
-    deterministic), collapsed to bucket grain; the cumulative runs over
-    ``n_buckets`` rows.
+    Plan / 100 TB: ntile is NEVER evaluated per row — a partition-less
+    row window over corpus-grain input is a single-task global sort (the
+    shape ``mann_whitney_u``/``gini_mean_difference`` exist to avoid).
+    Instead the rows collapse to (confidence, correct) grain first
+    (map-side partial counts), and the ntile bucket boundaries are
+    RECONSTRUCTED arithmetically: with N rows and q buckets, the first
+    ``N mod q`` buckets hold ``N div q + 1`` rows and the rest ``N div
+    q``, so a grain group occupying global positions [p+1, p+c] (p =
+    exclusive cumulative count in (conf DESC, correct ASC) order) splits
+    across buckets by pure integer overlap — every row of a group shares
+    one err bit, so per-bucket counts need no per-row state.  The only
+    unpartitioned window walks the DISTINCT-(conf, correct) grain, and
+    the cumulative runs over ``n_buckets`` rows.  Output is bit-identical
+    to the per-row ntile formulation (the SQL oracle keeps that shape).
     """
-    w = Window.orderBy(
-        F.col(conf_col).desc(), F.col(correct_col).asc()
+    q = int(n_buckets)
+
+    def _idiv(a, b):  # exact integer division (quotient is an exact bigint)
+        return ((a - F.pmod(a, b)) / b).cast("bigint")
+
+    grain = (
+        scored.select(
+            F.col(conf_col).alias("conf"),
+            F.col(correct_col).cast("boolean").alias("ok"),
+        )
+        .groupBy("conf", "ok")
+        .agg(F.count("*").cast("bigint").alias("c"))
     )
-    b = scored.select(
-        F.ntile(int(n_buckets)).over(w).alias("bucket"),
-        (~F.col(correct_col).cast("boolean")).cast("long").alias("err"),
+    wp = Window.orderBy(F.col("conf").desc(), F.col("ok").asc())
+    pos = grain.select(
+        "ok",
+        "c",
+        F.coalesce(
+            F.sum("c").over(wp.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("bigint"),
+        ).alias("p"),
+        F.sum("c")
+        .over(
+            wp.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n_total"),
+    )
+    s = _idiv(F.col("n_total"), F.lit(q))  # base bucket size
+    r = F.pmod(F.col("n_total"), F.lit(q))  # first r buckets get one extra
+
+    def bucket_of(i):  # global position (1-based) -> ntile bucket
+        big = r * (s + 1)  # rows living in the size-(s+1) buckets
+        return F.when(i <= big, _idiv(i + s, s + 1)).otherwise(
+            # s >= 1 here: s = 0 forces n_total = r <= big, the first branch
+            r + _idiv(i - big + s - 1, F.greatest(s, F.lit(1)))
+        )
+
+    spans = pos.select(
+        "ok",
+        "c",
+        "p",
+        s.alias("s"),
+        r.alias("r"),
+        F.explode(
+            F.sequence(bucket_of(F.col("p") + 1), bucket_of(F.col("p") + F.col("c")))
+        ).alias("bucket"),
+    )
+    start_b = (F.col("bucket") - 1) * F.col("s") + F.least(
+        F.col("bucket") - 1, F.col("r")
+    ) + 1
+    end_b = F.col("bucket") * F.col("s") + F.least(F.col("bucket"), F.col("r"))
+    ov = F.least(end_b, F.col("p") + F.col("c")) - F.greatest(
+        start_b, F.col("p") + 1
+    ) + 1
+    b = spans.select(
+        "bucket",
+        ov.alias("m_part"),
+        F.when(~F.col("ok"), ov).otherwise(F.lit(0)).alias("e_part"),
     ).groupBy("bucket").agg(
-        F.count("*").cast("long").alias("m"),
-        F.sum("err").cast("long").alias("e"),
+        F.sum("m_part").cast("long").alias("m"),
+        F.sum("e_part").cast("long").alias("e"),
     )
     wc = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

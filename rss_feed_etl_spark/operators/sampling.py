@@ -1240,7 +1240,14 @@ def contamination_overlap_fraction(
 
     Split: ``id % eval_mod == 0`` → eval, else train (deterministic,
     engine-replayable).  Output per eval doc: ``(doc_id, n_shingles,
-    n_hit, dirty_frac, is_dirty)``.
+    n_hit, dirty_frac, is_dirty)``.  EVERY eval doc appears: docs
+    shorter than ``n`` words reduce to ONE whole-text shingle (the house
+    shingle rule — ``_py_shingle_codes``), and the scored frame is
+    additionally left-joined back to the eval id set so even an empty
+    code array (unreachable under the current shingler, defensive
+    against future variants) reports ``n_shingles = 0, n_hit = 0,
+    dirty_frac = 0.0, is_dirty = false`` instead of silently dropping
+    the doc.
 
     Plan / 100 TB: both splits shingle in ONE Arrow ``mapInPandas`` pass
     each (the ``banded_minhash`` discipline); the train side collapses
@@ -1272,13 +1279,22 @@ def contamination_overlap_fraction(
             .alias("n_hit"),
         )
     )
+    # Re-attach shingle-less eval docs (id-grain frame; the expensive
+    # Arrow shingling pass is NOT re-run for it — only the pushed-down
+    # base-table filter).
+    eval_ids = docs.filter(F.col(id_col) % int(eval_mod) == 0).select(
+        F.col(id_col)
+    )
+    full = eval_ids.join(scored, id_col, "left")
     frac = F.col("n_hit").cast("double") / F.col("n_shingles").cast("double")
-    return scored.select(
+    return full.select(
         id_col,
-        "n_shingles",
-        "n_hit",
-        F.round(frac, 6).alias("dirty_frac"),
-        (frac >= F.lit(float(dirty_threshold))).alias("is_dirty"),
+        F.coalesce(F.col("n_shingles"), F.lit(0)).cast("bigint").alias("n_shingles"),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        F.coalesce(F.round(frac, 6), F.lit(0.0)).alias("dirty_frac"),
+        F.coalesce(
+            frac >= F.lit(float(dirty_threshold)), F.lit(False)
+        ).alias("is_dirty"),
     )
 
 
