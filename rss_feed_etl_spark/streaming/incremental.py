@@ -379,7 +379,10 @@ def enriched_read_view(spark: SparkSession, target_path: str) -> DataFrame:
 
 
 def compact_enriched_epochs(
-    spark: SparkSession, target_path: str, upto_epoch: int
+    spark: SparkSession,
+    target_path: str,
+    upto_epoch: int,
+    _fault=None,
 ) -> bool:
     """Fold every ``__epoch <= upto_epoch`` partition of an
     :func:`enrich_stream_to_parquet` target into the single base
@@ -411,14 +414,28 @@ def compact_enriched_epochs(
     drops the folded epoch directories through the Hadoop FileSystem API
     (works on any Spark-supported filesystem, not just local disk).
     Returns True when anything was compacted or healed.
+
+    ``_fault`` is a test-only fault-injection hook (VERDICT r7 #6):
+    called with a step label after every state transition — each healing
+    delete, the staging checkpoint, the base overwrite commit, each
+    folded-directory delete — so the crash-point sweep in
+    ``tests/test_compaction_crash_sweep.py`` can kill the compaction
+    between every pair of steps and prove reader idempotence plus rerun
+    convergence at every point.  Production callers leave it None.
     """
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(target_path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
 
-    def _drop_epoch_dirs(upto: int) -> bool:
+    def _step(label: str) -> None:
+        if _fault is not None:
+            _fault(label)
+
+    def _drop_epoch_dirs(upto: int, phase: str) -> bool:
         dropped = False
-        for st in fs.listStatus(root):
+        # deterministic delete order so the fault sweep's step sequence
+        # is reproducible across runs
+        for st in sorted(fs.listStatus(root), key=lambda s: s.getPath().getName()):
             name = st.getPath().getName()
             if not name.startswith("__epoch="):
                 continue
@@ -429,13 +446,15 @@ def compact_enriched_epochs(
             if 0 <= epoch <= upto:
                 fs.delete(st.getPath(), True)
                 dropped = True
+                _step(f"{phase}:{name}")
         return dropped
 
     already = _folded_upto(_read_epoch_sink(spark, target_path))
+    _step("read_horizon")
     # healing pass: epoch dirs at or below the base's recorded fold
     # horizon are leftovers of a crashed delete phase — their rows are
     # already in the base, so delete, never re-fold
-    healed = _drop_epoch_dirs(already)
+    healed = _drop_epoch_dirs(already, "heal")
 
     df = _read_epoch_sink(spark, target_path)
     old = df.filter(F.col("__epoch") <= upto_epoch)
@@ -447,13 +466,16 @@ def compact_enriched_epochs(
         .withColumn("__folded_upto", F.lit(new_upto).cast("int"))
         .localCheckpoint(eager=True)
     )
+    _step("staged")
     (
         folded.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__epoch")
         .parquet(target_path)
     )
-    _drop_epoch_dirs(upto_epoch)
+    _step("overwritten")
+    _drop_epoch_dirs(upto_epoch, "drop")
+    _step("done")
     return True
 
 
