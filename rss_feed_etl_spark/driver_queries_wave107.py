@@ -154,12 +154,18 @@ def _aug_curation(
     return docs_aug, emb.unionByName(emb_d)
 
 
-def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_curation(
+    spark: SparkSession, sf_dir: str, stage_timings: dict | None = None
+) -> DataFrame:
+    # the trailing kwarg is outside the driver contract (the driver calls
+    # with two positionals); bench.py passes a dict to get the per-stage
+    # breakdown (VERDICT r7 #5) from the identical registered query
     docs_aug, emb_aug = _aug_curation(spark, sf_dir)
     return curation_pipeline(
         docs_aug,
         emb_aug,
         id_col="id",
+        stage_timings=stage_timings,
         eval_pct=_CUR_EVAL_PCT,
         split_salt=_CUR_SPLIT_SALT,
         minhash_threshold=_CUR_MH_THR,

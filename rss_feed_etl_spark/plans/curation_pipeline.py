@@ -77,6 +77,7 @@ def curation_pipeline(
     min_stopwords: int = 2,
     decimals: int = 6,
     return_stages: bool = False,
+    stage_timings: dict | None = None,
 ):
     """Run the full curation funnel and return the per-source scorecard.
 
@@ -91,7 +92,16 @@ def curation_pipeline(
     ``gopher_quality_flags``): the rule assumes English prose, so a
     multilingual corpus sets it to 0 and relies on the language-agnostic
     word-count / word-length / alpha rules.
+
+    ``stage_timings`` (VERDICT r7 #5): pass a dict to receive per-stage
+    wall seconds, measured at each stage's EAGER id-frame checkpoint —
+    attribution is sharp because every stage derives from the previous
+    stage's already-materialized checkpoint, so a stage's number covers
+    only its own operators.  The first stage additionally pays the
+    one-time base persist; the packing stage (S6) and the scorecard have
+    no checkpoint and materialize with the returned frame.
     """
+    import time as _time
     base = docs.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
@@ -104,8 +114,12 @@ def curation_pipeline(
     # whole upstream chain — measured 51.8 s -> ~8 s at sf0.001 from this
     # alone.  Ids-only is the cheapest possible materialization (document
     # text stays in the persisted base and never re-shuffles).
-    def _ckpt(ids: DataFrame) -> DataFrame:
-        return ids.localCheckpoint(eager=True)
+    def _ckpt(ids: DataFrame, stage: str = "") -> DataFrame:
+        t0 = _time.perf_counter()
+        out = ids.localCheckpoint(eager=True)
+        if stage_timings is not None and stage:
+            stage_timings[stage] = round(_time.perf_counter() - t0, 3)
+        return out
 
     # S1 — quality gate (map-only; stopword rule re-thresholded from the
     # emitted metrics so non-English corpora aren't all rejected)
@@ -116,19 +130,23 @@ def curation_pipeline(
             & (F.col("flag_mean_word_len") == 1)
             & (F.col("flag_alpha") == 1)
             & (F.col("n_stopwords") >= min_stopwords)
-        ).select("id")
+        ).select("id"),
+        "s1_quality",
     )
     s1 = base.join(ids1, "id")
 
     # S2 — exact dedup (min id per normalized-text fingerprint)
-    ids2 = _ckpt(dedup_exact(s1, text_col="text", id_col="id").select("id"))
+    ids2 = _ckpt(dedup_exact(s1, text_col="text", id_col="id").select("id"), "s2_exact")
     s2 = base.join(ids2, "id")
 
     # S3 — near dedup: banded MinHash pairs -> one-hop drop list
     pairs = minhash_lsh_pairs(
         s2, id_col="id", text_col="text", n=3, threshold=minhash_threshold
     )
-    ids3 = _ckpt(ids2.join(neardup_drop_list(pairs).select("id"), "id", "left_anti"))
+    ids3 = _ckpt(
+        ids2.join(neardup_drop_list(pairs).select("id"), "id", "left_anti"),
+        "s3_near",
+    )
     s3 = base.join(ids3, "id")
 
     # S4 — content-addressed split, keep train minus shingle contamination
@@ -156,7 +174,8 @@ def curation_pipeline(
         .distinct()
     )
     ids4 = _ckpt(
-        ids3.filter(~is_eval).join(contaminated, "id", "left_anti")
+        ids3.filter(~is_eval).join(contaminated, "id", "left_anti"),
+        "s4_decontam",
     )
 
     # S5 — semantic decontamination over the embedding space
@@ -179,11 +198,12 @@ def curation_pipeline(
         .select(F.col("nearest_train_id").alias("id"))
         .distinct()
     )
-    ids5 = _ckpt(ids4.join(sem_drop, "id", "left_anti"))
+    ids5 = _ckpt(ids4.join(sem_drop, "id", "left_anti"), "s5_semantic")
     clean = _ckpt(
         base.join(ids5, "id").select(
             "id", "source", token_count("text").cast("bigint").alias("n_tokens")
-        )
+        ),
+        "s5b_clean_tokens",
     )
 
     # S6 — packing the clean corpus into fixed-length sequences
