@@ -530,3 +530,82 @@ def postinglist_compression_plan(
         "n_terms", "n_postings", "varint_bits", "ef_bits", "bitmap_bits",
         best.alias("best_encoding"),
     )
+
+
+def rank_biased_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    depth: int = 20,
+    decimals: int = 6,
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    rankings of the same query, truncated at ``depth`` — the standard
+    top-weighted answer to "do these two rankers agree?", used here to
+    compare lexical rankers (e.g. BM25 vs Dirichlet query-likelihood)
+    before fusing them:
+
+        RBO@k = sum_{d=1..k} (1-p) * p^(d-1) * |A_1..d ∩ B_1..d| / d
+
+    Persistence is FIXED at p = 1/2: every weight (1-p)p^(d-1) = 2^-d is
+    then an exact power of two, computed as ``1.0 / (1 << d)`` — integer
+    shift, never libm ``pow``, which differs across engines in the last
+    ulp (the house pow() ban).  ``depth`` must be <= 62 for the shift.
+
+    Ranks within each list are (score desc, id asc) so ties are
+    deterministic.  Output is ONE row: ``(depth, n_common,
+    agreement_at_k, rbo)`` — n_common and agreement at the full depth,
+    plus the top-weighted RBO.
+
+    Plan / 100 TB: both inputs are top-k rankings — MODEL-SIZED by
+    construction (the expensive work lives in the upstream rankers) —
+    so every step here (two <= depth-row windows, one outer join, a
+    depth x pairs cross product of <= depth^2 rows) is broadcast-scale
+    arithmetic.  Per-depth terms round to 9 dp and sum as DECIMAL, the
+    standard exact-trajectory contract.
+    """
+    if depth > 62:
+        raise ValueError(f"depth must be <= 62 for exact 2^-d weights, got {depth}")
+
+    def ranked(df: DataFrame, side: str) -> DataFrame:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        return (
+            df.select(id_col, score_col)
+            .withColumn(side, F.row_number().over(w))
+            .filter(F.col(side) <= depth)
+            .select(F.col(id_col).alias("id"), side)
+        )
+
+    pairs = ranked(a, "ra").join(ranked(b, "rb"), "id", "full_outer")
+    depths = a.sparkSession.range(1, depth + 1).select(F.col("id").alias("d"))
+    hit = (
+        (F.col("ra").isNotNull() & F.col("rb").isNotNull())
+        & (F.col("ra") <= F.col("d"))
+        & (F.col("rb") <= F.col("d"))
+    ).cast("long")
+    per_depth = (
+        depths.crossJoin(F.broadcast(pairs))
+        .groupBy("d")
+        .agg(F.sum(hit).cast("long").alias("inter"))
+    )
+    # PySpark's shiftleft() only takes a literal bit count; the SQL form
+    # accepts a column, and the shift gives the EXACT 2^d the weight needs
+    weight = F.lit(1.0) / F.expr(
+        "cast(shiftleft(cast(1 as bigint), cast(d as int)) as double)"
+    )
+    term = F.round(
+        F.col("inter").cast("double") / F.col("d").cast("double") * weight, 9
+    )
+    return per_depth.agg(
+        F.max("d").cast("int").alias("depth"),
+        F.max(F.when(F.col("d") == depth, F.col("inter"))).cast("bigint").alias("n_common"),
+        F.round(
+            F.max(F.when(F.col("d") == depth, F.col("inter"))).cast("double")
+            / F.lit(float(depth)),
+            decimals,
+        ).alias("agreement_at_k"),
+        F.round(
+            F.sum(term.cast("decimal(30,10)")).cast("double"), decimals
+        ).alias("rbo"),
+    )
