@@ -3076,3 +3076,191 @@ def chao1_vocab_estimate(
             1.0 - F.col("n1").cast("double") / F.col("nt"), decimals
         ).alias("coverage"),
     )
+
+
+def source_token_mutual_info(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Mutual information (nats) between the source label and the token
+    distribution, over lowercase word TRIGRAMS (word grain is useless on
+    a dense 31-type vocabulary; trigrams have a real frequency tail) —
+    the single number answering "how much does knowing the source tell
+    you about the text": MI ~ 0 means sources are stylistically
+    interchangeable (deduping/mixing freely is safe), MI near H(source)
+    means every source is its own dialect and per-source quotas act as
+    hard topic filters.
+
+        MI = sum_{s,t} (n_st/N) * ln(n_st*N / (n_s*n_t))
+
+    Output: ONE row — ``(n_tokens, n_sources, n_types, mi_nats,
+    h_source_nats, nmi)`` with ``nmi = mi/H(source)`` in [0, 1] (the
+    uncertainty coefficient over the source marginal).
+
+    Plan / 100 TB: one corpus scan collapses to (source, trigram)-grain
+    counts (map-side partials), persisted SPILLABLY because three
+    consumers derive from it (source marginals, token marginals, the
+    term join) — vocabulary-scale, so it spills rather than pins like
+    the model-sized localCheckpoint frames.  The term join is keyed on
+    the token (vocabulary-grain exchange; the source marginal rides a
+    broadcast).  Per-term products round to 9 dp and sum as DECIMAL.
+    """
+    trips = _trigram_triples(df, group_col, text_col).select(
+        F.col("id").alias("g"), F.concat_ws(" ", "a", "b", "c").alias("tok")
+    )
+    counts = (
+        trips.groupBy("g", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_g = counts.groupBy("g").agg(F.sum("c").cast("bigint").alias("n_g"))
+    n_t = counts.groupBy("tok").agg(F.sum("c").cast("bigint").alias("n_t"))
+    n_all = F.broadcast(
+        n_g.agg(
+            F.sum("n_g").cast("bigint").alias("n_all"),
+            F.count("*").cast("bigint").alias("n_sources"),
+        )
+    )
+    joined = (
+        counts.join(F.broadcast(n_g), "g")
+        .join(n_t, "tok")
+        .crossJoin(n_all)
+    )
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n_all").cast("double"))
+        * F.log(
+            (F.col("c").cast("double") * F.col("n_all").cast("double"))
+            / (F.col("n_g").cast("double") * F.col("n_t").cast("double"))
+        ),
+        9,
+    )
+    mi = joined.agg(
+        F.max("n_all").cast("bigint").alias("n_tokens"),
+        F.max("n_sources").cast("bigint").alias("n_sources"),
+        F.round(F.sum(term.cast("decimal(30,10)")).cast("double"), decimals).alias(
+            "mi_nats"
+        ),
+    )
+    n_types = n_t.agg(F.count("*").cast("bigint").alias("n_types"))
+    hterm = F.round(
+        -(F.col("n_g").cast("double") / F.col("n_all").cast("double"))
+        * F.log(F.col("n_g").cast("double") / F.col("n_all").cast("double")),
+        9,
+    )
+    h_src = (
+        n_g.crossJoin(n_all)
+        .agg(
+            F.round(
+                F.sum(hterm.cast("decimal(30,10)")).cast("double"), decimals
+            ).alias("h_source_nats")
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(n_types))
+        .crossJoin(F.broadcast(h_src))
+        .select(
+            "n_tokens",
+            "n_sources",
+            "n_types",
+            "mi_nats",
+            "h_source_nats",
+            F.when(
+                F.col("h_source_nats") > 0,
+                F.round(F.col("mi_nats") / F.col("h_source_nats"), decimals),
+            ).alias("nmi"),
+        )
+    )
+
+
+def source_js_divergence_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (nats) between every two
+    sources' trigram distributions — the DISTRIBUTIONAL companion of
+    ``cross_source_dup_matrix`` (which counts shared documents): two
+    crawls can share zero documents yet be stylistic clones, and a
+    mixture planner merging quota buckets wants exactly this matrix.
+    Symmetric, bounded in [0, ln 2]; one-sided (non-shared-support) mass
+    enters in closed form, so the join only ever materializes tokens
+    the pair SHARES:
+
+        JSD = sum_{t in both} [(p1/2)ln(2p1/(p1+p2)) + (p2/2)ln(2p2/(p1+p2))]
+              + (ln2/2) * (2 - m1 - m2)
+
+    with m1, m2 the two distributions' mass on the shared support.
+
+    Output per pair (a < b): ``(source_a, source_b, n_common_types,
+    jsd_nats)`` — ALL pairs appear (a disjoint-support pair reports
+    n_common_types = 0, jsd = ln 2 exactly).
+
+    Plan / 100 TB: (source, trigram) counts persist spillably once; the
+    pair join is keyed on the TOKEN, so a hot token fans out to at most
+    n_sources^2 pair rows (bounded by the label cardinality, never by
+    corpus volume); the pair grid itself (n_sources^2 rows) is a
+    broadcast cross of the model-sized marginals.  Per-term sums round
+    to 9 dp and accumulate as DECIMAL.
+    """
+    trips = _trigram_triples(df, group_col, text_col).select(
+        F.col("id").alias("g"), F.concat_ws(" ", "a", "b", "c").alias("tok")
+    )
+    counts = (
+        trips.groupBy("g", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = counts.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
+    a = counts.select(F.col("g").alias("ga"), "tok", F.col("c").alias("ca"))
+    b = counts.select(F.col("g").alias("gb"), "tok", F.col("c").alias("cb"))
+    common = (
+        a.join(b, "tok")
+        .filter(F.col("ga") < F.col("gb"))
+        .join(F.broadcast(totals.select(F.col("g").alias("ga"), F.col("n").alias("na"))), "ga")
+        .join(F.broadcast(totals.select(F.col("g").alias("gb"), F.col("n").alias("nb"))), "gb")
+    )
+    p1 = F.col("ca").cast("double") / F.col("na").cast("double")
+    p2 = F.col("cb").cast("double") / F.col("nb").cast("double")
+    bt = F.round(
+        (p1 / F.lit(2.0)) * F.log(F.lit(2.0) * p1 / (p1 + p2))
+        + (p2 / F.lit(2.0)) * F.log(F.lit(2.0) * p2 / (p1 + p2)),
+        9,
+    )
+    pair_agg = common.groupBy("ga", "gb").agg(
+        F.sum(bt.cast("decimal(30,10)")).cast("double").alias("sb"),
+        F.sum("ca").cast("bigint").alias("s1"),
+        F.sum("cb").cast("bigint").alias("s2"),
+        F.count("*").cast("bigint").alias("n_common_types"),
+    )
+    grid = (
+        totals.select(F.col("g").alias("ga"), F.col("n").alias("na"))
+        .crossJoin(
+            F.broadcast(totals.select(F.col("g").alias("gb"), F.col("n").alias("nb")))
+        )
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    out = grid.join(pair_agg, ["ga", "gb"], "left")
+    s1 = F.coalesce(F.col("s1"), F.lit(0)).cast("double")
+    s2 = F.coalesce(F.col("s2"), F.lit(0)).cast("double")
+    oneside = F.round(
+        (F.log(F.lit(2.0)) / F.lit(2.0))
+        * (
+            F.lit(2.0)
+            - s1 / F.col("na").cast("double")
+            - s2 / F.col("nb").cast("double")
+        ),
+        9,
+    )
+    return out.select(
+        F.col("ga").alias("source_a"),
+        F.col("gb").alias("source_b"),
+        F.coalesce(F.col("n_common_types"), F.lit(0)).cast("bigint").alias(
+            "n_common_types"
+        ),
+        F.round(F.coalesce(F.col("sb"), F.lit(0.0)) + oneside, decimals).alias(
+            "jsd_nats"
+        ),
+    )
