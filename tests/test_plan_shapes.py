@@ -951,3 +951,36 @@ def test_conformal_profile_joins_are_broadcast(spark):
     # day-grain frame never shuffles for them
     assert "SortMergeJoin" not in s
     assert "CartesianProduct" not in s
+
+
+def test_wasserstein_counts_checkpointed_once(spark):
+    s = _plan(_queries()["wasserstein_length_shift"](spark, SF_DIR))
+    # the (group, length) count frame is eagerly checkpointed: its four
+    # consumers must read the materialized RDD, never re-scan the corpus
+    assert s.count("Scan parquet") == 0
+    assert "ExistingRDD" in s
+    assert "CartesianProduct" not in s
+
+
+def test_mutual_info_counts_persisted(spark):
+    s = _plan(_queries()["source_token_mutual_info"](spark, SF_DIR))
+    # (source, trigram) counts persist spillably; marginals and the term
+    # join all read the cache
+    assert "InMemoryTableScan" in s
+    assert "CartesianProduct" not in s
+
+
+def test_jsd_matrix_counts_persisted_no_cartesian(spark):
+    s = _plan(_queries()["source_js_divergence_matrix"](spark, SF_DIR))
+    assert "InMemoryTableScan" in s
+    # the pair grid is a broadcast cross of model-sized marginals, and
+    # the token self-join is an equi-join — nothing may plan cartesian
+    assert "CartesianProduct" not in s
+
+
+def test_rbo_rides_topk_rankers(spark):
+    s = _plan(_queries()["rbo_bm25_vs_ql"](spark, SF_DIR))
+    # both input rankings stay TakeOrdered top-k (never a global sort);
+    # everything downstream is broadcast arithmetic
+    assert s.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in s
