@@ -2008,3 +2008,52 @@ def label_knn_accuracy(
             F.sum("ok").cast("double") / F.count("*").cast("double"), 6
         ).alias("accuracy"),
     )
+
+
+def knn_hub_degree_hist(
+    embeddings: DataFrame,
+    n_queries: int = 100,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN hubness diagnostic (Radovanovic et al. 2010): the in-degree
+    distribution of the k-NN graph over the first ``n_queries`` probes —
+    how often each corpus vector is retrieved.  High-dimensional
+    embedding spaces grow "hubs" (points in everyone's neighbor list)
+    and anti-hubs (never retrieved); a heavy histogram tail means cosine
+    retrieval over-serves a few points and the downstream dedup/ANN
+    training pairs are skewed toward them.
+
+    Output: ``(in_degree, n_vectors)`` — one row per distinct in-degree,
+    INCLUDING the 0-degree anti-hub mass (corpus size minus retrieved
+    distinct), so the histogram always sums to the corpus size.
+
+    Plan / 100 TB: rides ``cosine_topk`` (broadcast probes, one corpus
+    scan, two-stage partial top-k — the corpus is never exchanged); the
+    retrieved list is <= n_queries x k rows, eagerly checkpointed
+    because two consumers (the histogram and the retrieved-count scalar)
+    would otherwise re-run the whole retrieval; the histogram is
+    degree-grain.
+    """
+    q = embeddings.filter(F.col(id_col) < n_queries)
+    topk = cosine_topk(embeddings, q, k=k, id_col=id_col, vec_col=vec_col)
+    indeg = (
+        topk.groupBy("neighbor_id")
+        .agg(F.count("*").cast("bigint").alias("in_degree"))
+        .localCheckpoint(eager=True)
+    )
+    hist = indeg.groupBy("in_degree").agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    )
+    totals = embeddings.agg(F.count("*").cast("bigint").alias("n_total"))
+    retrieved = indeg.agg(F.count("*").cast("bigint").alias("n_ret"))
+    zero = (
+        totals.crossJoin(F.broadcast(retrieved))
+        .select(
+            F.lit(0).cast("bigint").alias("in_degree"),
+            (F.col("n_total") - F.col("n_ret")).cast("bigint").alias("n_vectors"),
+        )
+        .filter(F.col("n_vectors") > 0)
+    )
+    return hist.unionByName(zero)

@@ -1119,3 +1119,82 @@ def competing_risks_cif(
         ).alias("cif_b"),
     )
     return out.filter((F.col("d_a") > 0) | (F.col("d_b") > 0))
+
+
+def cusum_trajectory(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    drift_k: float = 0.5,
+    alarm_h: float = 4.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-DAY CUSUM trajectory — ``cusum_changepoints`` reports each
+    series' summary (max statistic, alarm count, first alarm day); this
+    emits the full day-by-day path of both statistics, the view an
+    on-call actually plots to read detection latency and reset behavior
+    around a regime change.
+
+    Identical arithmetic to ``cusum_changepoints``: z-normalized daily
+    counts, the sequential max(0, ...) recursion telescoped to window
+    algebra via s+_t = R_t − min(0, min_{j≤t} R_j) (the Lindley
+    running-min trick — no per-series fold, no collected arrays).
+
+    Output per (series, day): ``(event_type, day, n, z, cusum_pos,
+    cusum_neg, alarm)`` with day formatted 'yyyy-MM-dd'.
+
+    Plan / 100 TB: one fact shuffle to (type, day) counts; the windows
+    run over day-grain rows partitioned by series (calendar-bounded);
+    per-series moments join back broadcast.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = events.groupBy(F.col(type_col).alias("t"), day.alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    st = daily.groupBy("t").agg(
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sq"),
+        F.count("*").cast("long").alias("c"),
+    )
+    j = daily.join(F.broadcast(st), "t")
+    mean = F.col("s").cast("double") / F.col("c")
+    var = F.col("sq").cast("double") / F.col("c") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (F.col("n").cast("double") - mean) / F.col("std")
+    w = (
+        Window.partitionBy("t")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        j.withColumn("std", std)
+        .filter(F.col("std") > 0)
+        .select(
+            "t",
+            "day",
+            "n",
+            z.alias("z"),
+            F.sum(z - F.lit(drift_k)).over(w).alias("rp"),
+            F.sum(-z - F.lit(drift_k)).over(w).alias("rn"),
+        )
+        .select(
+            "t",
+            "day",
+            "n",
+            "z",
+            (F.col("rp") - F.least(F.min("rp").over(w), F.lit(0.0))).alias("sp"),
+            (F.col("rn") - F.least(F.min("rn").over(w), F.lit(0.0))).alias("sn"),
+        )
+    )
+    return scored.select(
+        F.col("t").alias(type_col),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("z", decimals).alias("z"),
+        F.round("sp", decimals).alias("cusum_pos"),
+        F.round("sn", decimals).alias("cusum_neg"),
+        (
+            (F.col("sp") > F.lit(float(alarm_h)))
+            | (F.col("sn") > F.lit(float(alarm_h)))
+        ).alias("alarm"),
+    )
