@@ -171,6 +171,12 @@ ORACLES: dict[str, str] = {}
 
 
 def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None):
+    if name in QUERIES:
+        # a silent overwrite once masked a broken query for a whole wave
+        # (a wave-136 name collided with wave 66's cusum_changepoints and
+        # shadowed it out of the registry) — fail at import instead
+        raise ValueError(f"duplicate query registration: {name!r}")
+
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         tune_session(spark)
         return fn(spark, sf_dir)
