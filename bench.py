@@ -173,6 +173,14 @@ HEADLINE = [
     "risk_coverage_curve",
     "gini_mean_difference",
     "bradley_terry_ranks",
+    # round-8 waves 134-136: ranker agreement, distribution shift,
+    # source divergence, drift trajectory, hubness
+    "rbo_bm25_vs_ql",
+    "wasserstein_length_shift",
+    "source_token_mutual_info",
+    "source_js_divergence_matrix",
+    "cusum_shift_trajectory",
+    "knn_hub_degree_hist",
 ]
 
 
@@ -405,6 +413,14 @@ SCALE_QUERIES = [
     # MM iterations (both collapse the event stream before any window)
     "gini_mean_difference",
     "bradley_terry_ranks",
+    # round-8 waves 134-136 scan-heavy additions: W1 is a
+    # distinct-length-grain grid walk, MI/JSD are (source, trigram)
+    # count passes with token-keyed joins, hubness rides the two-stage
+    # cosine_topk — all should track data volume
+    "wasserstein_length_shift",
+    "source_token_mutual_info",
+    "source_js_divergence_matrix",
+    "knn_hub_degree_hist",
 ]
 
 SCALE_FACTOR = 10
