@@ -1963,3 +1963,119 @@ def wasserstein_length_shift(
             ).alias("w1_tokens"),
         )
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    a_col: str = "a_correct",
+    b_col: str = "b_correct",
+    decimals: int = 6,
+) -> DataFrame:
+    """McNemar's paired test for two classifiers evaluated on the SAME
+    examples — the statistically correct way to ask "is ranker B
+    actually better than ranker A?" when both scored every row: the
+    verdict hinges ONLY on the discordant pairs (one right, one wrong);
+    comparing two unpaired accuracies wastes the pairing and overstates
+    noise.  Continuity-corrected statistic:
+
+        chi2 = (|b - c| - 1)^2 / (b + c)
+
+    with b = only-A-right, c = only-B-right; significant at alpha=0.05
+    against the chi2(1) critical value 3.841459 (a fixed constant — no
+    p-value libm call, engine-replayable).
+
+    Output: ONE row — ``(n_both_right, n_only_a, n_only_b,
+    n_both_wrong, mcnemar_chi2, significant)``; chi2/significant null
+    when there are no discordant pairs.
+
+    Plan / 100 TB: one conditional-sum aggregate over the scan
+    (map-side partials); every count is an exact integer and the only
+    float is the final division.
+    """
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    agg = df.agg(
+        F.sum((a & b).cast("long")).cast("bigint").alias("n_both_right"),
+        F.sum((a & ~b).cast("long")).cast("bigint").alias("n_only_a"),
+        F.sum((~a & b).cast("long")).cast("bigint").alias("n_only_b"),
+        F.sum((~a & ~b).cast("long")).cast("bigint").alias("n_both_wrong"),
+    )
+    d = F.col("n_only_a") + F.col("n_only_b")
+    diff = F.abs(F.col("n_only_a") - F.col("n_only_b")) - F.lit(1)
+    chi2 = F.round(
+        (diff * diff).cast("double") / d.cast("double"), decimals
+    )
+    return agg.select(
+        "n_both_right",
+        "n_only_a",
+        "n_only_b",
+        "n_both_wrong",
+        F.when(d > 0, chi2).alias("mcnemar_chi2"),
+        F.when(d > 0, chi2 > F.lit(3.841459)).alias("significant"),
+    )
+
+def filter_disparate_impact(
+    df: DataFrame,
+    group_col: str = "source",
+    pred_col: str = "kept",
+    label_col: str = "good",
+    decimals: int = 6,
+) -> DataFrame:
+    """Disparate-impact audit of a selection filter across groups — the
+    four-fifths rule applied to data curation: if a quality gate keeps
+    60% of one source but only 30% of another, the mixture silently
+    shifts and the under-selected source's topics vanish from training.
+    Per group: the selection rate, its ratio to the HIGHEST group's rate
+    (impact ratio; < 0.8 flags adverse impact), and — given a ground
+    truth label — the error-rate view (TPR/FPR), which separates "the
+    gate is harsher on this source" from "this source genuinely has
+    more bad documents".
+
+    Output per group: ``(group, n, sel_rate, impact_ratio,
+    four_fifths_flag, tpr, fpr)``; tpr/fpr null when a group has no
+    positive/negative truth rows.
+
+    Plan / 100 TB: one conditional-sum aggregate at group grain
+    (map-side partials); the max selection rate rides back as a
+    broadcast 1-row frame.  Exact integer counts; floats only in the
+    final ratios.
+    """
+    p = F.col(pred_col).cast("boolean")
+    y = F.col(label_col).cast("boolean")
+    g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(p.cast("long")).cast("bigint").alias("npos"),
+        F.sum((p & y).cast("long")).cast("bigint").alias("tp"),
+        F.sum((p & ~y).cast("long")).cast("bigint").alias("fp"),
+        F.sum((~p & y).cast("long")).cast("bigint").alias("fn"),
+        F.sum((~p & ~y).cast("long")).cast("bigint").alias("tn"),
+    )
+    rate = F.col("npos").cast("double") / F.col("n").cast("double")
+    # group-grain, model-sized; TWO consumers (the max-rate scalar and
+    # the output projection) — checkpoint so the corpus scan runs once
+    staged = g.withColumn("rate", rate).localCheckpoint(eager=True)
+    rmax = F.broadcast(staged.agg(F.max("rate").alias("rmax")))
+    ratio = F.round(F.col("rate") / F.col("rmax"), decimals)
+    return staged.crossJoin(rmax).select(
+        F.col("g").alias(group_col),
+        "n",
+        F.round("rate", decimals).alias("sel_rate"),
+        ratio.alias("impact_ratio"),
+        (ratio < F.lit(0.8)).alias("four_fifths_flag"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.round(
+                F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fn")).cast("double"),
+                decimals,
+            ),
+        ).alias("tpr"),
+        F.when(
+            F.col("fp") + F.col("tn") > 0,
+            F.round(
+                F.col("fp").cast("double")
+                / (F.col("fp") + F.col("tn")).cast("double"),
+                decimals,
+            ),
+        ).alias("fpr"),
+    )
