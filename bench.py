@@ -181,6 +181,8 @@ HEADLINE = [
     "source_js_divergence_matrix",
     "cusum_shift_trajectory",
     "knn_hub_degree_hist",
+    "mcnemar_classifier_test",
+    "filter_disparate_impact",
 ]
 
 
