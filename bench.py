@@ -183,6 +183,8 @@ HEADLINE = [
     "knn_hub_degree_hist",
     "mcnemar_classifier_test",
     "filter_disparate_impact",
+    "query_clarity_score",
+    "retrieval_source_entropy",
 ]
 
 
@@ -423,6 +425,7 @@ SCALE_QUERIES = [
     "source_token_mutual_info",
     "source_js_divergence_matrix",
     "knn_hub_degree_hist",
+    "query_clarity_score",
 ]
 
 SCALE_FACTOR = 10

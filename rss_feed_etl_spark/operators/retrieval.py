@@ -609,3 +609,135 @@ def rank_biased_overlap(
             F.sum(term.cast("decimal(30,10)")).cast("double"), decimals
         ).alias("rbo"),
     )
+
+
+def query_clarity_score(
+    df: DataFrame,
+    query_terms: list[str],
+    fb_docs: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Query clarity (Cronen-Townsend, Zhou & Croft 2002) — the classic
+    pre-retrieval-quality predictor: KL divergence between the language
+    model of the top-``fb_docs`` retrieved documents and the corpus
+    language model.  A HIGH clarity query pulls a topically coherent
+    result set (its LM diverges sharply from the background); a low
+    clarity query retrieves "the corpus in miniature" and its results
+    are unlikely to be useful — the signal a retrieval pipeline uses to
+    gate query expansion or re-ranking spend.
+
+    Both models are MLE over word TRIGRAMS (the corpus's unigram
+    vocabulary is too dense to carry signal — the wave-135 discipline);
+    the KL sum runs over the feedback set's trigram support, where both
+    models are positive by construction.
+
+    Output: ONE row — ``(n_fb_docs, fb_types, fb_tokens,
+    clarity_nats)``.
+
+    Plan / 100 TB: BM25's own plan produces the tiny feedback id set
+    (broadcast semi-join slices the trigram stream); corpus counts are
+    computed ONLY for feedback-support trigrams (broadcast semi-join
+    BEFORE the count shuffle — the ``prf_query_expansion`` shape); the
+    corpus total is one scalar aggregate.  Per-term products round to
+    9 dp and sum as DECIMAL.
+    """
+    from .textstats import _trigram_triples
+
+    fb = bm25_topk(
+        df, query_terms, id_col=id_col, text_col=text_col, topk=fb_docs
+    ).select("doc_id")
+    tris = _trigram_triples(df, id_col, text_col).select(
+        "id", F.concat_ws(" ", "a", "b", "c").alias("tok")
+    )
+    fb_cnt = (
+        tris.join(F.broadcast(fb), tris["id"] == fb["doc_id"])
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c_fb"))
+        .localCheckpoint(eager=True)  # feedback-vocab-sized; 3 consumers
+    )
+    fb_tot = F.broadcast(
+        fb_cnt.agg(
+            F.sum("c_fb").cast("bigint").alias("fb_tokens"),
+            F.count("*").cast("bigint").alias("fb_types"),
+        )
+    )
+    corpus_cnt = (
+        tris.join(F.broadcast(fb_cnt.select("tok")), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c_all"))
+    )
+    corpus_tot = F.broadcast(
+        tris.agg(F.count("*").cast("bigint").alias("corpus_tokens"))
+    )
+    joined = (
+        fb_cnt.join(corpus_cnt, "tok")
+        .crossJoin(fb_tot)
+        .crossJoin(corpus_tot)
+    )
+    term = F.round(
+        (F.col("c_fb").cast("double") / F.col("fb_tokens").cast("double"))
+        * F.log(
+            (F.col("c_fb").cast("double") * F.col("corpus_tokens").cast("double"))
+            / (F.col("fb_tokens").cast("double") * F.col("c_all").cast("double"))
+        ),
+        9,
+    )
+    return joined.agg(
+        F.lit(int(fb_docs)).cast("bigint").alias("n_fb_docs"),
+        F.max("fb_types").cast("bigint").alias("fb_types"),
+        F.max("fb_tokens").cast("bigint").alias("fb_tokens"),
+        F.round(
+            F.sum(term.cast("decimal(30,10)")).cast("double"), decimals
+        ).alias("clarity_nats"),
+    )
+
+
+def retrieval_source_entropy(
+    df: DataFrame,
+    query_terms: list[str],
+    topk: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    decimals: int = 6,
+) -> DataFrame:
+    """Source concentration of a query's top-k results: the Shannon
+    entropy (nats) of the source distribution among the retrieved
+    documents plus the majority source's share — the ambiguity
+    companion to ``query_clarity_score`` (a query whose hits spray
+    across every source is under-specified; one that concentrates in a
+    single feed is answerable).
+
+    Output: ONE row — ``(n_results, n_sources, majority_share,
+    source_entropy_nats)``.
+
+    Plan / 100 TB: the top-k id set broadcasts back onto the document
+    table for its source labels; everything after is source-grain.
+    """
+    hits = bm25_topk(
+        df, query_terms, id_col=id_col, text_col=text_col, topk=topk
+    ).select("doc_id")
+    labeled = df.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("src")
+    ).join(F.broadcast(hits), "doc_id")
+    per_src = labeled.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = F.broadcast(per_src.agg(F.sum("c").cast("bigint").alias("n")))
+    hterm = F.round(
+        -(F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("c").cast("double") / F.col("n").cast("double")),
+        9,
+    )
+    return per_src.crossJoin(tot).agg(
+        F.max("n").cast("bigint").alias("n_results"),
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.round(
+            F.max("c").cast("double") / F.max("n").cast("double"), decimals
+        ).alias("majority_share"),
+        F.round(
+            F.sum(hterm.cast("decimal(30,10)")).cast("double"), decimals
+        ).alias("source_entropy_nats"),
+    )
