@@ -185,6 +185,8 @@ HEADLINE = [
     "filter_disparate_impact",
     "query_clarity_score",
     "retrieval_source_entropy",
+    "kneser_ney_bigram_ppl",
+    "term_burstiness_profile",
 ]
 
 
@@ -426,6 +428,7 @@ SCALE_QUERIES = [
     "source_js_divergence_matrix",
     "knn_hub_degree_hist",
     "query_clarity_score",
+    "kneser_ney_bigram_ppl",
 ]
 
 SCALE_FACTOR = 10

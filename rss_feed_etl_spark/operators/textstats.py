@@ -3264,3 +3264,129 @@ def source_js_divergence_matrix(
             "jsd_nats"
         ),
     )
+
+
+def kneser_ney_bigram_ppl(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document log-perplexity under an (interpolated) Kneser-Ney
+    bigram LM — the smoothing KenLM actually ships, one rung above the
+    registry's stupid-backoff bigram (``bigram_logppl``) and
+    Jelinek-Mercer trigram (``interp_trigram_logppl``): absolute
+    discounting frees mass proportional to context FAN-OUT, and the
+    lower-order distribution is the CONTINUATION unigram (how many
+    contexts a word completes), not raw frequency — the fix for the
+    "San Francisco" pathology where frequent-but-predictable words
+    steal backoff mass.
+
+        p(b|a) = max(c(a,b) − D, 0)/c(a·)
+                 + (D · N1+(a·)/c(a·)) · N1+(·b)/N1+(··)
+
+    Self-trained on ``df`` (the CCNet self-scoring shape); docs with
+    < 2 tokens emit no bigram and are absent.
+
+    Output per doc: ``(doc_id, n_bigrams, kn_logppl)``.
+
+    Plan / 100 TB: ONE bigram count table (bigram-vocab grain, persisted
+    spillably) feeds every model marginal — left totals + fan-out,
+    continuation fan-in, and the grand continuation total — so the
+    corpus tokenizes exactly twice (model build + scoring stream); the
+    scoring joins are token-keyed, never document-keyed.  Per-position
+    NLLs round to 9 dp and DECIMAL-sum per doc.
+    """
+    bp = _bigram_pairs(df, id_col, text_col)
+    c12 = (
+        bp.groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("n2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    left = c12.groupBy("a").agg(
+        F.sum("n2").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("n1pl"),
+    )
+    right = c12.groupBy("b").agg(F.count("*").cast("bigint").alias("n1pr"))
+    tot = F.broadcast(c12.agg(F.count("*").cast("bigint").alias("n1pt")))
+    d = F.lit(float(discount))
+    scored = (
+        bp.join(c12, ["a", "b"]).join(left, "a").join(right, "b").crossJoin(tot)
+    )
+    p = F.greatest(F.col("n2").cast("double") - d, F.lit(0.0)) / F.col(
+        "c1"
+    ).cast("double") + (d * F.col("n1pl").cast("double") / F.col("c1").cast("double")) * (
+        F.col("n1pr").cast("double") / F.col("n1pt").cast("double")
+    )
+    nll = F.round(-F.log(p), 9)
+    return (
+        scored.select("id", nll.alias("nll"))
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("nll").cast("decimal(30,10)")).cast("double")
+                / F.count("*").cast("double"),
+                decimals,
+            ).alias("kn_logppl"),
+        )
+    )
+
+
+def term_burstiness_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top: int = 30,
+    decimals: int = 6,
+) -> DataFrame:
+    """Church-Gale burstiness profile of the ``top`` most frequent terms:
+    content words BURST (a doc that mentions them once mentions them
+    again — variance far above Poisson) while function words spread
+    evenly, so the variance-to-mean ratio of per-document counts
+    separates topical vocabulary from glue even with no stopword list —
+    and a VMR near 1 across the board is the fingerprint of synthetic
+    shuffled text.
+
+    Per term: total frequency, document frequency, mean count per doc
+    (zeros included), the VMR, and the mean count within the docs that
+    contain it (the Church-Gale "burstiness" statistic tf/df).
+
+    Output: ``(term, tf, df_docs, mean_per_doc, vmr,
+    mean_when_present)`` for the top-``top`` terms (ties break on the
+    term).
+
+    Plan / 100 TB: one (doc, term)-grain count, one term-grain moment
+    aggregate (sums of c and c² — exact integers), a TakeOrdered
+    top-``top``, and the doc-count scalar broadcast.  Zeros never
+    materialize: their moment contribution is algebraic.
+    """
+    tc = df.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.col("term") != "").groupBy("id", "term").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    stats = (
+        tc.groupBy("term")
+        .agg(
+            F.sum("c").cast("bigint").alias("tf"),
+            F.count("*").cast("bigint").alias("df_docs"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(int(top))
+    )
+    n_docs = F.broadcast(df.agg(F.count("*").cast("bigint").alias("n_docs")))
+    mean = F.col("tf").cast("double") / F.col("n_docs").cast("double")
+    ex2 = F.col("s2").cast("double") / F.col("n_docs").cast("double")
+    return stats.crossJoin(n_docs).select(
+        "term",
+        "tf",
+        "df_docs",
+        F.round(mean, decimals).alias("mean_per_doc"),
+        F.round((ex2 - mean * mean) / mean, decimals).alias("vmr"),
+        F.round(
+            F.col("tf").cast("double") / F.col("df_docs").cast("double"), decimals
+        ).alias("mean_when_present"),
+    )
