@@ -187,6 +187,8 @@ HEADLINE = [
     "retrieval_source_entropy",
     "kneser_ney_bigram_ppl",
     "term_burstiness_profile",
+    "triplet_margin_stats",
+    "filtered_ann_recall",
 ]
 
 
@@ -429,6 +431,7 @@ SCALE_QUERIES = [
     "knn_hub_degree_hist",
     "query_clarity_score",
     "kneser_ney_bigram_ppl",
+    "triplet_margin_stats",
 ]
 
 SCALE_FACTOR = 10

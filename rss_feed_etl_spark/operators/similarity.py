@@ -44,7 +44,12 @@ def cosine(a: Column, b: Column, decimals: int = 4) -> Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), decimals)
 
 
-def _per_query_topk(scored: DataFrame, k: int, *order_cols: Column) -> DataFrame:
+def _per_query_topk(
+    scored: DataFrame,
+    k: int,
+    *order_cols: Column,
+    partition_cols: tuple[str, ...] = ("query_id",),
+) -> DataFrame:
     """Exact per-query top-k WITHOUT a corpus-scale window partition,
     ranked by ``order_cols`` (must be a total order within a query so the
     two stages agree).  Adds a ``rank`` column (1-based) and keeps only
@@ -76,13 +81,13 @@ def _per_query_topk(scored: DataFrame, k: int, *order_cols: Column) -> DataFrame
     reducer (pinned in tests/test_plan_shapes.py).
     """
     staged = scored.withColumn("__pid", F.spark_partition_id())
-    w1 = Window.partitionBy("query_id", "__pid").orderBy(*order_cols)
+    w1 = Window.partitionBy(*partition_cols, "__pid").orderBy(*order_cols)
     survivors = (
         staged.withColumn("__prank", F.row_number().over(w1))
         .filter(F.col("__prank") <= k)
         .drop("__pid", "__prank")
     )
-    w2 = Window.partitionBy("query_id").orderBy(*order_cols)
+    w2 = Window.partitionBy(*partition_cols).orderBy(*order_cols)
     return survivors.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
     )
@@ -2057,3 +2062,172 @@ def knn_hub_degree_hist(
         .filter(F.col("n_vectors") > 0)
     )
     return hist.unionByName(zero)
+
+
+def triplet_margin_stats(
+    embeddings: DataFrame,
+    n_anchors: int = 50,
+    margin: float = 0.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hardest-triplet margin audit of an embedding space: for each of
+    the first ``n_anchors`` vectors, the FARTHEST same-label neighbor
+    (hardest positive) and the NEAREST different-label neighbor
+    (hardest negative), and the margin cos(a,p) − cos(a,n) — the
+    worst-case quantity a triplet loss trains on.  A margin below
+    ``margin`` is a violation: the space ranks an impostor above (or
+    within the margin of) a class member, exactly the failure
+    contrastive fine-tuning fixes.
+
+    Output per anchor: ``(query_id, pos_id, neg_id, cos_pos, cos_neg,
+    triplet_margin, violation)``.
+
+    Plan / 100 TB: ONE corpus pass — both rankings come from a single
+    scored pair stream, ranked by the two-stage partial top-k with the
+    same-label FLAG in the partition key and a flag-DEPENDENT order
+    (cs asc for positives = farthest, −cs asc for negatives = nearest),
+    so positives and negatives rank independently without a second
+    scan; anchors broadcast.
+    """
+    q = F.broadcast(
+        embeddings.filter(F.col(id_col) < n_anchors).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("qlabel"),
+        )
+    )
+    scored = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("ev"),
+            F.col(label_col).alias("nlabel"),
+        )
+        .join(q, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("nlabel") == F.col("qlabel")).alias("same"),
+            cosine(F.col("qv"), F.col("ev")).alias("cs"),
+        )
+    )
+    best = _per_query_topk(
+        scored,
+        1,
+        F.when(F.col("same"), F.col("cs")).otherwise(-F.col("cs")).asc(),
+        F.col("neighbor_id").asc(),
+        partition_cols=("query_id", "same"),
+    )
+    pos = best.filter(F.col("same")).select(
+        "query_id",
+        F.col("neighbor_id").alias("pos_id"),
+        F.col("cs").alias("cos_pos"),
+    )
+    neg = best.filter(~F.col("same")).select(
+        "query_id",
+        F.col("neighbor_id").alias("neg_id"),
+        F.col("cs").alias("cos_neg"),
+    )
+    m = F.round(F.col("cos_pos") - F.col("cos_neg"), 4)
+    return pos.join(neg, "query_id").select(
+        "query_id",
+        "pos_id",
+        "neg_id",
+        "cos_pos",
+        "cos_neg",
+        m.alias("triplet_margin"),
+        (m < F.lit(float(margin))).alias("violation"),
+    )
+
+
+def filtered_ann_recall(
+    embeddings: DataFrame,
+    n_queries: int = 50,
+    k: int = 5,
+    prefetch: int = 15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Filtered vector search audit — the production question every
+    metadata-filtered ANN index faces: POST-filtering (retrieve an
+    unfiltered top-``prefetch``, then keep the rows matching the
+    filter) is cheap but loses results when the filter is selective;
+    PRE-filtering (rank only matching rows) is exact but needs
+    filter-aware index traversal.  For each query (filter = the query's
+    own label), this reports how much of the exact pre-filtered top-k
+    the post-filter approximation recovers.
+
+    Output per query: ``(query_id, n_postfilter, recall_at_k)`` —
+    n_postfilter = matching rows inside the unfiltered top-``prefetch``
+    (capped at k), recall = |postfilter top-k ∩ exact top-k| / k.
+
+    Plan / 100 TB: two scored passes (inherent — the exact pre-filter
+    baseline must rank the FULL matching corpus, which is precisely
+    what the post-filter path avoids), each ranked by the two-stage
+    partial top-k; the comparison join runs at (query, k) grain.
+    """
+    q = F.broadcast(
+        embeddings.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("qlabel"),
+        )
+    )
+
+    def scored_pairs() -> DataFrame:
+        return (
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("ev"),
+                F.col(label_col).alias("nlabel"),
+            )
+            .join(q, F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (F.col("nlabel") == F.col("qlabel")).alias("same"),
+                cosine(F.col("qv"), F.col("ev")).alias("cs"),
+            )
+        )
+
+    exact = _per_query_topk(
+        scored_pairs().filter(F.col("same")),
+        k,
+        F.col("cs").desc(),
+        F.col("neighbor_id").asc(),
+    ).select("query_id", "neighbor_id")
+    post = (
+        _per_query_topk(
+            scored_pairs(), prefetch, F.col("cs").desc(), F.col("neighbor_id").asc()
+        )
+        .filter(F.col("same"))
+        .withColumn(
+            "rerank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("rank").asc()  # keep the unfiltered order
+                )
+            ),
+        )
+        .filter(F.col("rerank") <= k)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    counts = post.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_postfilter")
+    )
+    inter = (
+        exact.join(post, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hit"))
+    )
+    return inter.join(counts, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_postfilter"), F.lit(0)).cast("bigint").alias(
+            "n_postfilter"
+        ),
+        F.round(F.col("n_hit").cast("double") / F.lit(float(k)), 6).alias(
+            "recall_at_k"
+        ),
+    )
