@@ -189,6 +189,8 @@ HEADLINE = [
     "term_burstiness_profile",
     "triplet_margin_stats",
     "filtered_ann_recall",
+    "t_closeness_report",
+    "kmv_distinct_estimate",
 ]
 
 

@@ -2079,3 +2079,92 @@ def filter_disparate_impact(
             ),
         ).alias("fpr"),
     )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.04,
+    decimals: int = 6,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    rung of the release-privacy ladder after ``k_anonymity_violations``
+    and ``l_diversity_violations``: a class can be large AND diverse yet
+    still leak if its sensitive-attribute DISTRIBUTION diverges from the
+    table's (e.g. one clinic's "diverse" diagnoses are all cancers).
+    For an ORDERED sensitive attribute the distance is the normalized
+    Earth Mover's Distance:
+
+        EMD = (1/(m-1)) * sum_i |CDF_class(v_i) - CDF_table(v_i)|
+
+    over the table's m ordered sensitive values.  Every class is
+    reported with its EMD and an ``exceeds_t`` flag (not pre-filtered:
+    class sizes — and therefore sampling-noise EMD — scale with the
+    data, so a fixed-threshold filter degenerates to all-or-nothing
+    across scale factors).
+
+    Output per class: ``(quasi..., group_size, emd, exceeds_t)``.
+
+    Plan / 100 TB: rows collapse to (quasi..., sensitive) grain once
+    (map-side partials, checkpointed — four consumers); class totals,
+    the global distribution, and the domain scalars all derive from it;
+    the per-class cumulative windows walk the class x domain GRID (both
+    reduced grains).  CDFs are exact integer cumulative counts; floats
+    only in the per-value |diff| terms, rounded to 9 dp and
+    DECIMAL-summed.
+    """
+    qs = [F.col(c) for c in quasi_cols]
+    fine = (
+        df.groupBy(*qs, F.col(sensitive_col).alias("__sv"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    # internal columns carry dunder names so a caller's quasi column
+    # (e.g. literally "g" or "nc") can never collide
+    cls = fine.groupBy(*quasi_cols).agg(F.sum("n").cast("bigint").alias("__nc"))
+    gd = fine.groupBy("__sv").agg(F.sum("n").cast("bigint").alias("__g"))
+    dom = F.broadcast(
+        gd.agg(
+            F.count("*").cast("bigint").alias("__m"),
+            F.sum("__g").cast("bigint").alias("__nt"),
+        )
+    )
+    wv = Window.orderBy("__sv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gcum = gd.select("__sv", F.sum("__g").over(wv).alias("__cg"))
+    grid = cls.crossJoin(F.broadcast(gcum)).join(
+        fine, [*quasi_cols, "__sv"], "left"
+    )
+    wc = Window.partitionBy(*quasi_cols).orderBy("__sv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = grid.select(
+        *quasi_cols,
+        "__nc",
+        "__cg",
+        F.sum(F.coalesce(F.col("n"), F.lit(0))).over(wc).alias("__cn"),
+    ).crossJoin(dom)
+    term = F.round(
+        F.abs(
+            F.col("__cn").cast("double") / F.col("__nc").cast("double")
+            - F.col("__cg").cast("double") / F.col("__nt").cast("double")
+        ),
+        9,
+    )
+    emd = F.round(
+        F.sum(term.cast("decimal(30,10)")).cast("double")
+        / (F.max("__m") - F.lit(1)).cast("double"),
+        decimals,
+    )
+    return (
+        staged.groupBy(*quasi_cols, "__nc")
+        .agg(emd.alias("emd"))
+        .select(
+            *quasi_cols,
+            F.col("__nc").alias("group_size"),
+            "emd",
+            (F.col("emd") > F.lit(float(t))).alias("exceeds_t"),
+        )
+    )

@@ -907,3 +907,106 @@ def incremental_histogram_fold(
         F.round(exact.cast("double"), 2).alias("total"),
         exact.cast(dec).alias("total_exact"),
     )
+
+
+def kmv_distinct_estimate(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 12,
+    decimals: int = 6,
+) -> DataFrame:
+    """K-minimum-values distinct sketch audit (Bar-Yossef et al. 2002) —
+    the mergeable COUNT DISTINCT sketch theta/KMV lakehouse engines
+    ship: hash every key to a uniform (0,1] value, keep only the k
+    smallest, and estimate D = (k-1)/h_(k).  Unlike the HLL rollup
+    (``approx_distinct_rollup``, non-SQL), KMV is EXACTLY expressible
+    in both engines — the hash is the house md5 bucket normalized by
+    2^60 (a power-of-two division, IEEE-exact) — so the driver oracle
+    can hash-check the estimator itself, not just its row count.
+
+    Per group AND for the union of all groups (the mergeability
+    property: the union sketch is the k smallest of the pooled distinct
+    hashes), reports the estimate against the exact distinct count.
+    Groups holding fewer than k distinct keys return the sketch's exact
+    content count (the standard small-cardinality mode).
+
+    Output: ``(scope, exact_distinct, kmv_estimate, rel_err)`` — one
+    row per group plus scope '__union__'.
+
+    Plan / 100 TB: rows collapse to DISTINCT (group, hash) grain once
+    (map-side partials, checkpointed — the per-group ranks, the union
+    rank, and both exact counts all derive from it); the per-group
+    k-smallest uses the two-stage partial rank (no group ever
+    concentrates its full hash set in one task) and the union
+    k-smallest is a TakeOrdered.  The only floats are the final
+    normalizations and ratios.
+    """
+    from ..functions.hashing import md5_bucket
+
+    two60 = float(1 << 60)
+    hashed = (
+        df.select(
+            F.col(group_col).alias("g"),
+            md5_bucket(F.col(key_col).cast("string")).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    exact = hashed.groupBy("g").agg(F.count("*").cast("bigint").alias("nd"))
+
+    staged = hashed.withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy("g", "__pid").orderBy(F.col("h").asc())
+    w2 = Window.partitionBy("g").orderBy(F.col("h").asc())
+    kth = (
+        staged.withColumn("__pr", F.row_number().over(w1))
+        .filter(F.col("__pr") <= k)
+        .withColumn("r", F.row_number().over(w2))
+        .filter(F.col("r") == k)
+        .select("g", F.col("h").alias("hk"))
+    )
+    est = F.when(
+        F.col("nd") < k, F.col("nd").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) / (F.col("hk").cast("double") / F.lit(two60)),
+            decimals,
+        )
+    )
+    per_group = (
+        exact.join(kth, "g", "left")
+        .select(
+            F.col("g").cast("string").alias("scope"),
+            F.col("nd").alias("exact_distinct"),
+            est.alias("kmv_estimate"),
+        )
+    )
+    u_exact = hashed.select("h").distinct()
+    u_nd = u_exact.agg(F.count("*").cast("bigint").alias("nd"))
+    u_kth = u_exact.orderBy(F.col("h").asc()).limit(k).agg(
+        F.max("h").alias("hk")
+    )
+    u_est = F.when(
+        F.col("nd") < k, F.col("nd").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) / (F.col("hk").cast("double") / F.lit(two60)),
+            decimals,
+        )
+    )
+    union_row = u_nd.crossJoin(F.broadcast(u_kth)).select(
+        F.lit("__union__").alias("scope"),
+        F.col("nd").alias("exact_distinct"),
+        u_est.alias("kmv_estimate"),
+    )
+    out = per_group.unionByName(union_row)
+    return out.select(
+        "scope",
+        "exact_distinct",
+        "kmv_estimate",
+        F.round(
+            (F.col("kmv_estimate") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double"),
+            decimals,
+        ).alias("rel_err"),
+    )
