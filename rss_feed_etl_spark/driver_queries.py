@@ -767,23 +767,20 @@ from . import driver_queries_wave141  # noqa: E402, F401  (registers wave-141 qu
 # its per-row ntile for the grain-level arithmetic reconstruction,
 # ``click_position_bias`` anchors on an always-one-row aggregate,
 # ``contamination_overlap_fraction`` left-joins the eval id set (both
-# sides of the oracle pair changed where required) — plus the ANN family
-# whose ranking moved to the two-stage partial top-k (bit-identical by
-# design and locally hash-green, but the plan rewrite deserves a driver
-# row, the boilerplate_removed precedent).  The round-7 entries all
-# landed green rows in CORRECTNESS_r07 and drop out.  10 rechecks + the
-# 39 never-sampled names fill the driver's ~50-slot window exactly.
+# sides of the oracle pair changed where required) — plus the two
+# flagship adopters of the two-stage partial top-k plan rewrite
+# (bit-identical by design; the whole seven-query ANN family is locally
+# hash-green at sf0.01+sf0.1, but the r7-flagged scale-killer and the
+# canonical baseline deserve driver rows — the boilerplate_removed
+# precedent).  The round-7 entries all landed green rows in
+# CORRECTNESS_r07 and drop out.  Keep this <= 5 (pinned): every slot
+# delays one of the 39 never-sampled wave-126-141 names by a round.
 _RECHECK = [
     "risk_coverage_curve",
     "click_position_bias",
     "contamination_overlap_fraction",
     "label_knn_accuracy",
     "ann_cosine_topk",
-    "hard_negatives",
-    "int8_ann_topk",
-    "binary_sign_ann_topk",
-    "ann_recall_lsh",
-    "ann_rerank_exact",
 ]
 
 # Static fallback only for checkouts missing the CORRECTNESS artifacts
