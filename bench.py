@@ -194,6 +194,24 @@ HEADLINE = [
 ]
 
 
+
+def _timed_noop(spark, make) -> float:
+    """One clean-slate timed run: the SQL cache is cleared first so a
+    query's persisted frames cannot ride along into later measurements.
+    Round-8 finding: operators that persist() model tables (DSIR, MI/JSD
+    counts, the KN bigram table) accumulated in executor storage across
+    the session, and the 10x curve — which runs LAST — paid their
+    eviction/spill pressure: semantic_dedup_pairs' ratio read 15.2
+    in-session vs ~5 isolated, ngram_jaccard 27.6 vs ~6.  Clearing per
+    run makes every measurement independent of session history (and
+    makes persist-using queries pay their own build cost every time —
+    honest, and consistent round-over-round)."""
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    make().write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def bench_degenerate_dedup(spark) -> dict[str, float]:
     """Skew-guard proof: a degenerate corpus (5k identical docs + 5k
     identical embeddings) through the GUARDED near-dup paths must complete
@@ -300,9 +318,7 @@ def bench_degenerate_dedup(spark) -> dict[str, float]:
     for name, make in jobs:
         best = None
         for _ in range(2):
-            t0 = _t.perf_counter()
-            make().write.mode("overwrite").format("noop").save()
-            dt = round(_t.perf_counter() - t0, 3)
+            dt = _timed_noop(spark, make)
             best = dt if best is None else min(best, dt)
         out[name] = best
     return out
@@ -320,6 +336,7 @@ def bench_curation_stages(spark, sf_dir: str) -> dict[str, float]:
     from rss_feed_etl_spark.driver_queries_wave107 import _q_curation
 
     stages: dict[str, float] = {}
+    spark.catalog.clearCache()  # same clean-slate discipline as _timed_noop
     t0 = _t.perf_counter()
     _q_curation(spark, sf_dir, stage_timings=stages).write.mode(
         "overwrite"
@@ -526,9 +543,7 @@ def bench_scale_curve(spark, qs, sf_dir: str, base: dict[str, float]) -> dict:
         # min is the plan cost that partition/shuffle tuning actually moves
         best = None
         for _ in range(2):
-            t0 = time.perf_counter()
-            qs[name](spark, dst).write.mode("overwrite").format("noop").save()
-            dt = round(time.perf_counter() - t0, 3)
+            dt = _timed_noop(spark, lambda: qs[name](spark, dst))
             best = dt if best is None else min(best, dt)
         out["queries"][name] = best
         if base.get(name):
@@ -559,9 +574,7 @@ def main() -> None:
         # cost, which is what partition/shuffle tuning actually moves
         best = None
         for _ in range(2):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = round(time.perf_counter() - t0, 3)
+            dt = _timed_noop(spark, lambda: qs[name](spark, sf_dir))
             best = dt if best is None else min(best, dt)
         timings[name] = best
         total += best
