@@ -763,24 +763,18 @@ from . import driver_queries_wave141  # noqa: E402, F401  (registers wave-141 qu
 #
 # ``_RECHECK`` is the one remaining manual knob: queries whose CODE
 # changed this round and therefore must re-verify even though they hold a
-# green row.  Round 8: the ADVICE fixes — ``risk_coverage_curve`` swapped
-# its per-row ntile for the grain-level arithmetic reconstruction,
-# ``click_position_bias`` anchors on an always-one-row aggregate,
-# ``contamination_overlap_fraction`` left-joins the eval id set (both
-# sides of the oracle pair changed where required) — plus the two
-# flagship adopters of the two-stage partial top-k plan rewrite
-# (bit-identical by design; the whole seven-query ANN family is locally
-# hash-green at sf0.01+sf0.1, but the r7-flagged scale-killer and the
-# canonical baseline deserve driver rows — the boilerplate_removed
-# precedent).  The round-7 entries all landed green rows in
-# CORRECTNESS_r07 and drop out.  Keep this <= 5 (pinned): every slot
-# delays one of the 39 never-sampled wave-126-141 names by a round.
+# green row.  Round 9: the ADVICE r8 fixes — ``filtered_ann_recall``
+# divides by the achievable exact-set size (schema gained ``n_exact``;
+# both engines changed), ``query_clarity_score``'s oracle became a
+# global aggregate so the degenerate-corpus shape matches Spark's
+# (values unchanged on real data), ``kmv_distinct_estimate`` gained the
+# kth-hash == 0 guard in both engines.  The round-8 entries all landed
+# green rows in CORRECTNESS_r08 and drop out.  Keep this <= 5 (pinned):
+# every slot delays a rotation name by a round.
 _RECHECK = [
-    "risk_coverage_curve",
-    "click_position_bias",
-    "contamination_overlap_fraction",
-    "label_knn_accuracy",
-    "ann_cosine_topk",
+    "filtered_ann_recall",
+    "query_clarity_score",
+    "kmv_distinct_estimate",
 ]
 
 # Static fallback only for checkouts missing the CORRECTNESS artifacts

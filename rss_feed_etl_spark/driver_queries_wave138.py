@@ -37,6 +37,11 @@ def _q_clarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.query_clarity_score(docs, _QC_TERMS, fb_docs=_QC_FB)
 
 
+# The final select is a GLOBAL aggregate (no GROUP BY) so a degenerate
+# corpus whose feedback docs yield zero trigrams still returns exactly
+# one row — (n_fb_docs, NULL, NULL, NULL) — matching Spark's global agg
+# over the empty term set (ADVICE r8).  fbt is one row by construction,
+# so on a non-degenerate corpus the values are unchanged.
 _register(
     "query_clarity_score",
     _q_clarity,
@@ -55,10 +60,12 @@ terms AS (SELECT round((CAST(c_fb AS DOUBLE) / fb_tokens)
                        * ln((CAST(c_fb AS DOUBLE) * corpus_tokens)
                             / (CAST(fb_tokens AS DOUBLE) * c_all)), 9) AS term
           FROM fbc JOIN cc USING (tok) CROSS JOIN fbt CROSS JOIN ct)
-SELECT CAST({_QC_FB} AS BIGINT) AS n_fb_docs, fb_types, fb_tokens,
+SELECT CAST({_QC_FB} AS BIGINT) AS n_fb_docs,
+       CAST(max(fb_types) AS BIGINT) AS fb_types,
+       CAST(max(fb_tokens) AS BIGINT) AS fb_tokens,
        round(CAST(sum(CAST(term AS DECIMAL(30,10))) AS DOUBLE), 6)
          AS clarity_nats
-FROM terms CROSS JOIN fbt GROUP BY fb_types, fb_tokens
+FROM terms CROSS JOIN fbt
 """,
 )
 

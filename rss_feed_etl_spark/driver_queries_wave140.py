@@ -90,13 +90,14 @@ counts AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_postfilter
            FROM pk GROUP BY 1),
 inter AS (SELECT ek.query_id,
                  CAST(sum(CASE WHEN pk.neighbor_id IS NOT NULL
-                               THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                 CAST(count(*) AS BIGINT) AS n_exact
           FROM ek LEFT JOIN pk ON ek.query_id = pk.query_id
                               AND ek.neighbor_id = pk.neighbor_id
           GROUP BY 1)
-SELECT inter.query_id,
+SELECT inter.query_id, n_exact,
        CAST(coalesce(n_postfilter, 0) AS BIGINT) AS n_postfilter,
-       round(CAST(n_hit AS DOUBLE) / {float(_FA_K)}, 6) AS recall_at_k
+       round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall_at_k
 FROM inter LEFT JOIN counts USING (query_id)
 """,
 )

@@ -105,7 +105,7 @@ kth AS (SELECT g, h AS hk FROM (
 per_group AS (
   SELECT CAST(g AS VARCHAR) AS scope, nd AS exact_distinct,
          CASE WHEN nd < {_KMV_K} THEN CAST(nd AS DOUBLE)
-              ELSE round(CAST({_KMV_K - 1} AS DOUBLE)
+              WHEN hk > 0 THEN round(CAST({_KMV_K - 1} AS DOUBLE)
                          / (CAST(hk AS DOUBLE)
                             / CAST({float(1 << 60)} AS DOUBLE)), 6) END
            AS kmv_estimate
@@ -117,7 +117,7 @@ ukth AS (SELECT max(h) AS hk FROM (SELECT h FROM uh ORDER BY h ASC
 union_row AS (
   SELECT '__union__' AS scope, nd AS exact_distinct,
          CASE WHEN nd < {_KMV_K} THEN CAST(nd AS DOUBLE)
-              ELSE round(CAST({_KMV_K - 1} AS DOUBLE)
+              WHEN hk > 0 THEN round(CAST({_KMV_K - 1} AS DOUBLE)
                          / (CAST(hk AS DOUBLE)
                             / CAST({float(1 << 60)} AS DOUBLE)), 6) END
            AS kmv_estimate

@@ -2159,9 +2159,13 @@ def filtered_ann_recall(
     own label), this reports how much of the exact pre-filtered top-k
     the post-filter approximation recovers.
 
-    Output per query: ``(query_id, n_postfilter, recall_at_k)`` —
-    n_postfilter = matching rows inside the unfiltered top-``prefetch``
-    (capped at k), recall = |postfilter top-k ∩ exact top-k| / k.
+    Output per query: ``(query_id, n_exact, n_postfilter,
+    recall_at_k)`` — n_exact = |exact pre-filtered top-k| (< k when the
+    query's label is sparse), n_postfilter = matching rows inside the
+    unfiltered top-``prefetch`` (capped at k), recall = |postfilter
+    top-k ∩ exact top-k| / n_exact.  The denominator is the ACHIEVABLE
+    set size, not the fixed k (ADVICE r8): a query with only 3
+    same-label neighbors that recovers all 3 scores 1.0.
 
     Plan / 100 TB: two scored passes (inherent — the exact pre-filter
     baseline must rank the FULL matching corpus, which is precisely
@@ -2220,14 +2224,20 @@ def filtered_ann_recall(
     inter = (
         exact.join(post, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
-        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hit"))
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hit"),
+            # the left join preserves each exact row exactly once (post's
+            # (query, neighbor) pairs are unique), so count(*) IS |exact|
+            F.count("*").cast("bigint").alias("n_exact"),
+        )
     )
     return inter.join(counts, "query_id", "left").select(
         "query_id",
+        "n_exact",
         F.coalesce(F.col("n_postfilter"), F.lit(0)).cast("bigint").alias(
             "n_postfilter"
         ),
-        F.round(F.col("n_hit").cast("double") / F.lit(float(k)), 6).alias(
-            "recall_at_k"
-        ),
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_exact").cast("double"), 6
+        ).alias("recall_at_k"),
     )

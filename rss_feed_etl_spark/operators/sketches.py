@@ -965,13 +965,17 @@ def kmv_distinct_estimate(
         .filter(F.col("r") == k)
         .select("g", F.col("h").alias("hk"))
     )
+    # hk == 0 guard (ADVICE r8): an all-zero md5 prefix (~2^-60 per key)
+    # would make Spark's non-ANSI division NULL while DuckDB's double
+    # division yields inf — both engines now return NULL for that edge.
     est = F.when(
         F.col("nd") < k, F.col("nd").cast("double")
-    ).otherwise(
+    ).when(
+        F.col("hk") > 0,
         F.round(
             F.lit(float(k - 1)) / (F.col("hk").cast("double") / F.lit(two60)),
             decimals,
-        )
+        ),
     )
     per_group = (
         exact.join(kth, "g", "left")
@@ -988,11 +992,12 @@ def kmv_distinct_estimate(
     )
     u_est = F.when(
         F.col("nd") < k, F.col("nd").cast("double")
-    ).otherwise(
+    ).when(
+        F.col("hk") > 0,
         F.round(
             F.lit(float(k - 1)) / (F.col("hk").cast("double") / F.lit(two60)),
             decimals,
-        )
+        ),
     )
     union_row = u_nd.crossJoin(F.broadcast(u_kth)).select(
         F.lit("__union__").alias("scope"),

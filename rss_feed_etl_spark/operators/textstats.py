@@ -21,6 +21,37 @@ from ..functions.hashing import rolling_hash
 from ..functions.text import norm_text
 
 
+#: Count tables persisted by operators in this module (MI / JSD /
+#: Kneser-Ney / boilerplate).  They are vocabulary-scale, so a
+#: long-lived session composing several of these operators accumulates
+#: executor storage (ADVICE r8).  Callers running many jobs should call
+#: :func:`release_persisted` (or ``spark.catalog.clearCache()``) between
+#: jobs; the returned result frames stay valid — Spark simply recomputes
+#: the lineage if re-executed after release.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist_spillable(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + registration for later release."""
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(out)
+    return out
+
+
+def release_persisted() -> int:
+    """Unpersist every count table this module has cached; returns how
+    many frames were released.  Safe to call at any job boundary."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+        n += 1
+    return n
+
+
 def _tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
@@ -834,7 +865,7 @@ def remove_boilerplate(
         F.col(id_col).alias("id"), F.posexplode(sh).alias("pos", "shingle")
     )
     occ = ex.groupBy("shingle", "id").agg(F.collect_list("pos").alias("poss"))
-    occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
+    occ = _persist_spillable(occ)
     hot = (
         occ.groupBy("shingle")
         .count()
@@ -3100,8 +3131,9 @@ def source_token_mutual_info(
     uncertainty coefficient over the source marginal).
 
     Plan / 100 TB: one corpus scan collapses to (source, trigram)-grain
-    counts (map-side partials), persisted SPILLABLY because three
-    consumers derive from it (source marginals, token marginals, the
+    counts (map-side partials), persisted SPILLABLY (registered — see
+    ``release_persisted``; ADVICE r8) because three consumers derive
+    from it (source marginals, token marginals, the
     term join) — vocabulary-scale, so it spills rather than pins like
     the model-sized localCheckpoint frames.  The term join is keyed on
     the token (vocabulary-grain exchange; the source marginal rides a
@@ -3110,10 +3142,8 @@ def source_token_mutual_info(
     trips = _trigram_triples(df, group_col, text_col).select(
         F.col("id").alias("g"), F.concat_ws(" ", "a", "b", "c").alias("tok")
     )
-    counts = (
-        trips.groupBy("g", "tok")
-        .agg(F.count("*").cast("bigint").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    counts = _persist_spillable(
+        trips.groupBy("g", "tok").agg(F.count("*").cast("bigint").alias("c"))
     )
     n_g = counts.groupBy("g").agg(F.sum("c").cast("bigint").alias("n_g"))
     n_t = counts.groupBy("tok").agg(F.sum("c").cast("bigint").alias("n_t"))
@@ -3198,7 +3228,8 @@ def source_js_divergence_matrix(
     jsd_nats)`` — ALL pairs appear (a disjoint-support pair reports
     n_common_types = 0, jsd = ln 2 exactly).
 
-    Plan / 100 TB: (source, trigram) counts persist spillably once; the
+    Plan / 100 TB: (source, trigram) counts persist spillably once
+    (registered — see ``release_persisted``; ADVICE r8); the
     pair join is keyed on the TOKEN, so a hot token fans out to at most
     n_sources^2 pair rows (bounded by the label cardinality, never by
     corpus volume); the pair grid itself (n_sources^2 rows) is a
@@ -3208,10 +3239,8 @@ def source_js_divergence_matrix(
     trips = _trigram_triples(df, group_col, text_col).select(
         F.col("id").alias("g"), F.concat_ws(" ", "a", "b", "c").alias("tok")
     )
-    counts = (
-        trips.groupBy("g", "tok")
-        .agg(F.count("*").cast("bigint").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    counts = _persist_spillable(
+        trips.groupBy("g", "tok").agg(F.count("*").cast("bigint").alias("c"))
     )
     totals = counts.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
     a = counts.select(F.col("g").alias("ga"), "tok", F.col("c").alias("ca"))
@@ -3292,6 +3321,7 @@ def kneser_ney_bigram_ppl(
     Output per doc: ``(doc_id, n_bigrams, kn_logppl)``.
 
     Plan / 100 TB: ONE bigram count table (bigram-vocab grain, persisted
+    via the registered ``release_persisted`` pool — ADVICE r8;
     spillably) feeds every model marginal — left totals + fan-out,
     continuation fan-in, and the grand continuation total — so the
     corpus tokenizes exactly twice (model build + scoring stream); the
@@ -3299,10 +3329,8 @@ def kneser_ney_bigram_ppl(
     NLLs round to 9 dp and DECIMAL-sum per doc.
     """
     bp = _bigram_pairs(df, id_col, text_col)
-    c12 = (
-        bp.groupBy("a", "b")
-        .agg(F.count("*").cast("bigint").alias("n2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    c12 = _persist_spillable(
+        bp.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("n2"))
     )
     left = c12.groupBy("a").agg(
         F.sum("n2").cast("bigint").alias("c1"),
