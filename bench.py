@@ -530,28 +530,167 @@ def ensure_scaled_corpus(src_dir: str, dst_dir: str, factor: int = SCALE_FACTOR)
     con.close()
 
 
+def _scale_entry_child(name: str, base_dir: str, dst_dir: str) -> None:
+    """Child-process mode: measure ONE scale entry in a fresh JVM.
+
+    Measures the query min-of-2 on the BASE corpus and min-of-2 on the
+    scaled corpus in the SAME fresh session, so the reported ratio is
+    free of everything the parent session accumulated (VERDICT r8 #1:
+    the in-session 10x curve ran LAST after ~280 headline jobs and
+    carried their JVM pressure — ngram_jaccard read ratio 26.28
+    in-session vs 8.5 isolated on identical code).  Prints ONE JSON
+    line on the last stdout line for the parent to parse.
+    """
+    spark = get_spark(app_name=f"bench-scale-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = driver_queries.queries()
+    # warm file listing + first-job session setup outside the timings,
+    # same role as the parent's pricing_summary warm-up
+    qs["pricing_summary"](spark, base_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    base = min(_timed_noop(spark, lambda: qs[name](spark, base_dir)) for _ in range(2))
+    scaled = min(_timed_noop(spark, lambda: qs[name](spark, dst_dir)) for _ in range(2))
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "name": name,
+                "base": base,
+                "scaled": scaled,
+                "ratio": round(scaled / base, 2) if base else None,
+            }
+        )
+    )
+
+
 def bench_scale_curve(spark, qs, sf_dir: str, base: dict[str, float]) -> dict:
-    """Run the dedup/ANN path on the factor× corpus (single run each) and
-    report times plus the ratio vs the base sf dir — ≲ factor means the
-    plans scale at-worst linearly in data volume."""
+    """Run the dedup/ANN path on the factor× corpus and report times plus
+    the ratio vs the base sf dir — ≲ factor means the plans scale
+    at-worst linearly in data volume.
+
+    Isolation (VERDICT r8 #1): each entry runs in its OWN subprocess
+    (fresh JVM) via ``--scale-entry``, measuring base and scaled
+    min-of-2 in that same clean session — the isolated number is the
+    one that means something; in-session numbers inherited the parent
+    JVM's accumulated pressure no matter how the SQL cache was cleared.
+    ``SPARK_GRAFT_SCALE_MODE=insession`` restores the old in-process
+    path (quick local iteration only; not for committed records).
+    """
+    import subprocess
+
     dst = f"/tmp/sparkgraft_scaled_{Path(sf_dir.rstrip('/')).name}x{SCALE_FACTOR}"
     ensure_scaled_corpus(sf_dir, dst)
-    out: dict[str, dict] = {"factor": SCALE_FACTOR, "queries": {}, "ratio_vs_base": {}}
+    mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "subprocess")
+    out: dict[str, dict] = {
+        "factor": SCALE_FACTOR,
+        "isolation": (
+            "fresh-jvm-subprocess-per-entry, base+scaled min-of-2 in-child"
+            if mode == "subprocess"
+            else "in-session (NOT comparable to committed records)"
+        ),
+        "queries": {},
+        "base_isolated": {},
+        "ratio_vs_base": {},
+    }
+    if mode != "subprocess":
+        for name in SCALE_QUERIES:
+            best = min(
+                _timed_noop(spark, lambda: qs[name](spark, dst)) for _ in range(2)
+            )
+            out["queries"][name] = best
+            if base.get(name):
+                out["ratio_vs_base"][name] = round(best / base[name], 2)
+        out.pop("base_isolated")
+        return out
     for name in SCALE_QUERIES:
-        # min-of-2, same as the headline set: this host shows multi-x
-        # external timing noise in single runs (virtualized CPU), and the
-        # min is the plan cost that partition/shuffle tuning actually moves
-        best = None
-        for _ in range(2):
-            dt = _timed_noop(spark, lambda: qs[name](spark, dst))
-            best = dt if best is None else min(best, dt)
-        out["queries"][name] = best
-        if base.get(name):
-            out["ratio_vs_base"][name] = round(best / base[name], 2)
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()),
+             "--scale-entry", name, sf_dir, dst],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+        try:
+            rec = json.loads(lines[-1])
+        except (IndexError, ValueError):
+            rec = None
+        if proc.returncode != 0 or rec is None:
+            out["queries"][name] = None
+            out["ratio_vs_base"][name] = None
+            print(
+                f"scale-entry {name} FAILED rc={proc.returncode}: "
+                f"{proc.stderr.strip()[-300:]}",
+                file=sys.stderr,
+            )
+            continue
+        out["queries"][name] = rec["scaled"]
+        out["base_isolated"][name] = rec["base"]
+        out["ratio_vs_base"][name] = rec["ratio"]
+        print(
+            f"scale {name}: base {rec['base']} -> 10x {rec['scaled']} "
+            f"(ratio {rec['ratio']})",
+            file=sys.stderr,
+        )
     return out
 
 
+def bench_pq_stages(spark, sf_dir: str) -> dict[str, float]:
+    """Split pq_ann_topk's cost into one-time training vs the serving
+    scan (VERDICT r8 #3): under the clean-slate discipline the headline
+    entry re-trains codebooks every timed run, which is not the
+    production shape (train once, ADC-scan many).  Trains once with the
+    registered query's exact parameters, then times the scan-only path
+    via the ``codebooks=`` injection."""
+    from rss_feed_etl_spark.driver_queries_wave104 import (
+        _PQ_CAND,
+        _PQ_DIM,
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_NTRAIN,
+        _PQ_QID,
+        _PQ_SALT,
+        _PQ_TOP,
+    )
+    from rss_feed_etl_spark import testdata as td
+    from rss_feed_etl_spark.operators import similarity
+
+    emb = td.load_table(spark, sf_dir, "embeddings")
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    books = similarity.pq_train_codebooks(
+        emb,
+        m=_PQ_M,
+        k_codes=_PQ_K,
+        iters=_PQ_ITERS,
+        n_train=_PQ_NTRAIN,
+        train_salt=_PQ_SALT,
+    )
+    train_sec = round(time.perf_counter() - t0, 3)
+
+    def scan():
+        return similarity.pq_ann_topk(
+            emb,
+            query_id=_PQ_QID,
+            k_top=_PQ_TOP,
+            candidates=_PQ_CAND,
+            m=_PQ_M,
+            k_codes=_PQ_K,
+            iters=_PQ_ITERS,
+            dim=_PQ_DIM,
+            codebooks=books,
+        )
+
+    scan_sec = min(_timed_noop(spark, scan) for _ in range(2))
+    return {"pq_train_sec": train_sec, "pq_scan_sec": scan_sec}
+
+
 def main() -> None:
+    if len(sys.argv) >= 5 and sys.argv[1] == "--scale-entry":
+        _scale_entry_child(sys.argv[2], sys.argv[3], sys.argv[4])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
@@ -582,6 +721,8 @@ def main() -> None:
     curation_stages = (
         bench_curation_stages(spark, sf_dir) if "curation_pipeline" in qs else None
     )
+    # train-vs-scan split for the PQ flagship (VERDICT r8 #3)
+    pq_stages = bench_pq_stages(spark, sf_dir) if "pq_ann_topk" in qs else None
     # 10× scale curve for the dedup/ANN path (sf0.1 → sf1.0-equivalent);
     # SPARK_GRAFT_SCALE=0 skips it for quick local iteration
     scale = None
@@ -594,11 +735,26 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # VERDICT r8 #2: make the measurement discipline machine-readable
+        # so round-over-round comparability is checkable.  Comparable
+        # baseline for headline totals: r8's 204.2 s / 141 queries
+        # (clean-slate, min-of-2, guards-first).  Scale-curve records are
+        # comparable from r9 on (subprocess isolation changed the
+        # methodology; r8 in-session scale numbers are NOT comparable).
+        "methodology": {
+            "clean_slate": True,
+            "min_of_2": True,
+            "guards_first": True,
+            "scale_isolation": "fresh-jvm-subprocess-per-entry",
+            "headline_baseline": "r8: 204.2 s / 141 queries",
+        },
     }
     if scale is not None:
         payload["scale_10x"] = scale
     if curation_stages is not None:
         payload["curation_stages"] = curation_stages
+    if pq_stages is not None:
+        payload["pq_stages"] = pq_stages
     # Durable record (VERDICT r4 #3 / ADVICE r4): the grading harness keeps
     # only the LAST 2000 chars of stdout, and the full payload now exceeds
     # that.  Persist the full payload to BENCH_LOCAL.json, print it once for

@@ -1618,6 +1618,36 @@ def _pq_codebooks(
     return books
 
 
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+    n_train: int = 1024,
+    train_salt: str = "pq-train-v1",
+) -> list[dict[int, list[float]]]:
+    """Train the PQ codebooks alone (the production FAISS flow trains
+    once, encodes once, and serves many ADC scans from the frozen model).
+    Returns the ``m`` per-subspace codebooks in the exact form
+    :func:`pq_ann_topk` accepts via ``codebooks=`` — so serving cost can
+    be measured (and deployed) separately from the one-time training
+    cost (VERDICT r8 #3)."""
+    from .clustering import _prep
+
+    emb = _prep(embeddings, id_col, vec_col)
+    train = _pq_training_sample(emb, n_train, train_salt).localCheckpoint(
+        eager=True
+    )
+    first = train.select(F.size("vec").alias("d")).limit(1).collect()
+    if not first:
+        raise ValueError("pq_train_codebooks: empty training sample")
+    w = int(first[0]["d"]) // m
+    return _pq_codebooks(train, m, w, k_codes, iters, decimals)
+
+
 def pq_ann_topk(
     embeddings: DataFrame,
     query_id: int = 0,
@@ -1632,6 +1662,7 @@ def pq_ann_topk(
     decimals: int = 6,
     n_train: int = 1024,
     train_salt: str = "pq-train-v1",
+    codebooks: list[dict[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011 — the compression mode
     behind FAISS's default IVF-PQ indexes): split each vector into ``m``
@@ -1685,14 +1716,20 @@ def pq_ann_topk(
 
     w = dim // m
     emb = _prep(embeddings, id_col, vec_col)
-    train = _pq_training_sample(emb, n_train, train_salt)
-    # Codebook training runs batched driver collects; pin the bounded
-    # TRAINING SAMPLE once so they read an in-memory RDD instead of
-    # re-deriving the ranked scan per job.  Only the sample — at most
-    # n_train rows — is ever materialized; the scoring scan below reads
-    # the original full frame.
-    train = train.localCheckpoint(eager=True)
-    books = _pq_codebooks(train, m, w, k_codes, iters, decimals)
+    if codebooks is not None:
+        # Pre-trained injection (VERDICT r8 #3): the production shape —
+        # train once via pq_train_codebooks, serve many ADC scans.  The
+        # timed cost of this path is the scan alone.
+        books = codebooks
+    else:
+        train = _pq_training_sample(emb, n_train, train_salt)
+        # Codebook training runs batched driver collects; pin the bounded
+        # TRAINING SAMPLE once so they read an in-memory RDD instead of
+        # re-deriving the ranked scan per job.  Only the sample — at most
+        # n_train rows — is ever materialized; the scoring scan below reads
+        # the original full frame.
+        train = train.localCheckpoint(eager=True)
+        books = _pq_codebooks(train, m, w, k_codes, iters, decimals)
     qrows = emb.filter(F.col("id") == query_id).select("vec").collect()
     if not qrows:
         raise ValueError(

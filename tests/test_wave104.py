@@ -91,3 +91,17 @@ def test_pq_ann_output_contract(spark):
     dists = [r["sqdist"] for r in rows]
     assert dists == sorted(dists)
     assert all(r["vec_id"] != 0 for r in rows)  # query excluded
+
+
+def test_pq_ann_pretrained_codebooks_bit_identical(spark):
+    """The codebooks= injection path (train once, serve many — the
+    production FAISS flow; VERDICT r8 #3) must reproduce the
+    self-training path bit for bit, since pq_train_codebooks runs the
+    identical sample + Lloyd trajectory."""
+    emb = td.load_table(spark, SF_DIR, "embeddings")
+    books = similarity.pq_train_codebooks(emb)
+    cold = similarity.pq_ann_topk(emb, query_id=0, k_top=10).collect()
+    warm = similarity.pq_ann_topk(
+        emb, query_id=0, k_top=10, codebooks=books
+    ).collect()
+    assert warm == cold
