@@ -191,6 +191,9 @@ HEADLINE = [
     "filtered_ann_recall",
     "t_closeness_report",
     "kmv_distinct_estimate",
+    # round-9 wave 142: the streaming <-> curation composition capstone
+    # (foreachBatch quality+dedup gates over the epoch sink, folded)
+    "incremental_curation_fold",
 ]
 
 
@@ -451,6 +454,11 @@ SCALE_QUERIES = [
     "query_clarity_score",
     "kneser_ney_bigram_ppl",
     "triplet_margin_stats",
+    # round-9 capstone: per-batch work is a gate scan + batch-grain
+    # fingerprint aggregate, the fold is one corpus-grain groupBy-min —
+    # every piece linear in data volume, so the composed curve should be
+    # too (landing-file writes included: they scale with the corpus)
+    "incremental_curation_fold",
 ]
 
 SCALE_FACTOR = 10

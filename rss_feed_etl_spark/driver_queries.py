@@ -749,6 +749,7 @@ from . import driver_queries_wave138  # noqa: E402, F401  (registers wave-138 qu
 from . import driver_queries_wave139  # noqa: E402, F401  (registers wave-139 queries)
 from . import driver_queries_wave140  # noqa: E402, F401  (registers wave-140 queries)
 from . import driver_queries_wave141  # noqa: E402, F401  (registers wave-141 queries)
+from . import driver_queries_wave142  # noqa: E402, F401  (registers wave-142 queries)
 
 
 # SELF-REFRESHING ROTATION (round 6; VERDICT r5 task #1).  The driver's

@@ -383,6 +383,7 @@ def compact_enriched_epochs(
     target_path: str,
     upto_epoch: int,
     _fault=None,
+    reduce_fn=None,
 ) -> bool:
     """Fold every ``__epoch <= upto_epoch`` partition of an
     :func:`enrich_stream_to_parquet` target into the single base
@@ -461,6 +462,13 @@ def compact_enriched_epochs(
     if not old.take(1):
         return healed
     new_upto = max(upto_epoch, already)
+    if reduce_fn is not None:
+        # pre-reduce the fold (``reduce_fn`` must be associative,
+        # commutative, and idempotent over row sets — e.g. the curation
+        # sink's min-id-per-fingerprint): base rows and epoch rows merge
+        # under the same fold the read view applies, so compaction
+        # changes bytes on disk, never reader-visible rows
+        old = reduce_fn(old.drop("__epoch", "__folded_upto"))
     folded = (
         old.withColumn("__epoch", F.lit(-1).cast("int"))
         .withColumn("__folded_upto", F.lit(new_upto).cast("int"))
@@ -521,3 +529,130 @@ def incremental_join_view_right(
     delta_out = left.join(F.broadcast(right_delta), on, "inner")
     delta_out.write.mode("append").parquet(out_path)
     right_delta.write.mode("append").parquet(right_path)
+
+
+def _curated_min_id_fold(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One application of the exact-dedup fold over a curated-sink frame:
+    keep each ``__fp`` fingerprint's minimum-id row.  groupBy-min with
+    ``min_by`` for the payload columns (map-side partial combine — never
+    a window), so duplicates collapse before the exchange.  The fold is
+    associative, commutative, and idempotent, which is what makes
+    fold(epochs) == batch(union) under any batch boundaries, arrival
+    order, replays, or partial compactions."""
+    payload = [c for c in df.columns if c not in ("__fp", id_col)]
+    return df.groupBy("__fp").agg(
+        F.min(id_col).alias(id_col),
+        *[F.min_by(c, F.col(id_col)).alias(c) for c in payload],
+    )
+
+
+def curate_stream_to_parquet(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    min_stopwords: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """Incremental curation over the epoch sink (VERDICT r8 #7): the
+    curation pipeline's quality + exact-dedup gates running CONTINUOUSLY
+    via ``foreachBatch`` — the shape a real 100 TB training-data pipeline
+    runs (documents arrive forever; curation cannot be a one-shot batch).
+
+    Per micro-batch: the Gopher quality gate
+    (``textstats.gopher_quality_flags`` — map-only and doc-local, so
+    batch boundaries cannot change its verdicts) filters the batch, the
+    survivors get their exact-dup fingerprint (``md5(norm_text)`` — the
+    ``dedup_exact`` fingerprint), and a WITHIN-batch min-id pre-reduce
+    bounds the partition before it lands in the batch's own
+    ``__epoch=N`` directory (dynamic partition overwrite — a replayed
+    batch rewrites exactly its own partition, making the at-least-once
+    ``foreachBatch`` contract effectively-once; the
+    ``enrich_stream_to_parquet`` sink discipline).
+
+    CROSS-batch exact dedup is deliberately NOT in the batch: it is the
+    FOLD.  min-id-per-fingerprint is associative, commutative, and
+    idempotent, so :func:`curated_read_view` (read-time fold) and
+    :func:`compact_curated_epochs` (storage fold) both converge to the
+    one-shot batch answer ``dedup_exact(gate(corpus))`` — the
+    fold-equals-batch proof is pinned in
+    ``tests/test_incremental_curation.py``.
+
+    100 TB: per-batch work is gate (map-only) + one fingerprint-grain
+    partial aggregate over the BATCH, never the history; the history is
+    touched only by compaction, which runs at the operator's own cadence
+    behind the checkpoint horizon.
+    """
+    from ..functions.text import norm_text
+    from ..operators.textstats import gopher_quality_flags
+
+    def _curate(batch_df: DataFrame, epoch_id: int) -> None:
+        flags = gopher_quality_flags(batch_df, id_col=id_col, text_col=text_col)
+        keep = flags.filter(
+            (F.col("flag_word_count") == 1)
+            & (F.col("flag_mean_word_len") == 1)
+            & (F.col("flag_alpha") == 1)
+            & (F.col("n_stopwords") >= min_stopwords)
+        ).select(id_col)
+        gated = batch_df.join(keep, id_col).select(
+            F.col(id_col),
+            F.col(text_col),
+            F.col(source_col),
+            F.md5(norm_text(text_col)).alias("__fp"),
+        )
+        reduced = _curated_min_id_fold(gated, id_col=id_col)
+        (
+            reduced.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(target_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_curate)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def curated_read_view(
+    spark: SparkSession, target_path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Reader view of the curated sink: live rows (base + epochs newer
+    than the base's fold horizon — the :func:`enriched_read_view` crash
+    discipline) under one application of the min-id fold, so consumers
+    always see exactly ``dedup_exact(gate(everything ingested so far))``
+    no matter how much has been compacted."""
+    df = _read_epoch_sink(spark, target_path)
+    upto = _folded_upto(df)
+    if upto >= 0:
+        df = df.filter((F.col("__epoch") == -1) | (F.col("__epoch") > upto))
+    df = df.drop("__epoch", "__folded_upto")
+    return _curated_min_id_fold(df, id_col=id_col).drop("__fp")
+
+
+def compact_curated_epochs(
+    spark: SparkSession,
+    target_path: str,
+    upto_epoch: int,
+    id_col: str = "doc_id",
+    _fault=None,
+) -> bool:
+    """Fold curated epochs ``<= upto_epoch`` into the base partition WITH
+    the min-id dedup applied (``reduce_fn`` pre-reduce): storage shrinks
+    to one row per surviving fingerprint while reader-visible rows are
+    invariant, because the read view applies the same idempotent fold
+    over whatever mix of reduced base and unreduced epochs exists.  All
+    of :func:`compact_enriched_epochs`'s crash discipline (atomic
+    ``__folded_upto`` stamp, healing pass, idempotent rerun) applies
+    unchanged."""
+    return compact_enriched_epochs(
+        spark,
+        target_path,
+        upto_epoch,
+        _fault=_fault,
+        reduce_fn=lambda d: _curated_min_id_fold(d, id_col=id_col),
+    )
