@@ -97,6 +97,7 @@ def main() -> int:
         }
 
     import __spark_entry__ as entrymod
+    from rss_feed_etl_spark.approx_checks import APPROX_CHECKS
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -131,8 +132,23 @@ def main() -> int:
             rec(name, False, False, False, len(spdf), None, f"array cols: {bad}")
             continue
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(spdf)} rows (no oracle)")
-            rec(name, True, True, None, len(spdf), None, None)
+            checker = APPROX_CHECKS.get(name)
+            if checker is None:
+                print(f"ROWS-ONLY {name}: {len(spdf)} rows (no oracle)")
+                rec(name, True, True, None, len(spdf), None, None)
+                continue
+            try:
+                ok, detail = checker(spdf, con, sf_dir)
+            except Exception as e:  # noqa: BLE001
+                ok, detail = False, f"approx-check error: {e}"
+            print(
+                f"{'APPROX-OK' if ok else 'FAIL'} {name}: {len(spdf)} rows — {detail}"
+            )
+            if not ok:
+                failures.append(name)
+            rec(name, True, True, None, len(spdf), None, None if ok else detail)
+            record[name]["approx_match"] = ok
+            record[name]["approx_detail"] = detail
             continue
         try:
             rel = con.sql(oracles[name])
