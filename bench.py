@@ -194,6 +194,12 @@ HEADLINE = [
     # round-9 wave 142: the streaming <-> curation composition capstone
     # (foreachBatch quality+dedup gates over the epoch sink, folded)
     "incremental_curation_fold",
+    # round-9 waves 143-144: ranker pairwise agreement, kNN error
+    # structure, UniMax budget allocation, embedding MMD matrix
+    "kendall_tau_rankers",
+    "knn_label_confusion",
+    "unimax_allocation",
+    "embedding_mmd_matrix",
 ]
 
 
@@ -459,6 +465,15 @@ SCALE_QUERIES = [
     # every piece linear in data volume, so the composed curve should be
     # too (landing-file writes included: they scale with the corpus)
     "incremental_curation_fold",
+    # round-9 waves 143-144 corpus-scan entries: the confusion matrix
+    # rides the kNN pair scan, UniMax is one token-count aggregate, and
+    # the MMD sample extraction is one two-stage top-m scan (the pair
+    # terms themselves are bounded at m^2 x L^2).  kendall_tau_rankers
+    # is list-grain after the two registered rankers (bm25_search /
+    # query_likelihood_search carry the scale entries for those scans).
+    "knn_label_confusion",
+    "unimax_allocation",
+    "embedding_mmd_matrix",
 ]
 
 SCALE_FACTOR = 10

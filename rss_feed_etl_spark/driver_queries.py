@@ -750,6 +750,8 @@ from . import driver_queries_wave139  # noqa: E402, F401  (registers wave-139 qu
 from . import driver_queries_wave140  # noqa: E402, F401  (registers wave-140 queries)
 from . import driver_queries_wave141  # noqa: E402, F401  (registers wave-141 queries)
 from . import driver_queries_wave142  # noqa: E402, F401  (registers wave-142 queries)
+from . import driver_queries_wave143  # noqa: E402, F401  (registers wave-143 queries)
+from . import driver_queries_wave144  # noqa: E402, F401  (registers wave-144 queries)
 
 
 # SELF-REFRESHING ROTATION (round 6; VERDICT r5 task #1).  The driver's

@@ -262,3 +262,121 @@ def alignment_uniformity(
         ).alias("uniformity"),
     )
     return align.crossJoin(unif)
+
+
+def embedding_mmd_matrix(
+    embeddings: DataFrame,
+    m: int = 64,
+    gamma: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    salt: str = "mmd-v1",
+    decimals: int = 6,
+) -> DataFrame:
+    """Pairwise maximum mean discrepancy (Gretton et al. 2012, the
+    unbiased MMD²_u estimator) between every two labels' embedding
+    distributions under an RBF kernel — the DISTRIBUTIONAL companion of
+    ``source_js_divergence_matrix`` for the embedding space: two classes
+    can be perfectly separable (high kNN accuracy) yet nearly
+    identically DISTRIBUTED, and a mixture/augmentation planner merging
+    class buckets wants exactly this matrix.
+
+        MMD²_u(A, B) = mean_{i≠j} k(a_i, a_j) + mean_{i≠j} k(b_i, b_j)
+                       − 2 · mean k(a, b),   k(x, y) = exp(−γ‖x−y‖²)
+
+    Each label contributes a BOUNDED deterministic sample (``m`` vectors
+    by md5-rank — the house fixed-size sampling recipe), so the estimate
+    is a pure function of the corpus and every pair term is replayable:
+    squared distances round to 9 dp before the exp, kernel values round
+    to 9 dp, and the means are DECIMAL sums over those rounded terms.
+    Labels with fewer than 2 sampled vectors have no within-mean and are
+    absent from the matrix.
+
+    Output per pair (label_a < label_b): ``(label_a, label_b, n_a, n_b,
+    mmd2)``.
+
+    Plan / 100 TB: the per-label sample uses the two-stage partial
+    top-m (``_per_query_topk`` partitioned on the label) so no task ever
+    holds a label's corpus-scale rows; the sampled table (≤ m × L rows,
+    model-sized) is eagerly checkpointed once and every within/cross
+    term derives from it — the corpus is scanned exactly once.
+    """
+    from ..functions.hashing import md5_bucket
+    from .similarity import _per_query_topk
+
+    emb = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lab"),
+        F.transform(vec_col, lambda v: v.cast("double")).alias("vec"),
+        md5_bucket(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        ).alias("hk"),
+    )
+    samp = (
+        _per_query_topk(
+            emb, m, F.col("hk").asc(), F.col("id").asc(), partition_cols=("lab",)
+        )
+        .select("lab", "id", "vec")
+        .localCheckpoint(eager=True)  # m×L rows; three consumers below
+    )
+
+    def _k(a, b):
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        )
+        return F.round(F.exp(-F.lit(float(gamma)) * d2), 9)
+
+    l = samp.select(
+        F.col("lab").alias("la"), F.col("id").alias("ia"), F.col("vec").alias("va")
+    )
+    r = samp.select(
+        F.col("lab").alias("lb"), F.col("id").alias("ib"), F.col("vec").alias("vb")
+    )
+    within = (
+        l.join(r, (F.col("la") == F.col("lb")) & (F.col("ia") < F.col("ib")))
+        .select("la", _k(F.col("va"), F.col("vb")).alias("k"))
+        .groupBy("la")
+        .agg(
+            (
+                F.sum(F.col("k").cast("decimal(30,10)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("w")
+        )
+    )
+    counts = samp.groupBy("lab").agg(F.count("*").cast("bigint").alias("n"))
+    cross = (
+        l.join(r, F.col("la") < F.col("lb"))
+        .select("la", "lb", _k(F.col("va"), F.col("vb")).alias("k"))
+        .groupBy("la", "lb")
+        .agg(
+            (
+                F.sum(F.col("k").cast("decimal(30,10)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("x")
+        )
+    )
+    wa = within.select(F.col("la").alias("__l1"), F.col("w").alias("wa"))
+    wb = within.select(F.col("la").alias("__l2"), F.col("w").alias("wb"))
+    na = counts.select(F.col("lab").alias("__l1"), F.col("n").alias("n_a"))
+    nb = counts.select(F.col("lab").alias("__l2"), F.col("n").alias("n_b"))
+    return (
+        cross.join(wa, cross["la"] == wa["__l1"])
+        .join(wb, cross["lb"] == wb["__l2"])
+        .join(na, F.col("la") == na["__l1"])
+        .join(nb, F.col("lb") == nb["__l2"])
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("wa") + F.col("wb") - F.lit(2.0) * F.col("x"), decimals
+            ).alias("mmd2"),
+        )
+    )

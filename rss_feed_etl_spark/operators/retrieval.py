@@ -611,6 +611,80 @@ def rank_biased_overlap(
     )
 
 
+def kendall_tau_rankings(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    depth: int = 20,
+    decimals: int = 6,
+) -> DataFrame:
+    """Kendall's τ between two rankings of the same query, truncated at
+    ``depth`` — the PAIRWISE companion of :func:`rank_biased_overlap`
+    (RBO asks "how much do the prefixes overlap"; τ asks "of the items
+    both rankers retrieved, how often do they ORDER a pair the same
+    way").  Computed over the intersection of the two top-``depth``
+    lists; within-list ranks are distinct ((score desc, id asc)), so no
+    tie correction is needed (τ-a):
+
+        τ = (C − D) / (m·(m−1)/2)
+
+    with m the intersection size and C/D the concordant/discordant pair
+    counts.  Output is ONE row: ``(n_common, n_pairs, concordant,
+    discordant, kendall_tau)`` — τ is NULL when m < 2 (no pairs).
+
+    Plan / 100 TB: both inputs are top-k rankings — model-sized by
+    construction — so the intersection join and the m·(m−1)/2 pair
+    expansion are broadcast-scale arithmetic (≤ depth² rows); the
+    corpus-scale work lives in the upstream rankers.
+
+    Reference anchor: the reference serves one fixed scorer
+    (src/utils/ats_matcher.py); this is the second-scorer agreement
+    audit, like ``rank_biased_overlap``.
+    """
+
+    def ranked(df: DataFrame, side: str) -> DataFrame:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        return (
+            df.select(id_col, score_col)
+            .withColumn(side, F.row_number().over(w))
+            .filter(F.col(side) <= depth)
+            .select(F.col(id_col).alias("id"), side)
+        )
+
+    joint = ranked(a, "ra").join(ranked(b, "rb"), "id")
+    m = joint.agg(F.count("*").cast("bigint").alias("n_common"))
+    l = joint.select(
+        F.col("id").alias("i"), F.col("ra").alias("rai"), F.col("rb").alias("rbi")
+    )
+    r = joint.select(
+        F.col("id").alias("j"), F.col("ra").alias("raj"), F.col("rb").alias("rbj")
+    )
+    prod = (F.col("rai") - F.col("raj")) * (F.col("rbi") - F.col("rbj"))
+    pairs = l.join(r, F.col("i") < F.col("j")).select(
+        (prod > 0).cast("long").alias("c"), (prod < 0).cast("long").alias("d")
+    )
+    agg = pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("concordant"),
+        F.coalesce(F.sum("d"), F.lit(0)).cast("bigint").alias("discordant"),
+    )
+    return m.crossJoin(F.broadcast(agg)).select(
+        "n_common",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.round(
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / F.col("n_pairs").cast("double"),
+                decimals,
+            ),
+        ).alias("kendall_tau"),
+    )
+
+
 def query_clarity_score(
     df: DataFrame,
     query_terms: list[str],

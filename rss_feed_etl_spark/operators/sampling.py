@@ -1369,3 +1369,107 @@ def length_matched_pairs(
             F.when(use_prev, prev_diff).otherwise(next_diff).alias("len_diff"),
         )
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    budget_frac: float = 0.5,
+    max_epochs: int = 4,
+    group_col: str = "source",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """UniMax language/source sampling (Chung et al. 2023): allocate a
+    token budget ``B = floor(budget_frac · total_tokens)`` across sources
+    as UNIFORMLY as possible subject to a per-source repeat cap of
+    ``max_epochs`` epochs — the fairness-first alternative to temperature
+    sampling that never over-repeats small sources.  Classic
+    waterfilling, closed form over the cap-sorted sources:
+
+        sorted ascending by cap c_s = n_s · E, source i is CAPPED iff
+        c_i ≤ (B − Σ_{j<i} c_j) / (S − i + 1); every uncapped source
+        receives the common level u* = (B − Σ_capped c_j) / (S − k).
+
+    Output per source: ``(source, n_tokens, cap_tokens, capped,
+    allocation_tokens, epochs)`` — epochs = allocation / n_s, so capped
+    sources show exactly ``max_epochs`` and uncapped ones share the
+    remaining budget equally in tokens.
+
+    Plan / 100 TB: ONE corpus scan collapses to source-grain token
+    counts (map-side partials); everything after — the cap sort, the
+    cumulative walk, the level solve — runs at SOURCE grain (tiny), so
+    the unpartitioned windows are bounded by the source catalog, never
+    the corpus.
+    """
+    from .textstats import token_count
+
+    per = (
+        df.select(
+            F.col(group_col).alias("g"),
+            token_count(F.col(text_col)).cast("bigint").alias("t"),
+        )
+        .groupBy("g")
+        .agg(F.sum("t").cast("bigint").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy(F.col("cap").asc(), F.col("g").asc())
+    staged = (
+        per.withColumn("cap", (F.col("n_tokens") * max_epochs).cast("bigint"))
+        .withColumn(
+            "budget",
+            F.floor(
+                F.sum("n_tokens").over(w_all).cast("double")
+                * F.lit(float(budget_frac))
+            ).cast("bigint"),
+        )
+        .withColumn("i", F.row_number().over(w_ord))
+        .withColumn("s_total", F.count("*").over(w_all))
+        .withColumn(
+            "cum_prev",
+            F.coalesce(
+                F.sum("cap").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+    )
+    level_here = (F.col("budget") - F.col("cum_prev")).cast("double") / (
+        F.col("s_total") - F.col("i") + 1
+    ).cast("double")
+    staged = staged.withColumn(
+        "capped", (F.col("cap").cast("double") <= level_here).cast("int")
+    )
+    solved = (
+        staged.withColumn(
+            "k", F.sum("capped").over(w_all).cast("bigint")
+        )
+        .withColumn(
+            "cum_capped",
+            F.coalesce(
+                F.sum(F.when(F.col("capped") == 1, F.col("cap"))).over(w_all),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "ustar",
+            F.when(
+                F.col("s_total") > F.col("k"),
+                (F.col("budget") - F.col("cum_capped")).cast("double")
+                / (F.col("s_total") - F.col("k")).cast("double"),
+            ),
+        )
+    )
+    alloc = F.when(
+        F.col("capped") == 1, F.col("cap").cast("double")
+    ).otherwise(F.col("ustar"))
+    return solved.select(
+        F.col("g").alias(group_col),
+        "n_tokens",
+        F.col("cap").alias("cap_tokens"),
+        "capped",
+        F.round(alloc, decimals).alias("allocation_tokens"),
+        F.round(alloc / F.col("n_tokens").cast("double"), decimals).alias(
+            "epochs"
+        ),
+    )

@@ -2025,6 +2025,35 @@ def label_knn_accuracy(
     grain.  Integer vote counts, no float accumulation anywhere but the
     final ratio.
     """
+    pred = _knn_predictions(
+        embeddings, k, n_queries, id_col, vec_col, label_col
+    ).select(
+        "query_id",
+        F.col("true_label").alias("label"),
+        (F.col("pred_label") == F.col("true_label")).cast("long").alias("ok"),
+    )
+    return pred.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum("ok").cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum("ok").cast("double") / F.count("*").cast("double"), 6
+        ).alias("accuracy"),
+    )
+
+
+def _knn_predictions(
+    embeddings: DataFrame,
+    k: int,
+    n_queries: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Shared leave-one-out kNN classifier core: (query_id, true_label,
+    pred_label) for the first ``n_queries`` vectors — the broadcast
+    one-scan two-stage-top-k shape of ``label_knn_accuracy``, factored
+    out so the accuracy and confusion views share one plan.  Majority
+    vote over the k neighbors, ties -> smaller label."""
     q = F.broadcast(
         embeddings.filter(F.col(id_col) < n_queries).select(
             F.col(id_col).alias("query_id"),
@@ -2058,21 +2087,52 @@ def label_knn_accuracy(
     wv = Window.partitionBy("query_id").orderBy(
         F.col("v").desc(), F.col("nlabel").asc()
     )
-    pred = (
+    return (
         votes.withColumn("rn", F.row_number().over(wv))
         .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            F.col("true_label").alias("label"),
-            (F.col("nlabel") == F.col("true_label")).cast("long").alias("ok"),
-        )
+        .select("query_id", "true_label", F.col("nlabel").alias("pred_label"))
     )
-    return pred.groupBy("label").agg(
-        F.count("*").cast("bigint").alias("n_queries"),
-        F.sum("ok").cast("bigint").alias("n_correct"),
+
+
+def label_knn_confusion(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    decimals: int = 6,
+) -> DataFrame:
+    """Confusion matrix of the leave-one-out kNN classifier — WHERE the
+    embedding space confuses classes, not just how often
+    (``label_knn_accuracy`` reports the diagonal's rate; the off-diagonal
+    mass says which label pairs the space cannot separate — the signal
+    that picks contrastive-training negatives and flags likely label
+    noise).  Majority vote over the k nearest neighbors, ties -> smaller
+    label; only REALIZED (true, predicted) pairs appear.
+
+    Output per pair: ``(true_label, pred_label, n, row_share)`` with
+    row_share = n / total queries of that true label.
+
+    Plan / 100 TB: rides the shared ``_knn_predictions`` core (broadcast
+    probes, ONE corpus scan, two-stage partial top-k — the corpus never
+    exchanges); the matrix is label-pair grain, the row normalizer a
+    broadcast label-grain aggregate.
+    """
+    pred = _knn_predictions(embeddings, k, n_queries, id_col, vec_col, label_col)
+    cells = pred.groupBy("true_label", "pred_label").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    totals = pred.groupBy("true_label").agg(
+        F.count("*").cast("bigint").alias("__t")
+    )
+    return cells.join(F.broadcast(totals), "true_label").select(
+        "true_label",
+        "pred_label",
+        "n",
         F.round(
-            F.sum("ok").cast("double") / F.count("*").cast("double"), 6
-        ).alias("accuracy"),
+            F.col("n").cast("double") / F.col("__t").cast("double"), decimals
+        ).alias("row_share"),
     )
 
 
