@@ -200,6 +200,10 @@ HEADLINE = [
     "knn_label_confusion",
     "unimax_allocation",
     "embedding_mmd_matrix",
+    # round-9 wave 145: bloom sizing planner (one distinct-count agg),
+    # truncation loss curve (distinct-length-grain grid walk)
+    "bloom_filter_plan",
+    "truncation_loss_curve",
 ]
 
 
@@ -474,6 +478,10 @@ SCALE_QUERIES = [
     "knn_label_confusion",
     "unimax_allocation",
     "embedding_mmd_matrix",
+    # wave 145: one exact distinct-count agg / one length-grain collapse —
+    # both should track data volume
+    "bloom_filter_plan",
+    "truncation_loss_curve",
 ]
 
 SCALE_FACTOR = 10

@@ -752,6 +752,7 @@ from . import driver_queries_wave141  # noqa: E402, F401  (registers wave-141 qu
 from . import driver_queries_wave142  # noqa: E402, F401  (registers wave-142 queries)
 from . import driver_queries_wave143  # noqa: E402, F401  (registers wave-143 queries)
 from . import driver_queries_wave144  # noqa: E402, F401  (registers wave-144 queries)
+from . import driver_queries_wave145  # noqa: E402, F401  (registers wave-145 queries)
 
 
 # SELF-REFRESHING ROTATION (round 6; VERDICT r5 task #1).  The driver's

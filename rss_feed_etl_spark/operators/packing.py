@@ -372,3 +372,66 @@ def context_overflow_stats(
             ),
         ).otherwise(F.lit(0.0)).alias("pad_ratio"),
     )
+
+
+def truncation_loss_curve(
+    df: DataFrame,
+    cutoffs: tuple[int, ...] = (64, 128, 256, 512),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Token loss under hard truncation at each candidate sequence
+    length — the pre-training decision ``pack_sequences`` depends on:
+    a short max-length loses document TAILS (this curve prices exactly
+    how much), a long one wastes pad/packing slots
+    (``packing_fragmentation`` prices that side).  Together the two
+    curves bracket the max-length choice.
+
+    Output per cutoff: ``(cutoff, n_docs, n_truncated,
+    frac_docs_truncated, tokens_total, tokens_lost, frac_tokens_lost)``.
+
+    Plan / 100 TB: ONE corpus scan collapses to DISTINCT-LENGTH grain
+    (length, n_docs) — bounded by the longest document, not the corpus —
+    and the cutoff grid joins at that grain (|lengths| × |cutoffs|
+    rows).  All counts are exact bigints; floats only in the two final
+    ratios.
+    """
+    from .textstats import token_count
+
+    lens = (
+        df.select(token_count(F.col(text_col)).cast("bigint").alias("len"))
+        .groupBy("len")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    cand = df.sparkSession.createDataFrame(
+        [(int(c),) for c in cutoffs], ["cutoff"]
+    )
+    grid = cand.crossJoin(lens)
+    lost = F.when(
+        F.col("len") > F.col("cutoff"), F.col("len") - F.col("cutoff")
+    ).otherwise(F.lit(0))
+    agg = grid.groupBy("cutoff").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("len") > F.col("cutoff"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_truncated"),
+        F.sum(F.col("len") * F.col("c")).cast("bigint").alias("tokens_total"),
+        F.sum(lost * F.col("c")).cast("bigint").alias("tokens_lost"),
+    )
+    return agg.select(
+        "cutoff",
+        "n_docs",
+        "n_truncated",
+        F.round(
+            F.col("n_truncated").cast("double") / F.col("n_docs").cast("double"),
+            decimals,
+        ).alias("frac_docs_truncated"),
+        "tokens_total",
+        "tokens_lost",
+        F.round(
+            F.col("tokens_lost").cast("double")
+            / F.col("tokens_total").cast("double"),
+            decimals,
+        ).alias("frac_tokens_lost"),
+    )

@@ -1015,3 +1015,65 @@ def kmv_distinct_estimate(
             decimals,
         ).alias("rel_err"),
     )
+
+
+def bloom_filter_plan(
+    df: DataFrame,
+    key_col: str = "user_id",
+    bits_per_key: tuple[int, ...] = (4, 6, 8, 10, 12, 16),
+    decimals: int = 6,
+) -> DataFrame:
+    """Bloom-filter sizing planner — the design-time table behind every
+    lakehouse bloom index (Parquet bloom filters, join-pruning blooms
+    like ``bloom_prune_revenue``): for the MEASURED key cardinality n and
+    each candidate bits-per-key ratio r, the optimal hash count
+    k* = round(r·ln 2) and the resulting false-positive rate
+
+        fpr = (1 − e^{−k/r})^k
+
+    plus the filter's byte cost — the table that picks r before any
+    filter is built (Bloom 1970; the standard m/n sizing identity).
+
+    Output per candidate: ``(n_keys, bits_per_key, k_hashes, m_bits,
+    filter_bytes, fpr)``.
+
+    Plan / 100 TB: ONE distinct-count aggregate over the keys (map-side
+    partial, exact), cross-joined with a literal candidate grid — the
+    planner itself is model arithmetic.  Powers go through exp/ln on
+    9-dp-rounded arguments (the ``lsh_param_plan`` idiom) so both
+    engines replay the same floats.
+    """
+    ln2 = 0.6931471805599453
+    n = df.agg(F.count_distinct(F.col(key_col)).cast("bigint").alias("n_keys"))
+    cand = df.sparkSession.createDataFrame(
+        [(int(r),) for r in bits_per_key], ["bits_per_key"]
+    )
+    grid = n.crossJoin(F.broadcast(cand))
+    k = F.floor(F.col("bits_per_key") * F.lit(ln2) + F.lit(0.5)).cast("bigint")
+    staged = grid.select(
+        "n_keys",
+        "bits_per_key",
+        k.alias("k_hashes"),
+        (F.col("n_keys") * F.col("bits_per_key")).cast("bigint").alias("m_bits"),
+    )
+    base = F.round(
+        1.0
+        - F.exp(
+            -F.col("k_hashes").cast("double")
+            / F.col("bits_per_key").cast("double")
+        ),
+        9,
+    )
+    fpr = F.round(
+        F.exp(F.col("k_hashes").cast("double") * F.log(base)), decimals
+    )
+    return staged.select(
+        "n_keys",
+        "bits_per_key",
+        "k_hashes",
+        "m_bits",
+        F.ceil(F.col("m_bits").cast("double") / 8.0).cast("bigint").alias(
+            "filter_bytes"
+        ),
+        fpr.alias("fpr"),
+    )
