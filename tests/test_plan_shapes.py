@@ -984,3 +984,71 @@ def test_rbo_rides_topk_rankers(spark):
     # everything downstream is broadcast arithmetic
     assert s.count("TakeOrderedAndProject") >= 2
     assert "CartesianProduct" not in s
+
+
+def test_mmd_sample_extraction_is_two_stage(spark):
+    # the per-label bounded sample must be the two-stage partial top-m
+    # (WindowGroupLimit around the exchange), never a label-partitioned
+    # corpus-scale window.  The registered query checkpoints the sample
+    # (its final plan reads an ExistingRDD), so pin the EXTRACTION shape
+    # on the pre-checkpoint expression the operator builds.
+    from pyspark.sql import functions as F
+
+    from rss_feed_etl_spark import testdata as td
+    from rss_feed_etl_spark.functions.hashing import md5_bucket
+    from rss_feed_etl_spark.operators.similarity import _per_query_topk
+
+    emb = td.load_table(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("label").alias("lab"),
+        F.col("embedding").alias("vec"),
+        md5_bucket(F.concat(F.lit("mmd-v1:"), F.col("vec_id").cast("string"))).alias(
+            "hk"
+        ),
+    )
+    s = _plan(
+        _per_query_topk(
+            emb, 64, F.col("hk").asc(), F.col("id").asc(), partition_cols=("lab",)
+        )
+    )
+    assert "WindowGroupLimit" in s
+    assert "SPARK_PARTITION_ID()" in s
+    # and the full query's pair arithmetic reads the checkpointed sample
+    # (model-sized), never re-deriving the corpus scan per consumer
+    full = _plan(_queries()["embedding_mmd_matrix"](spark, SF_DIR))
+    assert "Scan ExistingRDD" in full
+    assert "CartesianProduct" not in full
+
+
+def test_knn_confusion_rides_two_stage_topk(spark):
+    s = _plan(_queries()["knn_label_confusion"](spark, SF_DIR))
+    assert "WindowGroupLimit" in s  # neighbor ranking is the partial top-k
+    assert "SPARK_PARTITION_ID()" in s
+    # probes broadcast; the corpus is never exchanged for the scoring join
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
+
+
+def test_kendall_pairs_are_list_grain(spark):
+    # both rankers end in a top-k; the tau pair expansion must sit above
+    # model-sized inputs (no corpus-side cartesian)
+    s = _plan(_queries()["kendall_tau_rankers"](spark, SF_DIR))
+    assert "CartesianProduct" not in s
+
+
+def test_unimax_is_one_corpus_aggregate(spark):
+    # exactly ONE scan of documents: the token-count aggregate; every
+    # window after runs at source grain
+    s = _plan(_queries()["unimax_allocation"](spark, SF_DIR))
+    assert s.count("Scan parquet") + s.count("Scan ExistingRDD") <= 2
+    assert "CartesianProduct" not in s
+
+
+def test_truncation_curve_collapses_to_length_grain(spark):
+    # the cutoff grid joins the DISTINCT-LENGTH table (broadcast-scale),
+    # not the corpus: the only corpus-side work is the length aggregate
+    s = _plan(_queries()["truncation_loss_curve"](spark, SF_DIR))
+    assert "HashAggregate" in s
+    li = [l for l in s.splitlines() if "ReadSchema" in l and "documents" in l]
+    # column pruning: only text is read from the corpus
+    for line in li:
+        assert "doc_id" not in line or "text" in line
