@@ -204,6 +204,10 @@ HEADLINE = [
     # truncation loss curve (distinct-length-grain grid walk)
     "bloom_filter_plan",
     "truncation_loss_curve",
+    # round-9 wave 146: Ljung-Box whiteness (shared day-grain collapse),
+    # Hill tail index (trigram counts + TakeOrdered top-(k+1))
+    "ljung_box_whiteness",
+    "hill_tail_index",
 ]
 
 
@@ -482,6 +486,8 @@ SCALE_QUERIES = [
     # both should track data volume
     "bloom_filter_plan",
     "truncation_loss_curve",
+    # wave 146: Hill is one trigram-count collapse + a TakeOrdered
+    "hill_tail_index",
 ]
 
 SCALE_FACTOR = 10

@@ -753,6 +753,7 @@ from . import driver_queries_wave142  # noqa: E402, F401  (registers wave-142 qu
 from . import driver_queries_wave143  # noqa: E402, F401  (registers wave-143 queries)
 from . import driver_queries_wave144  # noqa: E402, F401  (registers wave-144 queries)
 from . import driver_queries_wave145  # noqa: E402, F401  (registers wave-145 queries)
+from . import driver_queries_wave146  # noqa: E402, F401  (registers wave-146 queries)
 
 
 # SELF-REFRESHING ROTATION (round 6; VERDICT r5 task #1).  The driver's

@@ -3418,3 +3418,70 @@ def term_burstiness_profile(
             F.col("tf").cast("double") / F.col("df_docs").cast("double"), decimals
         ).alias("mean_when_present"),
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Hill estimator (Hill 1975) of the corpus frequency-distribution
+    tail index over word-TRIGRAM types — the MLE companion of
+    ``zipf_fit``'s OLS slope: the OLS line is dominated by the head,
+    the Hill estimator reads only the top-``k`` order statistics, which
+    is where heavy-tail behavior actually lives:
+
+        α̂ = [ (1/k) Σ_{i=1..k} ln f_(i) − ln f_(k+1) ]^{-1}
+
+    over frequencies sorted descending (ties → lexicographic type, which
+    cannot change the value — tied boundary frequencies are equal).
+    Trigram grain for the wave-135 reason: the synthetic corpus's word
+    vocabulary is ~31 dense types with no tail at all.
+
+    Output: ONE row ``(k, n_types, f_k1, hill_alpha)``; empty (zero
+    rows) when the corpus has fewer than k+1 trigram types.
+
+    Plan / 100 TB: one corpus scan collapses to trigram-type counts
+    (map-side partials); the top-(k+1) order statistics come from a
+    distributed TakeOrdered (never a global sort), and all remaining
+    arithmetic runs on that model-sized frame.  Per-type ln rounds to
+    9 dp and sums as DECIMAL.
+    """
+    trips = _trigram_triples(df, id_col, text_col).select(
+        F.concat_ws(" ", "a", "b", "c").alias("tok")
+    )
+    counts = trips.groupBy("tok").agg(F.count("*").cast("bigint").alias("f"))
+    n_types = counts.agg(F.count("*").cast("bigint").alias("n_types"))
+    top = counts.orderBy(F.col("f").desc(), F.col("tok").asc()).limit(k + 1)
+    w = Window.orderBy(F.col("f").desc(), F.col("tok").asc())
+    ranked = top.withColumn("r", F.row_number().over(w))
+    lnf = F.round(F.log(F.col("f").cast("double")), 9)
+    head = ranked.filter(F.col("r") <= k).agg(
+        (
+            F.sum(lnf.cast("decimal(30,10)")).cast("double")
+            / F.lit(float(k))
+        ).alias("mean_ln")
+    )
+    boundary = ranked.filter(F.col("r") == k + 1).select(
+        F.col("f").alias("f_k1"), lnf.alias("ln_k1")
+    )
+    return (
+        boundary.crossJoin(F.broadcast(head))
+        .crossJoin(F.broadcast(n_types))
+        .select(
+            F.lit(int(k)).cast("bigint").alias("k"),
+            "n_types",
+            "f_k1",
+            # flat-head guard (the KMV hk=0 lesson): if every top-(k+1)
+            # frequency is equal the denominator is 0 — NULL on both
+            # engines, never a div-by-zero artifact
+            F.when(
+                F.col("mean_ln") > F.col("ln_k1"),
+                F.round(
+                    F.lit(1.0) / (F.col("mean_ln") - F.col("ln_k1")), decimals
+                ),
+            ).alias("hill_alpha"),
+        )
+    )

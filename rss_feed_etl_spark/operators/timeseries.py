@@ -557,6 +557,14 @@ def daily_autocorrelation(
     daily = events.groupBy(day.alias("day")).agg(
         F.count("*").cast("long").alias("x")
     )
+    return _acf_core(daily, max_lag, decimals)
+
+
+def _acf_core(daily: DataFrame, max_lag: int, decimals: int) -> DataFrame:
+    """ACF math over an already-built (day, x) table — shared by
+    :func:`daily_autocorrelation` (public output unchanged) and
+    :func:`ljung_box_q` (which also needs the day count from the SAME
+    day-grain collapse, so the facts are scanned exactly once)."""
     mn = daily.agg(F.min("day").alias("d0"))
     idx = daily.crossJoin(F.broadcast(mn)).select(
         F.datediff("day", "d0").cast("long").alias("di"), "x"
@@ -1197,4 +1205,63 @@ def cusum_trajectory(
             (F.col("sp") > F.lit(float(alarm_h)))
             | (F.col("sn") > F.lit(float(alarm_h)))
         ).alias("alarm"),
+    )
+
+
+def ljung_box_q(
+    events: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 14,
+    decimals: int = 6,
+) -> DataFrame:
+    """Ljung-Box portmanteau whiteness statistic over the daily
+    event-count series — the STANDARD test on top of the ACF
+    (:func:`daily_autocorrelation` reports the per-lag correlations;
+    this cumulates them into the one number a monitoring gate
+    thresholds: is the series white noise, or is there structure worth
+    a seasonal model):
+
+        Q_k = n (n + 2) · Σ_{j=1..k} r_j² / (n − j)
+
+    Under whiteness Q_k ~ χ²_k; the caller compares against the
+    chi-square critical value for its α (kept OUT of the engine — no
+    cross-engine CDF arithmetic).
+
+    Output per lag k: ``(lag, n_days, acf, q_stat)`` — acf is the
+    6-dp-rounded r_k (identical to ``daily_autocorrelation``), and Q
+    cumulates the ROUNDED r_j (both engines replay the identical
+    doubles; per-lag terms round to 9 dp and cumulate as DECIMAL).
+
+    Plan / 100 TB: the facts collapse to day grain ONCE (the shared
+    ``_acf_core`` day table feeds both the ACF and the day count); the
+    cumulative window runs over ≤ max_lag rows — model-sized, the
+    benign unpartitioned-window case.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = events.groupBy(day.alias("day")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    daily = daily.localCheckpoint(eager=True)  # day-grain; two consumers
+    acf = _acf_core(daily, max_lag, decimals)
+    n = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    staged = acf.crossJoin(F.broadcast(n))
+    term = F.round(
+        (F.col("acf") * F.col("acf")).cast("double")
+        / (F.col("n_days") - F.col("lag")).cast("double"),
+        9,
+    )
+    w = Window.orderBy(F.col("lag").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(term.cast("decimal(30,10)")).over(w).cast("double")
+    return staged.select(
+        "lag",
+        "n_days",
+        "acf",
+        F.round(
+            F.col("n_days").cast("double")
+            * (F.col("n_days") + 2).cast("double")
+            * cum,
+            decimals,
+        ).alias("q_stat"),
     )

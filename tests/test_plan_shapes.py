@@ -1052,3 +1052,11 @@ def test_truncation_curve_collapses_to_length_grain(spark):
     # column pruning: only text is read from the corpus
     for line in li:
         assert "doc_id" not in line or "text" in line
+
+
+def test_hill_top_k_is_takeordered(spark):
+    # the top-(k+1) order statistics must come from a distributed
+    # TakeOrdered, never a global sort of the type table
+    s = _plan(_queries()["hill_tail_index"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in s
+    assert "CartesianProduct" not in s
