@@ -125,9 +125,30 @@ def _check_pca(spdf: pd.DataFrame, con, sf_dir: str):
         worst = max(worst, corr)
         if corr > 1e-3:
             return False, f"components {int(r['i'])},{int(r['j'])} correlated: |corr| {corr:.2e}"
+    # VERDICT r9 #5: the interval bound above accepts almost any
+    # orthogonal projection; pin the variance sum to the TRUE top-k
+    # eigensum, recomputed independently in numpy from the raw table.
+    # Var(coord_j) is shift-invariant and the projection is a genuine
+    # eigenbasis iff sum_j Var = sum of the k largest eigenvalues of the
+    # (centered, 1/n) covariance — equality up to 6-dp coord rounding.
+    import numpy as np
+
+    raw = con.execute("SELECT embedding FROM embeddings").fetchdf()
+    X = np.stack(raw["embedding"].to_numpy()).astype(np.float64)
+    Xc = X - X.mean(axis=0)
+    evals = np.linalg.eigvalsh((Xc.T @ Xc) / len(X))
+    eigsum = float(np.sort(evals)[::-1][:_PCA_K].sum())
+    rel = abs(tot - eigsum) / max(eigsum, 1e-30)
+    if rel > 1e-3:
+        return False, (
+            f"sum var {tot:.6f} vs independent top-{_PCA_K} eigensum "
+            f"{eigsum:.6f}: rel err {rel:.2e} > 1e-3"
+        )
     return True, (
-        f"k={_PCA_K} ordered variances, sum {tot:.4f} in "
-        f"[(k/d)·trace, trace]=[{trace * _PCA_K / _PCA_DIM:.4f}, {trace:.4f}], "
+        f"k={_PCA_K} ordered variances, sum {tot:.6f} matches the "
+        f"independent numpy top-{_PCA_K} eigensum {eigsum:.6f} "
+        f"(rel err {rel:.2e} <= 1e-3) inside [(k/d)·trace, trace]="
+        f"[{trace * _PCA_K / _PCA_DIM:.4f}, {trace:.4f}]; "
         f"worst |corr| {worst:.2e} <= 1e-3"
     )
 
@@ -147,6 +168,11 @@ def _check_compression(spdf: pd.DataFrame, con, sf_dir: str):
         if len(b) == 0:
             if not pd.isna(row["ratio"]):
                 return False, f"doc {r['doc_id']}: blank doc has non-null ratio"
+            # blank docs must also carry zero byte counts and clear flags
+            if int(row["n_bytes"]) != 0 or int(row["z_bytes"]) != 0:
+                return False, f"doc {r['doc_id']}: blank doc has non-zero bytes"
+            if int(row["flag_repetitive"]) != 0 or int(row["flag_incompressible"]) != 0:
+                return False, f"doc {r['doc_id']}: blank doc has a set flag"
             continue
         z = len(zlib.compress(b, _ZLIB_LEVEL))
         if int(row["n_bytes"]) != len(b) or int(row["z_bytes"]) != z:

@@ -768,25 +768,20 @@ from . import driver_queries_wave146  # noqa: E402, F401  (registers wave-146 qu
 #
 # ``_RECHECK`` is the one remaining manual knob: queries whose CODE
 # changed this round and therefore must re-verify even though they hold a
-# green row.  Round 9: the ADVICE r8 fixes — ``filtered_ann_recall``
-# divides by the achievable exact-set size (schema gained ``n_exact``;
-# both engines changed), ``query_clarity_score``'s oracle became a
-# global aggregate so the degenerate-corpus shape matches Spark's
-# (values unchanged on real data), ``kmv_distinct_estimate`` gained the
-# kth-hash == 0 guard in both engines.  The round-8 entries all landed
-# green rows in CORRECTNESS_r08 and drop out.  Keep this <= 5 (pinned):
-# every slot delays a rotation name by a round.
-# Plus the round-9 norm-hoist rewrite of the brute-cosine pair stream
-# (cosine_topk and the three label-carrying pair scorers): bit-identical
-# by construction and locally hash-green across the whole eight-query
-# affected family at sf0.01+sf0.1, but the canonical baseline and the
-# optimization flagship deserve fresh driver rows (the r8 precedent).
+# green row.  Round 10: the decontamination pair now joins on HASHED
+# shingles (60-bit md5 buckets, changed in lockstep on both engines),
+# and the two PQ servers moved their ADC scan into the Arrow
+# ``mapInPandas`` pass (bit-identical by construction, locally
+# hash-green at all three SFs; VERDICT r9 #4).  ``incremental_curation_
+# fold`` only gained tempdir cleanup (no plan or value change) and the
+# round-9 entries all landed green CORRECTNESS_r09 rows, so both stay
+# out.  Keep this <= 5 (pinned): every slot delays a rotation name by a
+# round.
 _RECHECK = [
-    "filtered_ann_recall",
-    "query_clarity_score",
-    "kmv_distinct_estimate",
-    "ann_cosine_topk",
-    "knn_hub_degree_hist",
+    "decontaminate_splits",
+    "decontaminate_broadcast_holdout",
+    "pq_ann_topk",
+    "ivfpq_ann_topk",
 ]
 
 # Static fallback only for checkouts missing the CORRECTNESS artifacts

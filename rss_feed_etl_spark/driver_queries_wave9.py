@@ -195,7 +195,9 @@ lab AS (
               WHEN {_DECON_BUCKET} < 90 THEN 'val'
               ELSE 'test' END AS split
   FROM aug),
-sh AS (SELECT id, split, unnest({_SHINGLES.format(w=_W)}) AS shingle FROM lab),
+sh AS (SELECT id, split, {_hexfold('shingle')} AS shingle
+       FROM (SELECT id, split, unnest({_SHINGLES.format(w=_W)}) AS shingle
+             FROM lab)),
 hold AS (SELECT id, shingle FROM sh WHERE split = 'test'),
 keep AS (SELECT shingle FROM hold GROUP BY 1 HAVING count(*) <= {_DECON_MAX_DF})
 SELECT t.id AS train_id, h.id AS holdout_id, count(*) AS shared_shingles

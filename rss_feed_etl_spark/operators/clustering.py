@@ -305,6 +305,14 @@ def kcenter_diversity_sample(
     before every compare, so the greedy trajectory replays exactly in the
     oracle; ties break to the smallest id.
     """
+    from .similarity import MAX_GREEDY_K
+
+    if k > MAX_GREEDY_K:
+        raise ValueError(
+            f"kcenter_diversity_sample: k={k} exceeds MAX_GREEDY_K="
+            f"{MAX_GREEDY_K} (one corpus pass + driver round-trip per "
+            "center; use k-means / recursive partitioning for larger k)"
+        )
     spark = embeddings.sparkSession
     out_schema = f"rank int, {id_col} long, min_dist double"
     emb = _prep(embeddings, id_col, vec_col)

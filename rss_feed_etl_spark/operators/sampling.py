@@ -273,6 +273,7 @@ def cross_split_contamination(
     min_shared: int = 3,
     broadcast_holdout: bool = False,
     max_df: int | None = 1000,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Train/holdout decontamination: find training documents that share
     ≥ ``min_shared`` word n-gram shingles with any held-out document —
@@ -301,7 +302,19 @@ def cross_split_contamination(
     eval documents vs a 100 TB corpus), ``broadcast_holdout=True``
     broadcasts the capped bucket table and removes the corpus-side
     exchange entirely.
+
+    ``hash_shingles`` (ON by default) folds each shingle to its 60-bit
+    md5 bucket BEFORE the explode leaves the map side, so everything
+    that shuffles — the train stream, the holdout bucket keys, the join
+    sort keys — carries an 8-byte long instead of an n-word string.
+    That is the standard hashed-shingle decontamination (the shared
+    count becomes shared *hashed* shingles; a 60-bit birthday collision
+    over even 10^10 shingle types is ≪1 expected pair, and the oracle
+    folds identically so the check stays exact).  At 100 TB the shuffle
+    is the whole cost, so the key width is the lever.  Pass ``False``
+    for raw-string shingle keys.
     """
+    from ..functions.hashing import md5_bucket
     from ..functions.text import word_shingles
 
     sh = split_docs.select(
@@ -309,6 +322,8 @@ def cross_split_contamination(
         "split",
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
+    if hash_shingles:
+        sh = sh.select("id", "split", md5_bucket(F.col("shingle")).alias("shingle"))
     train = sh.filter(F.col("split") == train_label).select(
         F.col("id").alias("train_id"), "shingle"
     )

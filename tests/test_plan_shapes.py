@@ -7,6 +7,7 @@ input volume."""
 import contextlib
 import io
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -781,12 +782,32 @@ def test_ipf_iteration_state_is_checkpointed(spark):
 def test_pq_ann_scan_is_map_only_into_takeordered(spark):
     """PQ ADC scoring: codebooks are driver-side literals, so the scoring
     scan is map-only into a distributed TakeOrdered; the rerank joins the
-    broadcast shortlist -- the corpus never sort-merges or cross-joins."""
+    broadcast shortlist -- the corpus never sort-merges or cross-joins.
+    Since round 10 the ADC scan is the Arrow mapInPandas GEMM pass
+    (VERDICT r9 #4), so the plan must carry exactly one MapInPandas
+    (and no FlatMapGroups -- the scan is stateless, not grouped)."""
     s = _plan(_queries()["pq_ann_topk"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in s
     assert "SortMergeJoin" not in s
     assert "CartesianProduct" not in s
     assert "BroadcastHashJoin" in s  # shortlist ids broadcast for rerank
+    # formatted plans list a node in the tree ("MapInPandas (n)") and
+    # again as a details header ("(n) MapInPandas") -- count the headers
+    assert len(re.findall(r"^\(\d+\) MapInPandas", s, re.M)) == 1
+    assert "FlatMapGroups" not in s
+
+
+def test_ivfpq_ann_scan_is_arrow_map_only(spark):
+    """IVF-PQ: cell assignment + probe mask + ADC score run inside the
+    SAME single Arrow scan -- no expression-tree argmin, no extra
+    exchange before the TakeOrdered shortlist."""
+    s = _plan(_queries()["ivfpq_ann_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s
+    assert len(re.findall(r"^\(\d+\) MapInPandas", s, re.M)) == 1
+    assert "FlatMapGroups" not in s
 
 
 def test_pq_ann_training_scan_is_limit_bounded(spark):
