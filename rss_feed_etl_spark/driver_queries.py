@@ -754,6 +754,7 @@ from . import driver_queries_wave143  # noqa: E402, F401  (registers wave-143 qu
 from . import driver_queries_wave144  # noqa: E402, F401  (registers wave-144 queries)
 from . import driver_queries_wave145  # noqa: E402, F401  (registers wave-145 queries)
 from . import driver_queries_wave146  # noqa: E402, F401  (registers wave-146 queries)
+from . import driver_queries_wave147  # noqa: E402, F401  (registers wave-147 queries)
 
 
 # SELF-REFRESHING ROTATION (round 6; VERDICT r5 task #1).  The driver's

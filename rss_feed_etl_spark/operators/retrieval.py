@@ -815,3 +815,126 @@ def retrieval_source_entropy(
             F.sum(hterm.cast("decimal(30,10)")).cast("double"), decimals
         ).alias("source_entropy_nats"),
     )
+
+
+def _stub_cross_encoder(qterms_col, dtext_col):
+    """Deterministic stand-in for a neural cross-encoder forward pass,
+    vectorized over a pandas batch: interaction features between the
+    ORDERED query term list and the document token stream —
+
+        0.6 · term coverage (|matched distinct q terms| / |distinct q terms|)
+      + 0.25 · query-bigram coverage (0 for single-term queries)
+      + 0.15 · earliness (1 / first 1-based doc position of any q term; 0 if none)
+
+    Raw double, rounded ENGINE-side (``F.round`` / DuckDB ``round``) so
+    no Python banker's rounding leaks into oracle-compared output.  A
+    real deployment replaces this with a model forward pass (e.g. a
+    sentence-transformers CrossEncoder loaded once per executor inside
+    the ``mapInPandas`` closure) — the batch shape, pair grain, and
+    candidate-only cost profile are identical.
+    """
+    import numpy as np
+
+    out = np.empty(len(dtext_col), dtype=np.float64)
+    for i, (qterms, dtext) in enumerate(zip(qterms_col, dtext_col)):
+        qt = list(qterms)
+        dt = (dtext or "").strip().split()
+        dset = set(dt)
+        qset = dict.fromkeys(qt)  # distinct, order kept
+        cov = sum(1 for t in qset if t in dset) / len(qset) if qset else 0.0
+        qbi = dict.fromkeys(zip(qt, qt[1:]))
+        if qbi:
+            dbi = set(zip(dt, dt[1:]))
+            big = sum(1 for g in qbi if g in dbi) / len(qbi)
+        else:
+            big = 0.0
+        pos = next((j + 1 for j, t in enumerate(dt) if t in qset), 0)
+        earl = 1.0 / pos if pos else 0.0
+        out[i] = 0.6 * cov + 0.25 * big + 0.15 * earl
+    return out
+
+
+def cross_encoder_rerank(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    k_first: int = 20,
+    k_final: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scorer=None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank — the production search/RAG serving
+    shape: a cheap corpus-scale FIRST stage (BM25 here) nominates
+    ``k_first`` candidates per query, and an expensive pairwise
+    CROSS-ENCODER scores only those candidates before the final top-``k_final``.
+
+    ``scorer`` is the cross-encoder: a callable
+    ``(qterms: Sequence[list[str]], dtexts: Sequence[str]) -> ndarray``
+    applied inside an Arrow ``mapInPandas`` pass over the candidate
+    pairs.  The default :func:`_stub_cross_encoder` is a deterministic
+    feature interaction (this container carries no model runtimes); a
+    real model drops into the same closure — loaded once per executor,
+    batched by Arrow, never per-row.
+
+    Output per query: ``(query_id, doc_id, bm25_rank, ce_score, rank)``
+    with ``rank`` by (ce_score desc, bm25_rank asc, doc_id asc).
+
+    Plan / 100 TB: stage 1 is ``bm25_multi_topk`` (one corpus pass,
+    broadcast query incidence, per-query top-k window).  The candidate
+    list is MODEL-SIZED (``n_queries × k_first`` rows), so stage 2 —
+    fetching candidate texts via a broadcast semi-join onto one corpus
+    scan, then the Arrow scoring pass — moves nothing corpus-scale: the
+    cross-encoder's cost is per candidate by construction, which is the
+    entire reason rerankers exist.  The final window partitions by
+    query over ≤ ``k_first`` rows.
+    """
+    import pandas as pd
+
+    from ..session import ensure_executors_can_import
+
+    ensure_executors_can_import(df.sparkSession)
+    score_fn = scorer if scorer is not None else _stub_cross_encoder
+    spark = df.sparkSession
+    cand = bm25_multi_topk(
+        df, queries, id_col=id_col, text_col=text_col, topk=k_first
+    ).select("query_id", "doc_id", F.col("rnk").alias("bm25_rank"))
+    qdf = spark.createDataFrame(
+        [(q, list(ts)) for q, ts in queries.items()],
+        "query_id string, qterms array<string>",
+    )
+    pairs = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("dtext"))
+        .join(F.broadcast(cand), "doc_id")
+        .join(F.broadcast(qdf), "query_id")
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "doc_id": pdf["doc_id"],
+                    "bm25_rank": pdf["bm25_rank"],
+                    "ce_raw": score_fn(pdf["qterms"], pdf["dtext"]),
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        score, "query_id string, doc_id long, bm25_rank int, ce_raw double"
+    ).select(
+        "query_id",
+        "doc_id",
+        "bm25_rank",
+        F.round(F.col("ce_raw"), decimals).alias("ce_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ce_score"), F.asc("bm25_rank"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_final)
+        .select("query_id", "doc_id", "bm25_rank", "ce_score", "rank")
+    )
