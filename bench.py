@@ -194,6 +194,11 @@ HEADLINE = [
     # round-9 wave 142: the streaming <-> curation composition capstone
     # (foreachBatch quality+dedup gates over the epoch sink, folded)
     "incremental_curation_fold",
+    # round-10 waves 147-149: near-dup stage in the streaming fold,
+    # retrieve-then-rerank, salted skew-proof profile
+    "incremental_neardup_fold",
+    "cross_encoder_rerank",
+    "salted_props_profile",
     # round-9 waves 143-144: ranker pairwise agreement, kNN error
     # structure, UniMax budget allocation, embedding MMD matrix
     "kendall_tau_rankers",
@@ -268,6 +273,7 @@ def bench_degenerate_dedup(spark) -> dict[str, float]:
 
     from rss_feed_etl_spark.operators import dedup, sampling, similarity
     from rss_feed_etl_spark.operators import graph as graphops
+    from rss_feed_etl_spark.operators import layout as _layout
     from rss_feed_etl_spark.operators import textstats as _ts
 
     docs = spark.range(5000).select(
@@ -329,6 +335,21 @@ def bench_degenerate_dedup(spark) -> dict[str, float]:
         (
             "degenerate_boilerplate_template",
             lambda: _ts.remove_boilerplate(tdocs),
+        ),
+        # one-hot-key salted profile (wave 149): 500k rows ALL under one
+        # key — unsalted collect-state groupBy would build a single
+        # 500k-row reducer task; the (key, pid) stage-1 salt bounds every
+        # task's state at one scan partition
+        (
+            "degenerate_salted_profile",
+            lambda: _layout.salted_distinct_profile(
+                spark.range(0, 500000, 1, 32).select(
+                    F.lit("hot").alias("k"),
+                    (F.col("id") % 100).cast("string").alias("v"),
+                ),
+                "k",
+                "v",
+            ),
         ),
     ]
     out: dict[str, float] = {}
@@ -473,6 +494,13 @@ SCALE_QUERIES = [
     # every piece linear in data volume, so the composed curve should be
     # too (landing-file writes included: they scale with the corpus)
     "incremental_curation_fold",
+    # round-10 wave 147: the near-dup stage adds one banded signature
+    # pass per batch plus a bucket-grain min fold — both linear
+    "incremental_neardup_fold",
+    # round-10 wave 149: the salted profile's stage-1 exchange is
+    # row-grain (linear) on a balanced composite key; stage 2 is
+    # set-sized — the entry proves the salt holds at 10x volume
+    "salted_props_profile",
     # round-9 waves 143-144 corpus-scan entries: the confusion matrix
     # rides the kNN pair scan, UniMax is one token-count aggregate, and
     # the MMD sample extraction is one two-stage top-m scan (the pair

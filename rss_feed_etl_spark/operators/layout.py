@@ -652,3 +652,56 @@ def shuffle_partition_advisor(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def salted_distinct_profile(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    preview_k: int = 8,
+) -> DataFrame:
+    """Per-key distinct-value profile via TWO-STAGE SALTED aggregation —
+    the groupBy-skew shape partial aggregation cannot fix: collect-type
+    state (here a distinct set) has no map-side reduction, so a plain
+    ``groupBy(key).collect_set`` ships every row of a hot key to ONE
+    reducer task.  Salting with ``spark_partition_id()`` (the two-stage
+    top-k discipline from ``similarity._per_query_topk``) makes the
+    stage-1 exchange key ``(key, pid)`` — a hot key spreads over as many
+    reducers as there are scan partitions, and every stage-1 task builds
+    its set from at most one partition's rows of that key.  Stage 2
+    merges the ≤ P per-partition sets per key: payloads are
+    set-cardinality-bounded, never row-count-bounded, so the merge is
+    model-sized however skewed the input.
+
+    Output per key: ``(key_col, n_rows, n_distinct, preview)`` with
+    ``preview`` = the first ``preview_k`` sorted distinct values,
+    comma-joined (a stable engine-neutral sink encoding).
+
+    Plan / 100 TB: two exchanges — one on the balanced composite
+    ``(key, pid)`` (row-grain but skew-proof by construction), one on the
+    key over set-sized rows.  ``bench.py``'s degenerate section times the
+    one-hot-key shape (500k rows, one key) to prove the bound; the pin in
+    ``tests/test_wave149.py`` asserts ``SPARK_PARTITION_ID`` feeds the
+    first aggregate so a refactor cannot silently drop the salt.
+    """
+    staged = df.select(
+        F.col(key_col).alias("__key"), F.col(val_col).alias("__val")
+    ).withColumn("__pid", F.spark_partition_id())
+    part = staged.groupBy("__key", "__pid").agg(
+        F.count("*").alias("__n"), F.collect_set("__val").alias("__vals")
+    )
+    return (
+        part.groupBy("__key")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_rows"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("__vals")))
+            ).alias("__all"),
+        )
+        .select(
+            F.col("__key").alias(key_col),
+            "n_rows",
+            F.size("__all").cast("bigint").alias("n_distinct"),
+            F.array_join(F.slice("__all", 1, preview_k), ",").alias("preview"),
+        )
+    )
