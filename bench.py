@@ -199,6 +199,7 @@ HEADLINE = [
     "incremental_neardup_fold",
     "cross_encoder_rerank",
     "salted_props_profile",
+    "sft_chat_export",
     # round-9 waves 143-144: ranker pairwise agreement, kNN error
     # structure, UniMax budget allocation, embedding MMD matrix
     "kendall_tau_rankers",

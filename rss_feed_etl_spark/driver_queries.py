@@ -757,6 +757,7 @@ from . import driver_queries_wave146  # noqa: E402, F401  (registers wave-146 qu
 from . import driver_queries_wave147  # noqa: E402, F401  (registers wave-147 queries)
 from . import driver_queries_wave148  # noqa: E402, F401  (registers wave-148 queries)
 from . import driver_queries_wave149  # noqa: E402, F401  (registers wave-149 queries)
+from . import driver_queries_wave150  # noqa: E402, F401  (registers wave-150 queries)
 
 
 # SELF-REFRESHING ROTATION (round 6; VERDICT r5 task #1).  The driver's

@@ -435,3 +435,66 @@ def truncation_loss_curve(
             decimals,
         ).alias("frac_tokens_lost"),
     )
+
+
+def sft_chat_export(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    prompt_col: str = "prompt",
+    completion_col: str = "completion",
+    system: str = "You are a helpful assistant.",
+    budget_tokens: int = 64,
+    n_shards: int = 8,
+    salt: str = "sft-v1",
+) -> DataFrame:
+    """Assemble instruction-tuning records: chat-template wrapping,
+    token-budget truncation, loss-span offsets, and deterministic shard
+    assignment — the export step between a curated corpus and an SFT
+    trainer.
+
+    Truncation policy: the COMPLETION is always kept intact (it is the
+    supervision signal); the prompt keeps its LAST
+    ``budget_tokens − n_completion`` tokens (left-truncation — recency
+    wins in chat context), empty when the completion alone exceeds the
+    budget.  The assembled record is::
+
+        <|system|>\\n{system}\\n<|user|>\\n{kept prompt}\\n<|assistant|>\\n{completion}
+
+    Output per row: ``(id, n_prompt_tokens, n_completion_tokens,
+    truncated, loss_start_char, record_md5, shard)`` —
+    ``loss_start_char`` is the 1-based character offset where the
+    completion (the loss span) begins, ``record_md5`` the engine-neutral
+    content stamp of the full record (the ``chunk_documents``
+    discipline: hashable stamp out, text re-derivable by key), and
+    ``shard`` the content-addressed shard (``deterministic_shuffle``'s
+    md5 scheme) so the export layout is reproducible and
+    partitioning-invariant.
+
+    Plan / 100 TB: pure map-only Catalyst expressions — tokenize, slice,
+    concat, md5 — no shuffle at all; writers partition by ``shard``.
+    """
+    p_toks = tokens(prompt_col)
+    c_toks = tokens(completion_col)
+    n_p = F.size(p_toks)
+    n_c = F.size(c_toks)
+    keep = F.greatest(F.least(F.lit(budget_tokens) - n_c, n_p), F.lit(0))
+    kept = F.slice(p_toks, n_p - keep + 1, keep)
+    head = F.concat(
+        F.lit("<|system|>\n" + system + "\n<|user|>\n"),
+        F.array_join(kept, " "),
+        F.lit("\n<|assistant|>\n"),
+    )
+    completion = F.array_join(c_toks, " ")
+    full = F.concat(head, completion)
+    shard = md5_bucket(
+        F.concat(F.lit(f"{salt}:shard:"), F.col(id_col).cast("string"))
+    ) % F.lit(n_shards)
+    return df.select(
+        F.col(id_col),
+        keep.cast("bigint").alias("n_prompt_tokens"),
+        n_c.cast("bigint").alias("n_completion_tokens"),
+        (n_p > keep).alias("truncated"),
+        (F.length(head) + 1).cast("bigint").alias("loss_start_char"),
+        F.md5(full).alias("record_md5"),
+        shard.cast("bigint").alias("shard"),
+    )
