@@ -249,6 +249,17 @@ def kcore_membership(
     Plan / 100 TB: per iteration one degree aggregate at node grain and
     two semi-joins to induce the subgraph; peeling converges in few
     iterations on real graphs because each pass removes whole layers.
+
+    The loop stops as soon as an iteration removes no edge: the survivor
+    set is monotone (each pass only filters), so an unchanged edge COUNT
+    means the exact fixed point — every further iteration is the
+    identity, and the result is bit-identical to running all
+    ``max_iter`` passes (which the unrolled oracle still does).  Real
+    graphs peel in 2-4 layers, so this cuts ~3/4 of the per-iteration
+    shuffles that a fixed-count loop pays (guide §2.4: remove shuffles
+    outright).  The convergence probe is one count() per iteration over
+    the just-checkpointed edge frame — a scalar aggregate of
+    already-materialized data, not a driver data transfer.
     """
     e = (
         edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
@@ -258,6 +269,7 @@ def kcore_membership(
     )
     # undirected degree: count each edge from both endpoints
     cur = e
+    prev_edges = None
     for _ in range(max_iter):
         deg = (
             cur.select(F.col("a").alias("node"))
@@ -270,11 +282,16 @@ def kcore_membership(
             cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        # fixed iteration count keeps the query deterministic and the
-        # oracle mirrorable; max_iter bounds convergence on any input
+        # max_iter still bounds convergence on any input; the count-based
+        # early exit below never fires before the fixed point, so the
+        # result matches the fixed-count unrolled oracle exactly
         cur = nxt
+        n_edges = nxt.count()
+        if n_edges == prev_edges or n_edges == 0:
+            break
+        prev_edges = n_edges
     deg_final = (
         cur.select(F.col("a").alias("node"))
         .unionAll(cur.select(F.col("b").alias("node")))
