@@ -122,7 +122,13 @@ WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day, round(sum(o_totalprice), 2) AS total
   FROM orders GROUP BY 1),
 d AS (SELECT day, CAST(total AS DOUBLE) AS val, dayofweek(day) AS dow FROM daily),
-profile AS (SELECT dow, round(avg(val), 6) AS expected FROM d GROUP BY 1),
+profile AS (
+  -- exact-DECIMAL mean, mirroring the engine: fold order cannot move
+  -- the 6-dp rounding (sf0.001's Sunday mean sits ON the boundary)
+  SELECT dow,
+         round(CAST(sum(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6)
+           AS expected
+  FROM d GROUP BY 1),
 resid AS (
   SELECT day, val, dow, expected, round(val - expected, 6) AS residual
   FROM d JOIN profile USING (dow)),

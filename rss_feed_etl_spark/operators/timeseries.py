@@ -112,7 +112,18 @@ def dow_seasonal_residuals(
         F.col(value_col).cast("double").alias("val"),
         (F.dayofweek(day_col) - 1).alias("dow"),  # 0=Sunday, matches DuckDB
     )
-    profile = d.groupBy("dow").agg(F.round(F.avg("val"), 6).alias("expected"))
+    # The weekday mean accumulates as exact DECIMAL (day-grain totals are
+    # 2-dp money values, so the 6-dp quantization is lossless) and divides
+    # once — fold order can no longer move the 6-dp rounding.  A double
+    # avg() put sf0.001's Sunday mean exactly on a .xxxxxx5 boundary and
+    # Spark/DuckDB rounded opposite ways (round-10 inherited fix).
+    profile = d.groupBy("dow").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(30,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("expected")
+    )
     resid = d.join(F.broadcast(profile), "dow").withColumn(
         "residual", F.round(F.col("val") - F.col("expected"), 6)
     )
