@@ -53,6 +53,85 @@ def _assign(vec: Column, centroids: dict[int, list[float]]) -> Column:
     return best
 
 
+def _fold_dists_np(X, C):
+    """Squared L2 of every row of ``X`` (n×w) against every row of ``C``
+    (k×w) with the SAME IEEE-754 operation order as the :func:`_sqdist`
+    expression fold — sequential per-dimension accumulation
+    (``acc = acc + d*d`` for j = 0..w-1) — vectorized across the batch.
+    Shared by every Arrow assignment path so "numpy distance" always
+    means "the fold the oracle replays"."""
+    import numpy as np
+
+    acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+    for j in range(C.shape[1]):
+        d = X[:, j, None] - C[None, :, j]
+        acc += d * d
+    return acc
+
+
+def _assign_scan_arrow(
+    emb: DataFrame, centroids: dict[int, list[float]], emit: str
+) -> DataFrame:
+    """The per-row nearest-centroid assignment as ONE Arrow
+    ``mapInPandas`` scan — the vectorized replacement for mapping
+    :func:`_assign`'s expression tree over a corpus-scale frame (the
+    same move VERDICT r9 #4 made for the PQ ADC scan): centroids are
+    model-sized driver state riding the closure, the per-batch distance
+    matrix is ``_fold_dists_np`` (bit-identical to the ``_sqdist``
+    fold), and argmin is first-occurrence over centroids iterated in
+    sorted-cid order — exactly ``array_min`` over (dist, cid) structs.
+    The expression version spent its time in interpreted higher-order
+    folds (k × dim lambda evaluations per row) plus the plan/codegen
+    cost of k × dim literal nodes per query; this is a constant-size
+    plan node whatever k and dim are.
+
+    ``emit`` selects the columns the caller needs (never more — the
+    Python boundary ships only what crosses it):
+
+    - ``"cid_vec"``  → (cid, vec): the Lloyd update's input (vec passes
+      through Arrow float64 untouched, so downstream avg sees identical
+      doubles);
+    - ``"cid_dist"`` → (cid, dist): final assignment stats;
+    - ``"cid_d0_d1"`` → (cid, d0, d1): nearest + second-nearest squared
+      distances (ties by cid, replaying ``array_sort`` over structs) for
+      the simplified silhouette.
+    """
+    import numpy as np
+
+    import pandas as pd
+
+    items = sorted(centroids.items())
+    cent_ids = np.asarray([c for c, _ in items], dtype=np.int64)
+    cent_mat = np.asarray([v for _, v in items], dtype=np.float64)
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64, copy=False)
+            d = _fold_dists_np(X, cent_mat)
+            a0 = np.argmin(d, axis=1)
+            cid = cent_ids[a0]
+            if emit == "cid_vec":
+                yield pd.DataFrame({"cid": cid, "vec": pdf["vec"]})
+            elif emit == "cid_dist":
+                rows = np.arange(len(a0))
+                yield pd.DataFrame({"cid": cid, "dist": d[rows, a0]})
+            else:
+                rows = np.arange(len(a0))
+                d0 = d[rows, a0].copy()
+                d[rows, a0] = np.inf
+                d1 = d[rows, np.argmin(d, axis=1)]
+                yield pd.DataFrame({"cid": cid, "d0": d0, "d1": d1})
+
+    schema = {
+        "cid_vec": "cid long, vec array<double>",
+        "cid_dist": "cid long, dist double",
+        "cid_d0_d1": "cid long, d0 double, d1 double",
+    }[emit]
+    return emb.select("vec").mapInPandas(scan, schema=schema)
+
+
 def _prep(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return embeddings.select(
         F.col(id_col).alias("id"),
@@ -103,7 +182,10 @@ def _kmeans_centroids_prepped(
         ).collect()
     }
     for _ in range(iters):
-        assigned = emb.withColumn("cid", _assign(F.col("vec"), centroids)["cid"])
+        # Arrow assignment (same argmin, same doubles — see
+        # _assign_scan_arrow); the update aggregate below is unchanged,
+        # so every avg/round happens in the engine exactly as before.
+        assigned = _assign_scan_arrow(emb, centroids, "cid_vec")
         new = (
             assigned.select("cid", F.posexplode("vec").alias("pos", "v"))
             .groupBy("cid", "pos")
@@ -138,9 +220,9 @@ def kmeans_lloyd(
     """
     emb = _prep(embeddings, id_col, vec_col)
     centroids = _kmeans_centroids_prepped(emb, k, iters, decimals)
-    final = emb.withColumn("best", _assign(F.col("vec"), centroids))
+    final = _assign_scan_arrow(emb, centroids, "cid_dist")
     return (
-        final.select(F.col("best")["cid"].alias("cluster_id"), F.col("best")["dist"].alias("dist"))
+        final.select(F.col("cid").cast("int").alias("cluster_id"), F.col("dist"))
         .groupBy("cluster_id")
         .agg(
             F.count("*").alias("n_members"),
@@ -383,21 +465,13 @@ def silhouette_by_cluster(
     """
     emb = _prep(embeddings, id_col, vec_col)
     centroids = _kmeans_centroids_prepped(emb, k, iters, decimals)
-    dists = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    _sqdist(F.col("vec"), cvec).alias("dist"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cvec in sorted(centroids.items())
-            ]
-        )
-    )
-    scored = emb.select(
-        dists[0]["cid"].alias("cluster_id"),
-        F.sqrt(dists[0]["dist"]).alias("a"),
-        F.sqrt(dists[1]["dist"]).alias("b"),
+    # Arrow scan for (nearest, second-nearest) squared distances — the
+    # vectorized form of array_sort over k (dist, cid) structs; sqrt and
+    # every rounding stay in the engine exactly as before.
+    scored = _assign_scan_arrow(emb, centroids, "cid_d0_d1").select(
+        F.col("cid").cast("int").alias("cluster_id"),
+        F.sqrt(F.col("d0")).alias("a"),
+        F.sqrt(F.col("d1")).alias("b"),
     ).select(
         "cluster_id",
         F.round(F.col("a"), 9).alias("a"),

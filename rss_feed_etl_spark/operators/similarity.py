@@ -1583,26 +1583,57 @@ def _pq_training_sample(
     )
 
 
+def _round_half_up(x: float, decimals: int) -> float:
+    """``F.round`` on a double, replayed driver-side: Spark's Round
+    evaluates ``BigDecimal.valueOf(x).setScale(decimals, HALF_UP)`` —
+    i.e. HALF_UP on the SHORTEST decimal string of the double — and
+    ``Decimal(repr(x)).quantize`` is the same computation in Python
+    (both reprs are the shortest round-tripping decimal).  Trained-model
+    equality with the in-engine loop is pinned by test on all three SFs.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-decimals)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def _pq_codebooks(
     train: DataFrame, m: int, w: int, k_codes: int, iters: int, decimals: int
 ) -> list[dict[int, list[float]]]:
-    """All ``m`` per-subspace Lloyd codebooks trained in BATCH: one seed
-    collect + one update collect per iteration over the union of subspace
-    slices, instead of ``m`` separate (seed + update) job pairs.  The
-    trajectory is identical per subspace to
-    ``_kmeans_centroids_prepped(seed_rank=True)`` on each slice — the
-    seed set (the ``k_codes`` smallest ids in the training sample) is the
-    same for every subspace, assignments tie-break (dist, cid), and
-    centroid components round in-engine per iteration — so the oracle
-    CTEs replay unchanged (trajectory identity asserted against the
-    per-subspace loop at sf0.01 and sf0.1 before the switch).  Batching
-    removes 2·(m−1) driver jobs per training run; same-process A/B at
-    sf0.1 defaults: 2.6 s → 2.2 s warm and 6.0 s → 3.4 s cold — the
-    remaining cost is the one batched job's codegen for the m-way CASE
-    of k_codes-way argmin trees, which is the same tree the scoring
-    scan compiles anyway.
+    """All ``m`` per-subspace Lloyd codebooks, trained DRIVER-SIDE over
+    the collected training sample (round 10).  The sample is bounded by
+    construction — ``_pq_training_sample`` is an md5-rank LIMIT
+    ``n_train`` whatever the corpus size (the FAISS train-on-1e5-vectors
+    shape), i.e. model-sized state that the previous implementation
+    already collected piecemeal (one seed collect + one update collect
+    per iteration).  Collecting the sample ONCE and running the Lloyd
+    iterations in numpy removes every per-iteration Spark job AND the
+    m-way CASE of k_codes-way argmin expression trees whose
+    analysis/codegen dominated training cost (committed r9
+    ``pq_stages.pq_train_sec`` = 5.2 s for 1024 rows — plan cost, not
+    compute).
+
+    Trajectory-identical to the in-engine batched loop by construction:
+
+    - assignment distances are ``_fold_dists_np`` (sequential
+      per-dimension accumulation == the ``_sqdist`` left fold) with
+      first-occurrence argmin over sorted-cid codewords == ``array_min``
+      over (dist, cid) structs;
+    - the update mean sums members' float64 components and divides by
+      the count (the same quantity ``F.avg`` computes; both engines
+      already tolerate fold-order at these roundings — the oracle's
+      DuckDB AVG never matched Spark's partial-aggregate order either);
+    - per-iteration rounding is :func:`_round_half_up` — HALF_UP on the
+      shortest decimal repr, the exact ``F.round``-on-double semantics.
+
+    Equality with the previous implementation's codebooks is asserted on
+    all three SFs in ``tests/test_wave104.py`` (exact float equality,
+    same dict structure), and the pq/ivfpq parity gates replay the same
+    oracle CTEs unchanged.
     """
-    from .clustering import _assign
+    import numpy as np
+
+    from .clustering import _fold_dists_np
 
     seed_rows = (
         train.orderBy("id")
@@ -1618,38 +1649,23 @@ def _pq_codebooks(
     ]
     if iters <= 0:
         return books
-    subs = None
-    for s in range(m):
-        part = train.select(
-            F.lit(s).alias("sub"), "id", F.slice("vec", s * w + 1, w).alias("vec")
-        )
-        subs = part if subs is None else subs.unionByName(part)
+    rows = train.select("id", "vec").orderBy("id").collect()
+    X = np.asarray([list(r["vec"]) for r in rows], dtype=np.float64)
     for _ in range(iters):
-        cid = None
+        new_books: list[dict[int, list[float]]] = [{} for _ in range(m)]
         for s in range(m):
-            a = _assign(F.col("vec"), books[s])["cid"]
-            cid = (
-                F.when(F.col("sub") == s, a)
-                if cid is None
-                else cid.when(F.col("sub") == s, a)
-            )
-        new = (
-            subs.withColumn("cid", cid)
-            .select("sub", "cid", F.posexplode("vec").alias("pos", "v"))
-            .groupBy("sub", "cid", "pos")
-            .agg(F.round(F.avg("v"), decimals).alias("cv"))
-            .groupBy("sub", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                    lambda x: x["cv"],
-                ).alias("cvec")
-            )
-            .collect()
-        )
-        books = [{} for _ in range(m)]
-        for r in new:
-            books[r["sub"]][int(r["cid"])] = list(r["cvec"])
+            items = sorted(books[s].items())
+            cids = [c for c, _ in items]
+            C = np.asarray([cv for _, cv in items], dtype=np.float64)
+            Xs = X[:, s * w : (s + 1) * w]
+            a = np.argmin(_fold_dists_np(Xs, C), axis=1)
+            for gi in np.unique(a):
+                members = Xs[a == gi]
+                mean = members.sum(axis=0) / len(members)
+                new_books[s][cids[int(gi)]] = [
+                    _round_half_up(float(v), decimals) for v in mean
+                ]
+        books = new_books
     return books
 
 
