@@ -282,7 +282,12 @@ def kcore_membership(
             cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: the convergence count() below is the first
+            # action over this frame, so ONE job both materializes the
+            # checkpoint and returns the edge count (an eager checkpoint
+            # plus a separate count ran two jobs per layer for the same
+            # result — guide §2.4, fewer passes)
+            .localCheckpoint(eager=False)
         )
         # max_iter still bounds convergence on any input; the count-based
         # early exit below never fires before the fixed point, so the

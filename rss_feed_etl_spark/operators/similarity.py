@@ -1515,44 +1515,58 @@ def mmr_diversified_topk(
         .select(F.col("neighbor_id").alias("id"), F.col("cosine_sim").alias("rel"))
     )
     vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cand = cand.join(vecs, "id")
+    # One lazy checkpoint: the base collect below materializes it, the
+    # pairwise collect (and its broadcast side) reuses it — the
+    # corpus-scale retrieve runs ONCE (the previous shape re-derived it
+    # for each of the base/pw eager checkpoints and then paid one more
+    # distributed argmax job per greedy pick).
+    cand = cand.join(vecs, "id").localCheckpoint(eager=False)
     pw = (
         cand.select(F.col("id").alias("ia"), F.col("vec").alias("va"))
         .join(F.broadcast(cand.select(F.col("id").alias("ib"), F.col("vec").alias("vb"))))
         .select("ia", "ib", cosine(F.col("va"), F.col("vb")).alias("sim"))
     )
-    base = cand.select("id", "rel").localCheckpoint(eager=True)
-    pw = pw.localCheckpoint(eager=True)
 
+    # Greedy selection runs DRIVER-SIDE over the collected candidate
+    # table (round 10): ≤ candidates rows of (id, rel) plus the
+    # candidates² similarity matrix are model-sized state by this
+    # operator's own contract, so the k argmax steps are Python loops
+    # instead of k collect jobs.  Trajectory-identical to the
+    # distributed loop: rel and sim are the engine-computed doubles
+    # (collected, not recomputed), the score arithmetic replays the
+    # exact IEEE expression tree (rel·λ as one multiply; (1−λ) folded
+    # driver-side exactly as Column arithmetic folded it; one subtract),
+    # rounding is _round_half_up == F.round-on-double, argmax ties break
+    # to the smallest id by ascending iteration with strict >.
+    rel_by_id = {int(r["id"]): float(r["rel"]) for r in cand.select("id", "rel").collect()}
+    sim: dict[tuple[int, int], float] = {
+        (int(r["ia"]), int(r["ib"])): float(r["sim"])
+        for r in pw.collect()
+        if r["sim"] is not None  # F.max skips nulls; so does this dict
+    }
+    one_minus = 1.0 - lam
     selected: list[tuple[int, float, float]] = []
     chosen_ids: list[int] = []
-    for step in range(k):
-        if not chosen_ids:
-            scored = base.select(
-                "id", "rel", F.round(F.col("rel") * lam, decimals).alias("mmr")
-            )
-        else:
-            maxsim = (
-                pw.filter(F.col("ib").isin(chosen_ids))
-                .groupBy(F.col("ia").alias("id"))
-                .agg(F.max("sim").alias("ms"))
-            )
-            scored = (
-                base.filter(~F.col("id").isin(chosen_ids))
-                .join(maxsim, "id")
-                .select(
-                    "id",
-                    "rel",
-                    F.round(
-                        F.col("rel") * lam - (1.0 - lam) * F.col("ms"), decimals
-                    ).alias("mmr"),
+    remaining = sorted(rel_by_id)
+    for _step in range(k):
+        best: tuple[float, int] | None = None
+        for i in remaining:
+            if not chosen_ids:
+                mmr = _round_half_up(rel_by_id[i] * lam, decimals)
+            else:
+                sims = [sim[(i, s)] for s in chosen_ids if (i, s) in sim]
+                if not sims:
+                    continue  # null score — sorts after every real one
+                mmr = _round_half_up(
+                    rel_by_id[i] * lam - one_minus * max(sims), decimals
                 )
-            )
-        pick = (
-            scored.orderBy(F.col("mmr").desc(), F.col("id").asc()).limit(1).collect()
-        )[0]
-        chosen_ids.append(pick["id"])
-        selected.append((pick["id"], pick["rel"], pick["mmr"]))
+            if best is None or mmr > best[0]:
+                best = (mmr, i)
+        if best is None:
+            break
+        chosen_ids.append(best[1])
+        selected.append((best[1], rel_by_id[best[1]], best[0]))
+        remaining.remove(best[1])
 
     spark = embeddings.sparkSession
     return spark.createDataFrame(
