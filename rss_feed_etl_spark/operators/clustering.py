@@ -31,8 +31,14 @@ from pyspark.sql import functions as F
 
 def _sqdist(vec: Column, lit_vec: list[float]) -> Column:
     c = F.array(*[F.lit(float(v)) for v in lit_vec])
+    return _sqdist_cols(vec, c)
+
+
+def _sqdist_cols(a: Column, b: Column) -> Column:
+    """Squared L2 between two array columns as the canonical sequential
+    fold (the fallback branch of ``similarity.sqdist_codegen``)."""
     return F.aggregate(
-        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )

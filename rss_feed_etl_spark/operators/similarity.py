@@ -49,6 +49,88 @@ def cosine(a: Column, b: Column, decimals: int = 4) -> Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), decimals)
 
 
+# ---------------------------------------------------------------------------
+# Codegen vector kernels (round 10).  Spark's higher-order array functions
+# (zip_with / aggregate) are CodegenFallback — evaluated INTERPRETED, one
+# lambda call per element per row — which makes every per-PAIR fold in the
+# brute/banded similarity family pay ~dim interpreter dispatches per pair.
+# The kernels below unroll the same left-associated fold over the
+# package-standard embedding width so whole-stage codegen compiles it to
+# straight-line Java, GUARDED by a length check that falls back to the
+# generic fold for any other width.
+#
+# Bit-identical by construction:
+# - the unrolled sum is 0.0 + t0 + t1 + ... (left-assoc) — exactly the
+#   aggregate fold's accumulation order and doubles;
+# - when either input is not exactly _UNROLL_DIM long the guard routes to
+#   the original fold, so padding/null semantics are UNCHANGED (zip_with
+#   pads the shorter side with null => null result; the unrolled branch is
+#   never taken for unequal lengths);
+# - a null array makes the guard null => fallback => null, as before.
+#
+# Only pass CHEAP column references (attributes or literal arrays): the
+# unrolled form references each input ~_UNROLL_DIM times, and an expensive
+# child expression would be re-evaluated per reference outside codegen's
+# subexpression elimination (the element_at/CollapseProject trap).  Every
+# call site below passes plain attributes or driver-side literal vectors.
+_UNROLL_DIM = 64
+
+
+def _unrolled_sum(terms: list[Column]) -> Column:
+    acc: Column = F.lit(0.0)
+    for t in terms:
+        acc = acc + t
+    return acc
+
+
+def _dot_codegen(a: Column, b: Column) -> Column:
+    un = _unrolled_sum(
+        [
+            a.getItem(i).cast("double") * b.getItem(i).cast("double")
+            for i in range(_UNROLL_DIM)
+        ]
+    )
+    return F.when(
+        (F.size(a) == _UNROLL_DIM) & (F.size(b) == _UNROLL_DIM), un
+    ).otherwise(_dot(a, b))
+
+
+def _norm_codegen(a: Column) -> Column:
+    un = F.sqrt(
+        _unrolled_sum(
+            [
+                a.getItem(i).cast("double") * a.getItem(i).cast("double")
+                for i in range(_UNROLL_DIM)
+            ]
+        )
+    )
+    return F.when(F.size(a) == _UNROLL_DIM, un).otherwise(_norm(a))
+
+
+def sqdist_codegen(a: Column, b: Column) -> Column:
+    """Unrolled squared-L2 (the clustering._sqdist fold) with the same
+    guard/fallback contract as :func:`_dot_codegen`."""
+    from .clustering import _sqdist_cols
+
+    def term(i: int) -> Column:
+        # no casts: mirrors the zip_with fold's element arithmetic exactly
+        # (callers pass double arrays; a float input would fold in float
+        # on both branches)
+        d = a.getItem(i) - b.getItem(i)
+        return d * d
+
+    un = _unrolled_sum([term(i) for i in range(_UNROLL_DIM)])
+    return F.when(
+        (F.size(a) == _UNROLL_DIM) & (F.size(b) == _UNROLL_DIM), un
+    ).otherwise(_sqdist_cols(a, b))
+
+
+def cosine_codegen(a: Column, b: Column, decimals: int = 4) -> Column:
+    """:func:`cosine` on the codegen kernels — identical values, straight-
+    line Java instead of interpreted folds on the standard width."""
+    return F.round(_dot_codegen(a, b) / (_norm_codegen(a) * _norm_codegen(b)), decimals)
+
+
 def _per_query_topk(
     scored: DataFrame,
     k: int,
@@ -129,19 +211,20 @@ def cosine_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            _norm(F.col(vec_col)).alias("__qn"),
+            _norm_codegen(F.col(vec_col)).alias("__qn"),
         )
     )
     pairs = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("ev"),
-        _norm(F.col(vec_col)).alias("__en"),
+        _norm_codegen(F.col(vec_col)).alias("__en"),
     ).join(q, F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("qv"), F.col("ev")) / (F.col("__qn") * F.col("__en")), 4
+            _dot_codegen(F.col("qv"), F.col("ev")) / (F.col("__qn") * F.col("__en")),
+            4,
         ).alias("cosine_sim"),
     )
     return _per_query_topk(
