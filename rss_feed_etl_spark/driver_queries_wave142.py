@@ -83,10 +83,15 @@ def _run_incremental_curation(
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(landing)
     # one landing file per arrival wave so maxFilesPerTrigger=1 replays
-    # each wave as its own micro-batch under the availableNow trigger
+    # each wave as its own micro-batch under the availableNow trigger.
+    # The augmented corpus is pinned once (the loop scans it _IC_EPOCHS
+    # times, the raw scorecard once more), and each wave uses
+    # repartition(1) rather than coalesce(1) so the upstream augmentation
+    # stays parallel and only the file write is single-task (guide §2.4)
+    docs = docs.localCheckpoint(eager=True)
     for k in range(_IC_EPOCHS):
         stage = os.path.join(work, f"stage{k}")
-        docs.filter(F.col("doc_id") % _IC_EPOCHS == k).coalesce(1).write.mode(
+        docs.filter(F.col("doc_id") % _IC_EPOCHS == k).repartition(1).write.mode(
             "overwrite"
         ).parquet(stage)
         part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))

@@ -93,9 +93,16 @@ def _run(spark: SparkSession, docs: DataFrame, work: str) -> DataFrame:
     buckets = os.path.join(work, "buckets")
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(landing)
+    # pin the augmented corpus once: the staging loop scans it _NE times
+    # and the raw scorecard once more — without the pin each scan re-runs
+    # the tokenize/slice/concat augmentation (guide §2.4, fewer passes)
+    docs = docs.localCheckpoint(eager=True)
     for k in range(_NE):
         stage = os.path.join(work, f"stage{k}")
-        docs.filter(F.col("doc_id") % _NE == k).coalesce(1).write.mode(
+        # repartition(1), not coalesce(1): coalesce collapses the whole
+        # upstream augmentation into the single write task; the exchange
+        # keeps it parallel and only the file write is single-task
+        docs.filter(F.col("doc_id") % _NE == k).repartition(1).write.mode(
             "overwrite"
         ).parquet(stage)
         part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))

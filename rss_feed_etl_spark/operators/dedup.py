@@ -244,7 +244,8 @@ def _py_shingle_codes(text: str | None, n: int = 3) -> list[int]:
 
 
 def banded_minhash(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    include_sig: bool = True,
 ) -> DataFrame:
     """(id, sig, bucket) banded minhash rows: 32-permutation MinHash
     signatures over word-shingle sets, exploded into LSH band buckets.
@@ -258,6 +259,15 @@ def banded_minhash(
     higher-order functions — and measured ~2.7 s of the 5.7 s sf0.1 query
     before the move.  Band buckets are the same md5-of-joined-values
     strings the expression form emits.
+
+    ``include_sig=False`` drops the ``sig`` column from the output
+    (guide §4.1: Spark cannot prune columns INSIDE an opaque
+    ``mapInPandas``, so a caller that only needs ``(id, bucket)`` would
+    otherwise pay for building and Arrow-serializing the 32-long
+    signature LSH_BANDS times per document).  Bucket values are
+    identical either way — the signature is still computed once per doc
+    to derive the band keys; only the duplicated per-band emission is
+    skipped.
     """
     import hashlib
 
@@ -274,13 +284,11 @@ def banded_minhash(
 
     in_df = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     id_type = in_df.schema["id"].dataType
-    out_schema = T.StructType(
-        [
-            T.StructField("id", id_type),
-            T.StructField("sig", T.ArrayType(T.LongType())),
-            T.StructField("bucket", T.StringType()),
-        ]
-    )
+    fields = [T.StructField("id", id_type)]
+    if include_sig:
+        fields.append(T.StructField("sig", T.ArrayType(T.LongType())))
+    fields.append(T.StructField("bucket", T.StringType()))
+    out_schema = T.StructType(fields)
 
     def gen(batches):
         for pdf in batches:
@@ -292,9 +300,14 @@ def banded_minhash(
                     seg = mh[b * rows_per_band : (b + 1) * rows_per_band]
                     key = ",".join([str(b)] + [str(int(v)) for v in seg])
                     ids.append(id_)
-                    sigs.append(mh)
+                    if include_sig:
+                        sigs.append(mh)
                     buckets.append(hashlib.md5(key.encode()).hexdigest())
-            yield pd.DataFrame({"id": ids, "sig": sigs, "bucket": buckets})
+            out = {"id": ids}
+            if include_sig:
+                out["sig"] = sigs
+            out["bucket"] = buckets
+            yield pd.DataFrame(out)
 
     return in_df.mapInPandas(gen, out_schema)
 

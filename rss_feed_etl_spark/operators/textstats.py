@@ -1357,6 +1357,7 @@ def gopher_quality_flags(
     max_mean_word_len: float = 10.0,
     min_alpha_frac: float = 0.8,
     min_stopwords: int = 2,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021 §A1.1) — the
     heuristic gate LLM curation runs before any model-based scoring: word
@@ -1369,6 +1370,12 @@ def gopher_quality_flags(
     scan already reads the text.  Flags are emitted as 0/1 ints (not
     booleans) plus the underlying metrics, so downstream mixtures can
     re-threshold without recomputing.
+
+    ``keep_cols`` appends pass-through input columns to the output so a
+    caller that gates rows AND needs their payload can filter this frame
+    directly instead of computing flags on an id projection and joining
+    back (guide §2.4: the join was a per-batch exchange plus a duplicate
+    scan of the input in the streaming curation path).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
@@ -1403,6 +1410,7 @@ def gopher_quality_flags(
         f_alpha.alias("flag_alpha"),
         f_stop.alias("flag_stopwords"),
         (f_count * f_mean * f_alpha * f_stop).alias("keep"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

@@ -614,14 +614,23 @@ def curate_stream_to_parquet(
     from ..operators.textstats import gopher_quality_flags
 
     def _curate(batch_df: DataFrame, epoch_id: int) -> None:
-        flags = gopher_quality_flags(batch_df, id_col=id_col, text_col=text_col)
-        keep = flags.filter(
+        # the gate is a pure per-row function of the text, so the flags
+        # frame carries the payload columns through (``keep_cols``) and is
+        # filtered directly — the previous shape computed flags on an id
+        # projection and joined back, paying a per-batch exchange plus a
+        # second scan of the batch (guide §2.4)
+        flags = gopher_quality_flags(
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            keep_cols=(text_col, source_col),
+        )
+        gated = flags.filter(
             (F.col("flag_word_count") == 1)
             & (F.col("flag_mean_word_len") == 1)
             & (F.col("flag_alpha") == 1)
             & (F.col("n_stopwords") >= min_stopwords)
-        ).select(id_col)
-        gated = batch_df.join(keep, id_col).select(
+        ).select(
             F.col(id_col),
             F.col(text_col),
             F.col(source_col),
@@ -634,9 +643,9 @@ def curate_stream_to_parquet(
             # subtree runs a single time per batch
             reduced = reduced.localCheckpoint(eager=True)
             champs = _bucket_min_fold(
-                banded_minhash(reduced, id_col, text_col).select(
-                    "bucket", F.col("id").alias("min_id")
-                )
+                banded_minhash(
+                    reduced, id_col, text_col, include_sig=False
+                ).select("bucket", F.col("id").alias("min_id"))
             )
             (
                 champs.withColumn("__epoch", F.lit(int(epoch_id)))
@@ -705,7 +714,7 @@ def curated_read_view(
     champs = _bucket_min_fold(ch.drop("__epoch", "__folded_upto")).withColumnRenamed(
         "min_id", "__champ"
     )
-    sb = banded_minhash(surv, id_col, text_col).select(
+    sb = banded_minhash(surv, id_col, text_col, include_sig=False).select(
         F.col("id").alias(id_col), "bucket"
     )
     keep = (
