@@ -68,66 +68,84 @@ def cosine(a: Column, b: Column, decimals: int = 4) -> Column:
 #   never taken for unequal lengths);
 # - a null array makes the guard null => fallback => null, as before.
 #
-# Only pass CHEAP column references (attributes or literal arrays): the
-# unrolled form references each input ~_UNROLL_DIM times, and an expensive
-# child expression would be re-evaluated per reference outside codegen's
-# subexpression elimination (the element_at/CollapseProject trap).  Every
-# call site below passes plain attributes or driver-side literal vectors.
+# Only pass CHEAP column references (attribute names or literal arrays):
+# the unrolled form references each input ~_UNROLL_DIM times, and an
+# expensive child expression would be re-evaluated per reference outside
+# codegen's subexpression elimination (the element_at/CollapseProject
+# trap).  Every call site below passes plain attribute names or
+# driver-side literal vectors.
+#
+# Construction cost (round 10, measured): building the unrolled tree
+# through py4j Column operators costs ~3 s of driver round trips PER
+# EXPRESSION (hundreds of Column calls), which dwarfed the runtime win on
+# bench-sized inputs.  The kernels therefore take SQL expression STRINGS
+# and parse the whole tree JVM-side in ONE ``F.expr`` call (~ms) — same
+# expression, same semantics, no py4j chatter (guide §7.3: plan-build is
+# single-threaded driver work).
 _UNROLL_DIM = 64
 
 
-def _unrolled_sum(terms: list[Column]) -> Column:
-    acc: Column = F.lit(0.0)
-    for t in terms:
-        acc = acc + t
-    return acc
-
-
-def _dot_codegen(a: Column, b: Column) -> Column:
-    un = _unrolled_sum(
-        [
-            a.getItem(i).cast("double") * b.getItem(i).cast("double")
-            for i in range(_UNROLL_DIM)
-        ]
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of :func:`_dot` — the interpreted fold fallback."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
     )
-    return F.when(
-        (F.size(a) == _UNROLL_DIM) & (F.size(b) == _UNROLL_DIM), un
-    ).otherwise(_dot(a, b))
 
 
-def _norm_codegen(a: Column) -> Column:
-    un = F.sqrt(
-        _unrolled_sum(
-            [
-                a.getItem(i).cast("double") * a.getItem(i).cast("double")
-                for i in range(_UNROLL_DIM)
-            ]
-        )
+def _norm_sql(a: str) -> str:
+    """SQL text of :func:`_norm` — the interpreted fold fallback."""
+    return (
+        f"sqrt(aggregate({a}, 0.0D, "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     )
-    return F.when(F.size(a) == _UNROLL_DIM, un).otherwise(_norm(a))
 
 
-def sqdist_codegen(a: Column, b: Column) -> Column:
+def _dot_codegen(a: str, b: str) -> Column:
+    terms = "".join(
+        f" + (CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+        for i in range(_UNROLL_DIM)
+    )
+    return F.expr(
+        f"CASE WHEN size({a}) = {_UNROLL_DIM} AND size({b}) = {_UNROLL_DIM} "
+        f"THEN 0.0D{terms} ELSE {_dot_sql(a, b)} END"
+    )
+
+
+def _norm_codegen(a: str) -> Column:
+    terms = "".join(
+        f" + (CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE))"
+        for i in range(_UNROLL_DIM)
+    )
+    return F.expr(
+        f"CASE WHEN size({a}) = {_UNROLL_DIM} THEN sqrt(0.0D{terms}) "
+        f"ELSE {_norm_sql(a)} END"
+    )
+
+
+def sqdist_codegen(a: str, b: str) -> Column:
     """Unrolled squared-L2 (the clustering._sqdist fold) with the same
-    guard/fallback contract as :func:`_dot_codegen`."""
-    from .clustering import _sqdist_cols
+    guard/fallback contract as :func:`_dot_codegen`.  No casts: mirrors
+    the zip_with fold's element arithmetic exactly (callers pass double
+    arrays; a float input would fold in float on both branches)."""
+    terms = "".join(
+        f" + (({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}]))"
+        for i in range(_UNROLL_DIM)
+    )
+    fallback = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"CASE WHEN size({a}) = {_UNROLL_DIM} AND size({b}) = {_UNROLL_DIM} "
+        f"THEN 0.0D{terms} ELSE {fallback} END"
+    )
 
-    def term(i: int) -> Column:
-        # no casts: mirrors the zip_with fold's element arithmetic exactly
-        # (callers pass double arrays; a float input would fold in float
-        # on both branches)
-        d = a.getItem(i) - b.getItem(i)
-        return d * d
 
-    un = _unrolled_sum([term(i) for i in range(_UNROLL_DIM)])
-    return F.when(
-        (F.size(a) == _UNROLL_DIM) & (F.size(b) == _UNROLL_DIM), un
-    ).otherwise(_sqdist_cols(a, b))
-
-
-def cosine_codegen(a: Column, b: Column, decimals: int = 4) -> Column:
+def cosine_codegen(a: str, b: str, decimals: int = 4) -> Column:
     """:func:`cosine` on the codegen kernels — identical values, straight-
-    line Java instead of interpreted folds on the standard width."""
+    line Java instead of interpreted folds on the standard width.
+    ``a``/``b`` are SQL expression strings (attribute names)."""
     return F.round(_dot_codegen(a, b) / (_norm_codegen(a) * _norm_codegen(b)), decimals)
 
 
@@ -211,19 +229,19 @@ def cosine_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            _norm_codegen(F.col(vec_col)).alias("__qn"),
+            _norm_codegen(f"`{vec_col}`").alias("__qn"),
         )
     )
     pairs = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("ev"),
-        _norm_codegen(F.col(vec_col)).alias("__en"),
+        _norm_codegen(f"`{vec_col}`").alias("__en"),
     ).join(q, F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot_codegen(F.col("qv"), F.col("ev")) / (F.col("__qn") * F.col("__en")),
+            _dot_codegen("qv", "ev") / (F.col("__qn") * F.col("__en")),
             4,
         ).alias("cosine_sim"),
     )
@@ -389,6 +407,56 @@ def _ivf_centroids(
     )
 
 
+def _ivf_assign(
+    df: DataFrame,
+    side: str,
+    n_cells: int,
+    cent_rows: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    with_rank: bool = False,
+) -> DataFrame:
+    """Map-only IVF cell assignment: each row's ``n_cells`` nearest
+    centroids via one Arrow GEMM per batch (centroids ride the closure as
+    model-sized literals — no shuffle of the vectors).  HALF_UP 4dp on
+    the sims, then a stable argsort of ``-sims`` over ascending-cent_id
+    columns, so ties resolve (sim desc, cent_id asc) exactly like the
+    oracle's row_number ordering.  ``with_rank=True`` additionally emits
+    the probe position (0-based rank of the cell in the row's probe
+    order) via ``posexplode`` — the nprobe sweep keys on it.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+        cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
+        cnorm = np.linalg.norm(cmat, axis=1)
+        cnorm[cnorm == 0.0] = 1.0
+        cn = cmat / cnorm[:, None]
+
+        vmat = np.stack(vecs.to_numpy()).astype(np.float64)
+        vnorm = np.linalg.norm(vmat, axis=1)
+        vnorm[vnorm == 0.0] = 1.0
+        sims = (vmat / vnorm[:, None]) @ cn.T
+        sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_cells]
+        return pd.Series(list(cids[order]))
+
+    if with_rank:
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"{side}v"),
+            F.posexplode(cells(F.col(vec_col))).alias("probe_rank", "cell"),
+        )
+    return df.select(
+        F.col(id_col).alias(f"{side}_id"),
+        F.col(vec_col).alias(f"{side}v"),
+        F.explode(cells(F.col(vec_col))).alias("cell"),
+    )
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -434,44 +502,17 @@ def cosine_topk_ivf(
     else:
         cent_rows = _ivf_centroids(embeddings, id_col, vec_col, n_centroids, salt)
 
-    def assign(df: DataFrame, side: str, n_cells: int) -> DataFrame:
-        @F.pandas_udf(T.ArrayType(T.LongType()))
-        def cells(vecs: pd.Series) -> pd.Series:
-            import numpy as np
-
-            cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
-            cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
-            cnorm = np.linalg.norm(cmat, axis=1)
-            cnorm[cnorm == 0.0] = 1.0
-            cn = cmat / cnorm[:, None]
-
-            vmat = np.stack(vecs.to_numpy()).astype(np.float64)
-            vnorm = np.linalg.norm(vmat, axis=1)
-            vnorm[vnorm == 0.0] = 1.0
-            sims = (vmat / vnorm[:, None]) @ cn.T
-            # HALF_UP 4dp to match the expression/oracle rounding, then
-            # stable argsort of -sims: columns are in ascending cent_id
-            # order, so ties resolve (sim desc, cent_id asc) exactly like
-            # the oracle's row_number ordering
-            sims = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_cells]
-            return pd.Series(list(cids[order]))
-
-        return df.select(
-            F.col(id_col).alias(f"{side}_id"),
-            F.col(vec_col).alias(f"{side}v"),
-            F.explode(cells(F.col(vec_col))).alias("cell"),
-        )
-
-    corpus = assign(embeddings, "neighbor", 1)
-    probes = F.broadcast(assign(queries, "query", nprobe))
+    corpus = _ivf_assign(embeddings, "neighbor", 1, cent_rows, id_col, vec_col)
+    probes = F.broadcast(
+        _ivf_assign(queries, "query", nprobe, cent_rows, id_col, vec_col)
+    )
     pairs = corpus.join(probes, on="cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("queryv"), F.col("neighborv")).alias("cosine_sim"),
+        cosine_codegen("queryv", "neighborv").alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -2144,14 +2185,20 @@ def ivf_nprobe_recall_curve(
     hit counts; no float accumulation anywhere).
 
     Plan / 100 TB: the exact baseline broadcasts the tiny query set
-    against one corpus scan (the ``cosine_topk`` shape); each probed
-    setting reuses the SAME fixed-``n_centroids`` quantizer (model-sized,
-    collected once) and costs one map-only cell-assignment scan plus a
-    candidate join on the int cell key — the curve over p settings is
-    p+1 linear scans, never an all-pairs.  A production sweep would
-    share one corpus assignment across settings; the per-setting scan
-    here keeps every branch an independent, plan-pinnable unit.
+    against one corpus scan (the ``cosine_topk`` shape); every probed
+    setting then SHARES one corpus cell-assignment scan (round 10, guide
+    §2.4 — the per-setting scans re-read and re-assigned the corpus p
+    times for identical results): queries are assigned ONCE at the
+    largest setting with their probe position kept (``posexplode``), a
+    setting-p candidate is exactly a pair whose ``probe_rank < p``
+    (corpus vectors live in one cell; probe order is the same stable
+    argsort whatever p), so one candidate join + one scoring pass feed
+    all settings, and per-setting ranking runs one window partitioned by
+    (setting, query) over the candidate-sized frame.  Curve cost:
+    2 linear corpus scans total (exact + assignment), independent of the
+    number of settings.
     """
+    spark = embeddings.sparkSession
     cent_rows = _ivf_centroids(embeddings, id_col, vec_col, n_centroids, salt)
     queries = embeddings.filter(F.col(id_col) < n_queries)
     exact = cosine_topk(
@@ -2159,40 +2206,66 @@ def ivf_nprobe_recall_curve(
     ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
     # ^ query-set-sized: every probed setting joins it and counts its
     # queries — checkpointing keeps the brute-force baseline at ONE scan
-    branches = []
-    for p in nprobes:
-        approx = cosine_topk_ivf(
-            embeddings,
-            queries,
-            k=k,
-            id_col=id_col,
-            vec_col=vec_col,
-            n_centroids=n_centroids,
-            nprobe=int(p),
-            salt=salt,
-            centroids=cent_rows,
-        ).select("query_id", "neighbor_id")
-        hits = approx.join(exact, ["query_id", "neighbor_id"]).agg(
-            F.count("*").cast("long").alias("n_hits")
+    settings = sorted(int(p) for p in nprobes)
+    corpus = _ivf_assign(embeddings, "neighbor", 1, cent_rows, id_col, vec_col)
+    probes = F.broadcast(
+        _ivf_assign(
+            queries, "query", settings[-1], cent_rows, id_col, vec_col,
+            with_rank=True,
         )
-        nq = exact.agg(
-            F.countDistinct("query_id").cast("long").alias("nq")
-        )
-        branches.append(
-            hits.crossJoin(nq).select(
-                F.lit(int(p)).alias("nprobe"),
-                F.col("nq").cast("bigint").alias("n_queries"),
-                F.round(
-                    F.col("n_hits").cast("double")
-                    / (F.lit(int(k)) * F.col("nq")).cast("double"),
-                    6,
-                ).alias("mean_recall"),
+    )
+    pairs = corpus.join(probes, on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        "probe_rank",
+        cosine_codegen("queryv", "neighborv").alias("cosine_sim"),
+    )
+    # fan each candidate out to every setting whose probe depth reaches it
+    # (candidate-sized frame; the corpus is long gone by here)
+    per_setting = scored.withColumn(
+        "nprobe",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(p) for p in settings]),
+                lambda p: p > F.col("probe_rank"),
             )
+        ),
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    approx = (
+        per_setting.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    # left-join from the settings list so a zero-hit setting still emits
+    # its row (a groupBy alone would drop it)
+    setting_rows = spark.createDataFrame(
+        [(p,) for p in settings], "nprobe int"
+    )
+    nq = exact.agg(F.countDistinct("query_id").cast("long").alias("nq"))
+    return (
+        setting_rows.join(hits, "nprobe", "left")
+        .crossJoin(nq)
+        .select(
+            F.col("nprobe"),
+            F.col("nq").cast("bigint").alias("n_queries"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / (F.lit(int(k)) * F.col("nq")).cast("double"),
+                6,
+            ).alias("mean_recall"),
         )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
+    )
 
 
 def label_knn_accuracy(
