@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from . import testdata as td
 from .driver_queries import ORACLES, _register
+from .driver_queries_corpus import _stage_waves
 from .streaming import incremental
 
 _IC_EPOCHS = 3
@@ -78,26 +79,13 @@ def _q_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_incremental_curation(
     spark: SparkSession, docs: DataFrame, work: str
 ) -> DataFrame:
-    landing = os.path.join(work, "landing")
     target = os.path.join(work, "target")
     ckpt = os.path.join(work, "ckpt")
-    os.makedirs(landing)
     # one landing file per arrival wave so maxFilesPerTrigger=1 replays
-    # each wave as its own micro-batch under the availableNow trigger.
-    # The augmented corpus is pinned once (the loop scans it _IC_EPOCHS
-    # times, the raw scorecard once more), and each wave uses
-    # repartition(1) rather than coalesce(1) so the upstream augmentation
-    # stays parallel and only the file write is single-task (guide §2.4)
-    docs = docs.localCheckpoint(eager=True)
-    for k in range(_IC_EPOCHS):
-        stage = os.path.join(work, f"stage{k}")
-        docs.filter(F.col("doc_id") % _IC_EPOCHS == k).repartition(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        shutil.move(
-            os.path.join(stage, part), os.path.join(landing, f"wave{k}.parquet")
-        )
+    # each wave as its own micro-batch under the availableNow trigger;
+    # staged in ONE partitioned write pass (see ``_stage_waves``) instead
+    # of an eager corpus checkpoint + one filtered write per wave
+    landing, docs = _stage_waves(spark, docs, work, _IC_EPOCHS)
     stream = (
         spark.readStream.format("parquet")
         .schema(docs.schema)

@@ -40,7 +40,14 @@ from pyspark.sql import functions as F
 
 from . import testdata as td
 from .driver_queries import ORACLES, _register
-from .driver_queries_corpus import _BAND_LIST, _MH_LIST, _SHINGLES, _W, _code
+from .driver_queries_corpus import (
+    _BAND_LIST,
+    _MH_LIST,
+    _SHINGLES,
+    _W,
+    _code,
+    _stage_waves,
+)
 from .streaming import incremental
 
 _NE = 3  # micro-batches
@@ -92,23 +99,10 @@ def _run(spark: SparkSession, docs: DataFrame, work: str) -> DataFrame:
     target = os.path.join(work, "target")
     buckets = os.path.join(work, "buckets")
     ckpt = os.path.join(work, "ckpt")
-    os.makedirs(landing)
-    # pin the augmented corpus once: the staging loop scans it _NE times
-    # and the raw scorecard once more — without the pin each scan re-runs
-    # the tokenize/slice/concat augmentation (guide §2.4, fewer passes)
-    docs = docs.localCheckpoint(eager=True)
-    for k in range(_NE):
-        stage = os.path.join(work, f"stage{k}")
-        # repartition(1), not coalesce(1): coalesce collapses the whole
-        # upstream augmentation into the single write task; the exchange
-        # keeps it parallel and only the file write is single-task
-        docs.filter(F.col("doc_id") % _NE == k).repartition(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        shutil.move(
-            os.path.join(stage, part), os.path.join(landing, f"wave{k}.parquet")
-        )
+    # staged in ONE partitioned write pass (see ``_stage_waves``) instead
+    # of an eager corpus checkpoint + one filtered write per wave; the
+    # read-back parquet feeds the stream schema and the raw scorecard
+    landing, docs = _stage_waves(spark, docs, work, _NE)
     stream = (
         spark.readStream.format("parquet")
         .schema(docs.schema)

@@ -2509,7 +2509,7 @@ def bradley_terry_ranks(
             F.count("*").cast("long").alias("n"),
             F.sum("wi").cast("long").alias("wins_i"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     items = (
         pairs.select(F.col("i").alias("item"), F.col("wins_i").alias("win"))
@@ -2521,7 +2521,7 @@ def bradley_terry_ranks(
         )
         .groupBy("item")
         .agg(F.sum("win").cast("long").alias("n_wins"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     k = F.broadcast(items.agg(F.count("*").cast("double").alias("k")))
     weights = items.select("item", F.lit(1.0).alias("wt"))
@@ -2561,6 +2561,15 @@ def bradley_terry_ranks(
                 .alias("s")
             )
         )
+        # LAZY localCheckpoint (the k-core discipline): ``weights`` is
+        # referenced three times per step (the i-join, the j-join, next
+        # step's base), and the checkpoint both pins one shared copy and
+        # keeps the lineage linear — but laziness means no per-step
+        # driver-synchronous job: the final action materializes the whole
+        # unrolled trajectory in one go (eager per-step checkpoints paid
+        # one blocking job per iteration; plain lazy composition without
+        # the checkpoint tripled the join work — both measured slower at
+        # sf0.1; values bit-identical across all three shapes)
         weights = (
             raw_w.crossJoin(tot)
             .crossJoin(k)
@@ -2568,7 +2577,7 @@ def bradley_terry_ranks(
                 "item",
                 F.round(F.col("rw") * F.col("k") / F.col("s"), 9).alias("wt"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     n_matches = (
         pairs.select(F.col("i").alias("item"), F.col("n"))

@@ -36,15 +36,25 @@ def pack_sequences(
     seq_len: int = 2048,
     salt: str = "pack-v1",
     n_buckets: int = 1024,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each document a (seq_id, seq_offset) slot in the packed
-    token stream.  Output: key, n_tokens, seq_id, seq_offset."""
+    token stream.  Output: key, n_tokens, seq_id, seq_offset.
+
+    ``carry_cols`` pass extra columns of ``df`` through to the output
+    unchanged (per-doc grain is preserved, so this is a pure projection
+    widening) — a consumer that needs, say, per-source sequence counts
+    then aggregates the packed frame directly instead of re-joining the
+    corpus on the key (one fewer corpus-grain exchange; guide §2.4).
+    The slot assignment itself is untouched: the layout hash, bucket,
+    and prefix sums read only (salt, key, n_tokens)."""
     h = md5_bucket(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string")))
     staged = df.select(
         F.col(key_col),
         F.col(token_col).cast("bigint").alias("n_tokens"),
         h.alias("__h"),
         (h % n_buckets).alias("__b"),
+        *[F.col(c) for c in carry_cols],
     )
     w_in = (
         Window.partitionBy("__b")
@@ -70,6 +80,7 @@ def pack_sequences(
             "n_tokens",
             F.floor(start / seq_len).alias("seq_id"),
             (start % seq_len).alias("seq_offset"),
+            *carry_cols,
         )
     )
 

@@ -3154,16 +3154,24 @@ def source_token_mutual_info(
         trips.groupBy("g", "tok").agg(F.count("*").cast("bigint").alias("c"))
     )
     n_g = counts.groupBy("g").agg(F.sum("c").cast("bigint").alias("n_g"))
-    n_t = counts.groupBy("tok").agg(F.sum("c").cast("bigint").alias("n_t"))
     n_all = F.broadcast(
         n_g.agg(
             F.sum("n_g").cast("bigint").alias("n_all"),
             F.count("*").cast("bigint").alias("n_sources"),
         )
     )
+    # token marginal via a whole-partition window over ``tok`` instead of
+    # a separate vocabulary-grain aggregate joined back: the previous
+    # shape exchanged the counts table by ``tok`` TWICE (once into the
+    # n_t groupBy, once into the join) — the window computes the same
+    # bigint sum with a single exchange (guide §2.4: two operations keyed
+    # the same way share one exchange).  n_types moves into the final
+    # aggregate, whose distinct-on-tok first phase is satisfied by the
+    # window's hash partitioning, so it adds no exchange either.
+    w_t = Window.partitionBy("tok")
     joined = (
-        counts.join(F.broadcast(n_g), "g")
-        .join(n_t, "tok")
+        counts.withColumn("n_t", F.sum("c").over(w_t).cast("bigint"))
+        .join(F.broadcast(n_g), "g")
         .crossJoin(n_all)
     )
     term = F.round(
@@ -3180,8 +3188,8 @@ def source_token_mutual_info(
         F.round(F.sum(term.cast("decimal(30,10)")).cast("double"), decimals).alias(
             "mi_nats"
         ),
+        F.count_distinct(F.col("tok")).cast("bigint").alias("n_types"),
     )
-    n_types = n_t.agg(F.count("*").cast("bigint").alias("n_types"))
     hterm = F.round(
         -(F.col("n_g").cast("double") / F.col("n_all").cast("double"))
         * F.log(F.col("n_g").cast("double") / F.col("n_all").cast("double")),
@@ -3196,8 +3204,7 @@ def source_token_mutual_info(
         )
     )
     return (
-        mi.crossJoin(F.broadcast(n_types))
-        .crossJoin(F.broadcast(h_src))
+        mi.crossJoin(F.broadcast(h_src))
         .select(
             "n_tokens",
             "n_sources",

@@ -206,22 +206,50 @@ def curation_pipeline(
         "s5b_clean_tokens",
     )
 
-    # S6 — packing the clean corpus into fixed-length sequences
+    # S6 — packing the clean corpus into fixed-length sequences.
+    # ``source`` rides through the packing projection (doc grain is
+    # preserved), so the per-source sequence count below aggregates the
+    # packed frame directly — the previous shape re-joined packed (600k
+    # rows at sf0.1) against the corpus id->source map, a full extra
+    # corpus-grain join for a column the input already had (guide §2.4).
     packed = pack_sequences(
-        clean, "n_tokens", key_col="id", seq_len=seq_len, salt=pack_salt
+        clean,
+        "n_tokens",
+        key_col="id",
+        seq_len=seq_len,
+        salt=pack_salt,
+        carry_cols=("source",),
     )
 
-    # Scorecard: per-source funnel counts + clean-corpus metrics.  Stage
-    # memberships travel as id frames; every count is a source-grain
-    # aggregate with map-side partials.
-    src = base.select("id", "source")
-
-    def _cnt(stage_ids: DataFrame, name: str) -> DataFrame:
-        return (
-            src.join(stage_ids.select("id"), "id")
-            .groupBy("source")
-            .agg(F.count("*").cast("bigint").alias(name))
+    # Scorecard: per-source funnel counts + clean-corpus metrics, fused
+    # into ONE corpus pass: the four stage-membership id frames (already
+    # checkpointed, 8-byte rows) left-join onto the (id, source) base
+    # projection as presence markers — four joins on the SAME key chain
+    # without re-exchanging the base — and a single source-grain
+    # aggregate sums the markers.  The previous shape ran five separate
+    # join+groupBy pipelines (one per funnel stage) plus four
+    # source-grain joins to reassemble them: 5 base scans and ~10
+    # exchanges where one scan and one partial-aggregated exchange
+    # suffice (guide §2.4: share the exchange; §1.2: remove passes).
+    # Counts are identical: a base row joins at most one row per id
+    # frame (ids are unique), so sum(marker) == count of members.
+    marked = base.select("id", "source")
+    for ids_frame, mark in (
+        (ids1, "__m1"),
+        (ids2, "__m2"),
+        (ids3, "__m3"),
+        (ids4, "__m4"),
+    ):
+        marked = marked.join(
+            ids_frame.select("id", F.lit(1).alias(mark)), "id", "left"
         )
+    funnel = marked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_raw"),
+        F.sum(F.coalesce(F.col("__m1"), F.lit(0))).cast("bigint").alias("n_quality"),
+        F.sum(F.coalesce(F.col("__m2"), F.lit(0))).cast("bigint").alias("n_exact"),
+        F.sum(F.coalesce(F.col("__m3"), F.lit(0))).cast("bigint").alias("n_near"),
+        F.sum(F.coalesce(F.col("__m4"), F.lit(0))).cast("bigint").alias("n_train"),
+    )
 
     per_clean = clean.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_clean"),
@@ -242,19 +270,12 @@ def curation_pipeline(
             decimals,
         ),
     )
-    per_packs = (
-        packed.join(src, "id")
-        .groupBy("source")
-        .agg(F.count_distinct("seq_id").cast("bigint").alias("n_seqs"))
+    per_packs = packed.groupBy("source").agg(
+        F.count_distinct("seq_id").cast("bigint").alias("n_seqs")
     )
 
     out = (
-        base.groupBy("source")
-        .agg(F.count("*").cast("bigint").alias("n_raw"))
-        .join(_cnt(ids1, "n_quality"), "source", "left")
-        .join(_cnt(ids2, "n_exact"), "source", "left")
-        .join(_cnt(ids3, "n_near"), "source", "left")
-        .join(_cnt(ids4, "n_train"), "source", "left")
+        funnel
         .join(weighted.select("source", "n_clean", "n_tokens", "mix_weight"), "source", "left")
         .join(per_packs, "source", "left")
     )
