@@ -228,8 +228,27 @@ def _timed_noop(spark, make) -> float:
     in-session vs ~5 isolated, ngram_jaccard 27.6 vs ~6.  Clearing per
     run makes every measurement independent of session history (and
     makes persist-using queries pay their own build cost every time —
-    honest, and consistent round-over-round)."""
+    honest, and consistent round-over-round).
+
+    Round-10 finding: ``clearCache`` does NOT reclaim the blocks behind
+    orphaned ``localCheckpoint`` RDDs (they are unpersisted by the
+    ContextCleaner only after a driver GC notices the dead references).
+    Over a ~470-run session those blocks pile up in block-manager
+    storage until a full GC + cleaner storm lands MID-measurement:
+    two same-HEAD session runs showed disjoint 5–20 s spikes on
+    otherwise sub-second queries (bloom_prune_revenue 1.98 s committed
+    → 24.3 s, holt_forecast 0.38 → 4.29 s; min-of-2 both inflated, and
+    the spiky names did not repeat across sessions).  An explicit
+    ``System.gc()`` before the timed region drains that debt
+    deterministically BETWEEN measurements — outside the timer — so
+    each entry pays only its own cost.  This is measurement hygiene
+    (same query, same plan, same action), not a result change."""
     spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    # the ContextCleaner drains its reference queue asynchronously after
+    # the GC surfaces dead RDDs; a short settle keeps those unpersist
+    # RPCs out of the timed region
+    time.sleep(0.2)
     t0 = time.perf_counter()
     make().write.mode("overwrite").format("noop").save()
     return round(time.perf_counter() - t0, 3)

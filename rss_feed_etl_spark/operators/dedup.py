@@ -135,12 +135,21 @@ def ngram_jaccard_pairs(
     # identical pairs.  (Two earlier variants measured SLOWER and were
     # rejected: localCheckpoint-pinned buckets, and building per-shingle
     # ROWS inside the Arrow pass — the explode belongs JVM-side.)
+    from .textstats import _persist_spillable
+
     ex = _shingle_codes_arrow(df, id_col, text_col, n).select(
         "id", F.explode("codes").alias("shingle")
     )
     buckets = ex.groupBy("shingle").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     if max_df is not None:
         buckets = buckets.filter(F.size("ids") <= max_df)
+    # ONE execution of the shingle→bucket pipeline (round 10, guide §2.4):
+    # three subtrees consume ``buckets`` — the pair expansion and BOTH
+    # sizes join sides — and without a persist each re-ran the Arrow
+    # shingle pass + bucket exchange from the corpus (the 10× plan showed
+    # three identical Scan→MapInPandas→ObjectHashAggregate chains; the
+    # differing downstream projections defeat ReuseExchange).
+    buckets = _persist_spillable(buckets)
     # n_sh counts the doc's surviving shingles — singleton buckets count
     # toward the union size even though they can never produce a pair
     sizes = (
@@ -168,9 +177,27 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("common"))
     )
+    # EXPLICIT broadcast of the doc-grain sizes table (guide §3.1): size
+    # estimates after the MapInPandas + aggregate chain are garbage, and
+    # Spark picked the PAIR aggregate (30M rows at 10×, ~1 GB true size)
+    # as the broadcast side — collecting it to the driver and shipping it
+    # to every task.  ``sizes`` is one 16-byte row per document — the
+    # provably smaller side (pair grain ≥ doc grain).  At true 100 TB a
+    # corpus-grain broadcast no longer fits (8 GB relation cap); there
+    # the hint must come off so both joins fall back to a shuffle join
+    # on the id key — pairs is already id-partitioned from its own
+    # aggregate, so one side of each join exchange is free.
     j = pairs.join(
-        sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
-    ).join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        F.broadcast(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+        ),
+        "id_a",
+    ).join(
+        F.broadcast(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+        ),
+        "id_b",
+    )
     return (
         j.withColumn(
             "jaccard",
@@ -955,6 +982,8 @@ def ngram_containment_pairs(
     change is the final arithmetic (divide by the SRC size instead of
     the union).
     """
+    from .textstats import _persist_spillable
+
     ex = _shingle_codes_arrow(df, id_col, text_col, n).select(
         "id", F.explode("codes").alias("shingle")
     )
@@ -963,6 +992,11 @@ def ngram_containment_pairs(
     )
     if max_df is not None:
         buckets = buckets.filter(F.size("ids") <= max_df)
+    # shared-bucket persist + explicit sizes broadcast: same round-10
+    # plan fixes as ``ngram_jaccard_pairs`` (see there — one shingle
+    # pipeline execution instead of three; stop Spark broadcasting the
+    # pair-grain aggregate off a garbage post-Python size estimate)
+    buckets = _persist_spillable(buckets)
     sizes = (
         buckets.select(F.explode("ids").alias("id"))
         .groupBy("id")
@@ -986,19 +1020,40 @@ def ngram_containment_pairs(
         .agg(F.count("*").alias("common"))
     )
     j = pairs.join(
-        sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
-    ).join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-    fwd = j.select(
-        F.col("id_a").alias("src"),
-        F.col("id_b").alias("dst"),
-        F.round(F.col("common") / F.col("n_a"), 6).alias("containment"),
+        F.broadcast(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+        ),
+        "id_a",
+    ).join(
+        F.broadcast(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+        ),
+        "id_b",
     )
-    rev = j.select(
-        F.col("id_b").alias("src"),
-        F.col("id_a").alias("dst"),
-        F.round(F.col("common") / F.col("n_b"), 6).alias("containment"),
+    # both directions emitted from ONE pass over the joined pairs: the
+    # previous fwd/rev unionByName re-executed the whole pair pipeline
+    # once per direction (two independent subtrees — round 10, guide
+    # §2.4); a 2-element array explode is a codegen generator and emits
+    # the identical rows
+    both = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"),
+                    F.col("id_b").alias("dst"),
+                    F.round(F.col("common") / F.col("n_a"), 6).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"),
+                    F.col("id_a").alias("dst"),
+                    F.round(F.col("common") / F.col("n_b"), 6).alias("containment"),
+                ),
+            )
+        ).alias("e")
     )
-    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+    return both.select("e.src", "e.dst", "e.containment").filter(
+        F.col("containment") >= threshold
+    )
 
 
 def lsh_sensitivity_curve(
