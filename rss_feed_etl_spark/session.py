@@ -33,40 +33,33 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
-        # Initial shuffle partitions = 4× parallelism, NOT == parallelism:
-        # AQE can only coalesce DOWN from the initial count, so an initial
-        # that exactly matches the core count caps every post-shuffle
-        # stage at one wave of full-size partitions — measured on the 10×
-        # corpus (round 10): the ngram pair aggregate warm run took
-        # 71.5 s at 32 initial partitions vs 14.9 s at 128 on the same
-        # 32-core session (big per-task hash-agg state tips into
-        # sort-spill; 4× smaller tasks stay in memory and stragglers
-        # rebalance).  Small exchanges still coalesce to few tasks under
-        # the advisory size, so tiny queries pay nothing.  Scales with
-        # the session's core count rather than hard-coding either local
-        # or cluster values (guide §2.2).
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 4 * cpus))
+        # Shuffle partitions default to the session's parallelism (NOT
+        # Spark's legacy 200, NOT a multiple of it).  An interrupted
+        # round-10 session shipped 4×cpus + an 8 MB AQE advisory,
+        # justified by ngram-pair hash-agg spill measurements taken
+        # BEFORE the operator-level fixes (shared-bucket persist +
+        # explicit sizes broadcast in dedup.py) landed; a controlled
+        # same-HEAD A/B after those fixes showed the config pair LOSES
+        # everywhere: 25-query headline subset 53.0 s at cpus/64m vs
+        # 79.7 s at 4×cpus/8m, and the 10× ngram fresh-JVM scale entry
+        # 9.6 s vs 16.2 s.  The operator fix removed the oversized
+        # aggregate the config was compensating for, so the config
+        # reverted to the scale-neutral default (guide §2.2: fix the
+        # plan, not the knob).
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # AQE's coalescing target (default 64m) is sized for I/O-bound
-        # cluster stages; for CPU-bound aggregations it merges mid-size
-        # exchanges into a handful of giant partitions whose hash-agg
-        # state spills and leaves most cores idle.  Measured on the 10×
-        # scale corpus (round 10): the ngram-Jaccard pair aggregate
-        # (~700 MB exchange, 30M distinct keys) coalesced to ~11
-        # partitions on 32 cores and ran 36–114 s; at an 8m advisory it
-        # keeps the session's full parallelism and runs 10–25 s.  The
-        # right value scales with per-task execution memory (here
-        # 16g × 0.6 / 32 cores ≈ 300 MB, vs a hash-agg in-memory
-        # expansion of 10–30× over compressed shuffle bytes), so it is
-        # an env knob: production clusters with 4–8 GB per task slot
-        # raise it back to 64–256m (guide §2.2/§9); the local default
-        # keeps tiny exchanges coalesced (still one task below 8m)
-        # without starving CPU-bound mid-size stages.
+        # AQE coalescing target: Spark's 64m default, env-tunable for
+        # cluster profiles with different per-task memory (guide §9).
+        # The round-10 A/B above also tested 8m globally: it cost
+        # 1.3–2× on a dozen mid-size aggregate queries at sf0.1 and
+        # bought nothing once the ngram operator fix landed (the Arrow
+        # scans it was meant to parallelize are map-only — parquet
+        # split sizing, not shuffle sizing, sets their task count).
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_PART", "8m"),
+            os.environ.get("SPARK_GRAFT_ADVISORY_PART", "64m"),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_mem)
@@ -142,10 +135,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    # see get_spark: CPU-bound-aggregate coalescing target, env-tunable
+    # see get_spark: AQE coalescing target, env-tunable for cluster profiles
     spark.conf.set(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        os.environ.get("SPARK_GRAFT_ADVISORY_PART", "8m"),
+        os.environ.get("SPARK_GRAFT_ADVISORY_PART", "64m"),
     )
     # Timestamp read semantics for the driver's parquet (naive INT64 nanos):
     # read as plain UTC TIMESTAMP (not NTZ) and surface nanos as longs for the
