@@ -779,13 +779,17 @@ from . import driver_queries_wave150  # noqa: E402, F401  (registers wave-150 qu
 # hash-green at all three SFs; VERDICT r9 #4).  ``incremental_curation_
 # fold`` only gained tempdir cleanup (no plan or value change) and the
 # round-9 entries all landed green CORRECTNESS_r09 rows, so both stay
-# out.  Keep this <= 5 (pinned): every slot delays a rotation name by a
-# round.
+# out.  ``ngram_jaccard_neardup`` re-verifies because its pair pipeline
+# gained a shared-bucket persist + explicit sizes broadcasts late in the
+# round (values identical — locally hash-green at all three SFs — but
+# the change landed after the committed parity record).  Keep this <= 5
+# (pinned): every slot delays a rotation name by a round.
 _RECHECK = [
     "decontaminate_splits",
     "decontaminate_broadcast_holdout",
     "pq_ann_topk",
     "ivfpq_ann_topk",
+    "ngram_jaccard_neardup",
 ]
 
 # Static fallback only for checkouts missing the CORRECTNESS artifacts
