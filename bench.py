@@ -218,7 +218,7 @@ HEADLINE = [
 
 
 
-def _timed_noop(spark, make) -> float:
+def _timed_noop(spark, make, label: str | None = None) -> float:
     """One clean-slate timed run: the SQL cache is cleared first so a
     query's persisted frames cannot ride along into later measurements.
     Round-8 finding: operators that persist() model tables (DSIR, MI/JSD
@@ -249,9 +249,17 @@ def _timed_noop(spark, make) -> float:
     # the GC surfaces dead RDDs; a short settle keeps those unpersist
     # RPCs out of the timed region
     time.sleep(0.2)
-    t0 = time.perf_counter()
-    make().write.mode("overwrite").format("noop").save()
-    return round(time.perf_counter() - t0, 3)
+    # label the jobs this measurement submits (guide §1.5) so UI/event-log
+    # forensics can attribute stages to bench entries
+    if label:
+        spark.sparkContext.setJobDescription(f"bench: {label}")
+    try:
+        t0 = time.perf_counter()
+        make().write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        if label:
+            spark.sparkContext.setJobDescription(None)
 
 
 def bench_degenerate_dedup(spark) -> dict[str, float]:
@@ -376,7 +384,7 @@ def bench_degenerate_dedup(spark) -> dict[str, float]:
     for name, make in jobs:
         best = None
         for _ in range(2):
-            dt = _timed_noop(spark, make)
+            dt = _timed_noop(spark, make, label=name)
             best = dt if best is None else min(best, dt)
         out[name] = best
     return out
@@ -635,8 +643,14 @@ def _scale_entry_child(name: str, base_dir: str, dst_dir: str) -> None:
     qs["pricing_summary"](spark, base_dir).write.mode("overwrite").format(
         "noop"
     ).save()
-    base = min(_timed_noop(spark, lambda: qs[name](spark, base_dir)) for _ in range(2))
-    scaled = min(_timed_noop(spark, lambda: qs[name](spark, dst_dir)) for _ in range(2))
+    base = min(
+        _timed_noop(spark, lambda: qs[name](spark, base_dir), label=f"{name} base")
+        for _ in range(2)
+    )
+    scaled = min(
+        _timed_noop(spark, lambda: qs[name](spark, dst_dir), label=f"{name} 10x")
+        for _ in range(2)
+    )
     spark.stop()
     print(
         json.dumps(
@@ -664,7 +678,10 @@ def _headline_entry_child(name: str, sf_dir: str) -> None:
     qs["pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
-    best = min(_timed_noop(spark, lambda: qs[name](spark, sf_dir)) for _ in range(2))
+    best = min(
+        _timed_noop(spark, lambda: qs[name](spark, sf_dir), label=name)
+        for _ in range(2)
+    )
     spark.stop()
     print(json.dumps({"name": name, "sec": best}))
 
@@ -836,7 +853,7 @@ def bench_pq_stages(spark, sf_dir: str) -> dict[str, float]:
             codebooks=books,
         )
 
-    scan_sec = min(_timed_noop(spark, scan) for _ in range(2))
+    scan_sec = min(_timed_noop(spark, scan, label="pq_ann_topk scan-only") for _ in range(2))
     return {"pq_train_sec": train_sec, "pq_scan_sec": scan_sec}
 
 
@@ -869,7 +886,7 @@ def main() -> None:
         # cost, which is what partition/shuffle tuning actually moves
         best = None
         for _ in range(2):
-            dt = _timed_noop(spark, lambda: qs[name](spark, sf_dir))
+            dt = _timed_noop(spark, lambda: qs[name](spark, sf_dir), label=name)
             best = dt if best is None else min(best, dt)
         timings[name] = best
         total += best
