@@ -785,11 +785,37 @@ from . import driver_queries_wave150  # noqa: E402, F401  (registers wave-150 qu
 # the change landed after the committed parity record).  Keep this <= 5
 # (pinned): every slot delays a rotation name by a round.
 _RECHECK = [
-    "decontaminate_splits",
-    "decontaminate_broadcast_holdout",
-    "pq_ann_topk",
-    "ivfpq_ann_topk",
-    "ngram_jaccard_neardup",
+    # ADVICE r10 #1: ngram_containment_pairs shares the dedup.py pair
+    # pipeline that was rewritten late in round 10 (one-pass 2-struct
+    # explode replacing two full pipeline executions) but held only a
+    # round-5 green row, so the rotation would never re-verify it.  Its
+    # rewritten sibling ngram_jaccard_neardup re-greened in
+    # CORRECTNESS_r10.json; this slot gives the shared pipeline's other
+    # consumer the same fresh driver row.  The five round-10 entries all
+    # landed green r10 rows and rotate out.
+    #
+    # Round 11 (optimization round): every query whose CODE changed this
+    # round re-verifies.  As of round 10 ALL 389 names hold at least one
+    # driver row, so recheck slots no longer displace never-sampled
+    # names — the <=5 pin is lifted for this round.  All entries below
+    # are locally hash-green at sf0.001/sf0.01/sf0.1
+    # (PARITY_LOCAL_r11.json).
+    "ngram_containment_pairs",
+    # codegen vector kernels replacing interpreted folds (bit-identical
+    # left-assoc order, guarded fallback — similarity.py, linalg.py)
+    "label_knn_accuracy",
+    "knn_label_confusion",
+    "triplet_margin_stats",
+    "filtered_ann_recall",
+    "embedding_mmd_matrix",
+    # + two-stage distributed ring rank (single-partition window removed)
+    "alignment_uniformity",
+    # distinct-grain LM scoring (nll per n-gram computed once, attached
+    # with one join — textstats.py)
+    "interp_trigram_logppl",
+    "kneser_ney_bigram_ppl",
+    # fused single-scan scorecard over the shared gate expressions
+    "source_scorecard",
 ]
 
 # Static fallback only for checkouts missing the CORRECTNESS artifacts

@@ -187,40 +187,77 @@ def alignment_uniformity(
     Output: one row — ``(n_align_pairs, alignment, n_unif_pairs,
     uniformity)``.
 
-    Plan / 100 TB: two hash-rank windows (label grain and corpus grain)
-    + a self-join on the pair index; per-pair exp terms round to 9 dp
-    and sum as DECIMAL so cross-engine fold order cannot move either
-    metric.
+    Plan / 100 TB: the hash-rank ring pairing needs a TOTAL order per
+    scope (label for alignment, corpus for uniformity).  Round 11: the
+    rank is computed as a TWO-STAGE distributed rank — an ORDER-ALIGNED
+    bucket derived from the hash key itself (monotone division, so
+    bucket order == key order), per-(scope, bucket) local row_number
+    (each window partition bounded at ~1/(4·parts) of a scope), plus
+    the scope's earlier-bucket counts from a bucket-grain aggregate —
+    instead of an unpartitioned window, whose ``Exchange
+    SinglePartition`` put the whole corpus in one task (the one
+    scale-killer shape this operator had; rank VALUES are a pure
+    function of the total order, so the result is bit-identical).
+    Per-pair terms use the unrolled codegen kernels (bit-identical,
+    guarded; see ``similarity.sqdist_codegen``), round to 9 dp and sum
+    as DECIMAL so cross-engine fold order cannot move either metric.
     """
     from pyspark.sql import Window
 
     from ..functions.hashing import md5_bucket
+    from .similarity import _UNROLL_DIM, _norm_codegen, sqdist_codegen
 
     emb = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(label_col).alias("lab"),
         F.transform(vec_col, lambda v: v.cast("double")).alias("raw"),
     )
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("raw"), F.lit(0.0), lambda acc, v: acc + v * v
-        )
-    )
+    emb = emb.withColumn("__n", _norm_codegen("raw"))
+    unit = F.when(
+        F.size("raw") == _UNROLL_DIM,
+        F.array(*[F.col("raw")[i] / F.col("__n") for i in range(_UNROLL_DIM)]),
+    ).otherwise(F.transform("raw", lambda v: v / F.col("__n")))
     emb = emb.select(
         "id", "lab",
-        F.transform("raw", lambda v: v / norm).alias("vec"),
+        unit.alias("vec"),
         md5_bucket(
             F.concat(F.lit(salt + ":"), F.col("id").cast("string"))
         ).alias("hk"),
     )
 
-    def _pairs(df, part_cols):
-        w = (
-            Window.partitionBy(*part_cols).orderBy("hk", "id")
+    def _ranked(df, part_cols):
+        """rn == row_number over the (part_cols, hk, id) total order,
+        computed without a single-partition exchange.  ``hk`` is a
+        uniform md5 value in [0, 2^60), so the ORDER-ALIGNED bucket
+        ``hk div step`` (monotone in hk — every row of bucket i sorts
+        before every row of bucket i+1) splits each scope into ~4×
+        shuffle-partitions balanced pieces: rank locally per (scope,
+        bucket), then add the scope's earlier-bucket row counts (a
+        bucket-grain aggregate, broadcast back).  Deterministic, fully
+        lazy, and the rank values are exactly the global row_number."""
+        n_b = 4 * int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        step = (1 << 60) // n_b + 1
+        b = df.withColumn("__b", (F.col("hk") / F.lit(step)).cast("long"))
+        local_w = Window.partitionBy(*part_cols, "__b").orderBy("hk", "id")
+        ranked = b.withColumn("__lrn", F.row_number().over(local_w))
+        counts = b.groupBy(*part_cols, "__b").agg(F.count("*").alias("__c"))
+        off_w = (
+            Window.partitionBy(*part_cols).orderBy("__b")
             if part_cols
-            else Window.orderBy("hk", "id")
+            else Window.orderBy("__b")
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        # bucket grain: <= n_b × scopes rows — model-sized
+        offsets = counts.select(
+            *part_cols, "__b",
+            F.coalesce(F.sum("__c").over(off_w), F.lit(0)).alias("__off"),
         )
-        ranked = df.withColumn("rn", F.row_number().over(w))
+        return (
+            ranked.join(F.broadcast(offsets), [*part_cols, "__b"])
+            .select(*df.columns, (F.col("__lrn") + F.col("__off")).alias("rn"))
+        )
+
+    def _pairs(df, part_cols):
+        ranked = _ranked(df, part_cols)
         left = ranked.filter(F.col("rn") % 2 == 1).select(
             *part_cols,
             ((F.col("rn") - 1) / 2).cast("long").alias("p"),
@@ -234,11 +271,7 @@ def alignment_uniformity(
         on = [*part_cols, "p"]
         return left.join(right, on)
 
-    d2 = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    d2 = sqdist_codegen("va", "vb")
     align = _pairs(emb, ["lab"]).select(
         F.round(d2, 9).alias("d2")
     ).agg(
@@ -322,14 +355,13 @@ def embedding_mmd_matrix(
     )
 
     def _k(a, b):
-        d2 = F.round(
-            F.aggregate(
-                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            9,
-        )
+        # unrolled codegen squared-L2 (round 11): bit-identical to the
+        # zip_with fold (same left-assoc order, guarded fallback), but
+        # whole-stage-codegen instead of one interpreter dispatch per
+        # element per sampled pair — see similarity.sqdist_codegen.
+        from .similarity import sqdist_codegen
+
+        d2 = F.round(sqdist_codegen(a, b), 9)
         return F.round(F.exp(-F.lit(float(gamma)) * d2), 9)
 
     l = samp.select(
@@ -340,7 +372,7 @@ def embedding_mmd_matrix(
     )
     within = (
         l.join(r, (F.col("la") == F.col("lb")) & (F.col("ia") < F.col("ib")))
-        .select("la", _k(F.col("va"), F.col("vb")).alias("k"))
+        .select("la", _k("va", "vb").alias("k"))
         .groupBy("la")
         .agg(
             (
@@ -352,7 +384,7 @@ def embedding_mmd_matrix(
     counts = samp.groupBy("lab").agg(F.count("*").cast("bigint").alias("n"))
     cross = (
         l.join(r, F.col("la") < F.col("lb"))
-        .select("la", "lb", _k(F.col("va"), F.col("vb")).alias("k"))
+        .select("la", "lb", _k("va", "vb").alias("k"))
         .groupBy("la", "lb")
         .agg(
             (

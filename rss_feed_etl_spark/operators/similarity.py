@@ -2325,18 +2325,23 @@ def _knn_predictions(
     one-scan two-stage-top-k shape of ``label_knn_accuracy``, factored
     out so the accuracy and confusion views share one plan.  Majority
     vote over the k neighbors, ties -> smaller label."""
+    # codegen vector kernels (round 11): the scored pair stream is
+    # n_queries x corpus rows — the interpreted zip_with/aggregate fold
+    # paid ~dim interpreter dispatches per pair; the 64-wide unrolled
+    # kernel is bit-identical by construction (same left-assoc order,
+    # guarded fallback for any other width — see _dot_codegen).
     q = F.broadcast(
         embeddings.filter(F.col(id_col) < n_queries).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            _norm(F.col(vec_col)).alias("__qn"),
+            _norm_codegen(f"`{vec_col}`").alias("__qn"),
             F.col(label_col).alias("true_label"),
         )
     )
     pairs = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("ev"),
-        _norm(F.col(vec_col)).alias("__en"),
+        _norm_codegen(f"`{vec_col}`").alias("__en"),
         F.col(label_col).alias("nlabel"),
     ).join(q, F.col("neighbor_id") != F.col("query_id"))
     # norms hoisted below the join (bit-identical; see cosine_topk)
@@ -2346,7 +2351,7 @@ def _knn_predictions(
         "neighbor_id",
         "nlabel",
         F.round(
-            _dot(F.col("qv"), F.col("ev")) / (F.col("__qn") * F.col("__en")), 4
+            _dot_codegen("qv", "ev") / (F.col("__qn") * F.col("__en")), 4
         ).alias("cs"),
     )
     topk = _per_query_topk(
@@ -2483,11 +2488,12 @@ def triplet_margin_stats(
     so positives and negatives rank independently without a second
     scan; anchors broadcast.
     """
+    # codegen vector kernels (round 11, bit-identical; see _dot_codegen)
     q = F.broadcast(
         embeddings.filter(F.col(id_col) < n_anchors).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            _norm(F.col(vec_col)).alias("__qn"),
+            _norm_codegen(f"`{vec_col}`").alias("__qn"),
             F.col(label_col).alias("qlabel"),
         )
     )
@@ -2496,7 +2502,7 @@ def triplet_margin_stats(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("ev"),
-            _norm(F.col(vec_col)).alias("__en"),
+            _norm_codegen(f"`{vec_col}`").alias("__en"),
             F.col(label_col).alias("nlabel"),
         )
         .join(q, F.col("neighbor_id") != F.col("query_id"))
@@ -2505,7 +2511,7 @@ def triplet_margin_stats(
             "neighbor_id",
             (F.col("nlabel") == F.col("qlabel")).alias("same"),
             F.round(
-                _dot(F.col("qv"), F.col("ev")) / (F.col("__qn") * F.col("__en")), 4
+                _dot_codegen("qv", "ev") / (F.col("__qn") * F.col("__en")), 4
             ).alias("cs"),
         )
     )
@@ -2569,11 +2575,12 @@ def filtered_ann_recall(
     what the post-filter path avoids), each ranked by the two-stage
     partial top-k; the comparison join runs at (query, k) grain.
     """
+    # codegen vector kernels (round 11, bit-identical; see _dot_codegen)
     q = F.broadcast(
         embeddings.filter(F.col(id_col) < n_queries).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            _norm(F.col(vec_col)).alias("__qn"),
+            _norm_codegen(f"`{vec_col}`").alias("__qn"),
             F.col(label_col).alias("qlabel"),
         )
     )
@@ -2584,7 +2591,7 @@ def filtered_ann_recall(
             embeddings.select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("ev"),
-                _norm(F.col(vec_col)).alias("__en"),
+                _norm_codegen(f"`{vec_col}`").alias("__en"),
                 F.col(label_col).alias("nlabel"),
             )
             .join(q, F.col("neighbor_id") != F.col("query_id"))
@@ -2593,7 +2600,7 @@ def filtered_ann_recall(
                 "neighbor_id",
                 (F.col("nlabel") == F.col("qlabel")).alias("same"),
                 F.round(
-                    _dot(F.col("qv"), F.col("ev"))
+                    _dot_codegen("qv", "ev")
                     / (F.col("__qn") * F.col("__en")),
                     4,
                 ).alias("cs"),

@@ -117,27 +117,24 @@ LANG_PROFILES: dict[str, list[str]] = {
 }
 
 
-def text_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """n_tokens, n_chars, punctuation ratio, stopword ratio, quality score.
-
-    quality = 0.4·min(1, n_tokens/50) + 0.3·stopword_ratio
-            + 0.3·(1 − punct_ratio), rounded to 6dp — length, naturalness
-    and cleanliness components, the standard cheap quality gates.
-    """
+def _text_stats_staged(text_col: str) -> list[Column]:
+    """Stage-1 columns of :func:`text_stats` — one evaluation per array
+    traversal, shared (round 11) with the fused single-scan consumers
+    (``source_scorecard``) so the quality formula exists once."""
     c = F.col(text_col)
     n_chars_e = F.length(c)
-    # stage 1: one evaluation per array traversal; stage 2: scalar math
-    staged = df.select(
-        F.col(id_col),
+    return [
         token_count(c).alias("__n_tok"),
         n_chars_e.alias("__n_chars"),
         (n_chars_e - F.length(F.regexp_replace(c, _PUNCT_CLASS, ""))).alias("__n_punct"),
         F.size(
             F.filter(_tokens(c), lambda t: F.lower(t).isin(STOPWORDS_EN))
         ).alias("__n_stop"),
-    )
+    ]
+
+
+def _text_stats_final() -> dict[str, Column]:
+    """Stage-2 scalar math of :func:`text_stats` over the staged columns."""
     n_tok = F.col("__n_tok")
     n_chars = F.col("__n_chars")
     punct_ratio = F.when(
@@ -152,13 +149,30 @@ def text_stats(
         + (F.lit(1.0) - punct_ratio) * 0.3,
         6,
     )
+    return {
+        "n_tokens": n_tok.cast("bigint"),
+        "n_chars": n_chars.cast("bigint"),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "quality": quality,
+    }
+
+
+def text_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """n_tokens, n_chars, punctuation ratio, stopword ratio, quality score.
+
+    quality = 0.4·min(1, n_tokens/50) + 0.3·stopword_ratio
+            + 0.3·(1 − punct_ratio), rounded to 6dp — length, naturalness
+    and cleanliness components, the standard cheap quality gates.
+    """
+    # stage 1: one evaluation per array traversal; stage 2: scalar math
+    staged = df.select(F.col(id_col), *_text_stats_staged(text_col))
+    fin = _text_stats_final()
     return staged.select(
         F.col(id_col),
-        n_tok.cast("bigint").alias("n_tokens"),
-        n_chars.cast("bigint").alias("n_chars"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        quality.alias("quality"),
+        *[expr.alias(name) for name, expr in fin.items()],
     )
 
 
@@ -1377,6 +1391,44 @@ def gopher_quality_flags(
     back (guide §2.4: the join was a per-batch exchange plus a duplicate
     scan of the input in the streaming curation path).
     """
+    e = _gopher_exprs(
+        text_col,
+        stopwords,
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        min_alpha_frac,
+        min_stopwords,
+    )
+    return df.select(
+        F.col(id_col),
+        e["n"].cast("bigint").alias("n_words"),
+        F.round(e["mean_len"], 4).alias("mean_word_len"),
+        F.round(e["alpha_frac"], 4).alias("alpha_frac"),
+        e["n_stop"].cast("bigint").alias("n_stopwords"),
+        e["f_count"].alias("flag_word_count"),
+        e["f_mean"].alias("flag_mean_word_len"),
+        e["f_alpha"].alias("flag_alpha"),
+        e["f_stop"].alias("flag_stopwords"),
+        e["keep"].alias("keep"),
+        *[F.col(c) for c in keep_cols],
+    )
+
+
+def _gopher_exprs(
+    text_col: str,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> dict[str, Column]:
+    """The Gopher rule expressions of :func:`gopher_quality_flags` as a
+    dict — shared (round 11) with fused single-scan consumers
+    (``source_scorecard``) so the rule formulas exist exactly once."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
     sum_len = F.aggregate(
@@ -1399,19 +1451,17 @@ def gopher_quality_flags(
     )
     f_alpha = (alpha_frac >= min_alpha_frac).cast("int")
     f_stop = (n_stop >= min_stopwords).cast("int")
-    return df.select(
-        F.col(id_col),
-        n.cast("bigint").alias("n_words"),
-        F.round(mean_len, 4).alias("mean_word_len"),
-        F.round(alpha_frac, 4).alias("alpha_frac"),
-        n_stop.cast("bigint").alias("n_stopwords"),
-        f_count.alias("flag_word_count"),
-        f_mean.alias("flag_mean_word_len"),
-        f_alpha.alias("flag_alpha"),
-        f_stop.alias("flag_stopwords"),
-        (f_count * f_mean * f_alpha * f_stop).alias("keep"),
-        *[F.col(c) for c in keep_cols],
-    )
+    return {
+        "n": n,
+        "mean_len": mean_len,
+        "alpha_frac": alpha_frac,
+        "n_stop": n_stop,
+        "f_count": f_count,
+        "f_mean": f_mean,
+        "f_alpha": f_alpha,
+        "f_stop": f_stop,
+        "keep": f_count * f_mean * f_alpha * f_stop,
+    }
 
 
 def repeated_ngram_stats(
@@ -2421,29 +2471,32 @@ def source_scorecard(
     Output: ``(source, n_docs, dup_docs, keep_rate, mean_quality,
     n_tokens, token_share)``.
 
-    Plan / 100 TB: three doc-grain map-only frames join on the id key
-    (one co-partitioned exchange), collapse to source grain with
-    map-side partials (mean_quality sums exact decimals — a pure
-    function of the doc set), and the corpus token total broadcasts as a
-    1-row aggregate.  A fused single-scan variant would save the id
-    exchange at the cost of duplicating the gate formulas; the scorecard
-    chooses formula reuse.
+    Plan / 100 TB: ONE map-only corpus scan (round 11) computes every
+    per-doc input — the Gopher keep flag and the quality score come from
+    the SHARED expression builders (``_gopher_exprs``,
+    ``_text_stats_staged``/``_text_stats_final``), so the formulas still
+    exist exactly once and the scorecard can never disagree with the
+    gates it summarizes — then one source-grain aggregate with map-side
+    partials (mean_quality sums exact decimals — a pure function of the
+    doc set) and the corpus token total broadcast as a 1-row aggregate.
+    The previous shape ran the two gate operators as separate frames and
+    joined three doc-grain frames on the id key: three corpus scans and
+    two id-keyed exchanges for values that are row-local (guide §1.2:
+    remove passes; §2.4: remove the exchanges).  Fused and joined forms
+    are identical on any corpus with unique ``id_col`` (the operator's
+    contract; the oracle composes the operators' SQL verbatim and stays
+    hash-green).
     """
     from ..functions.text import norm_text
 
-    g = gopher_quality_flags(df, id_col=id_col, text_col=text_col).select(
-        F.col(id_col), F.col("keep")
-    )
-    q = text_stats(df, id_col=id_col, text_col=text_col).select(
-        F.col(id_col), F.col("quality")
-    )
-    base = df.select(
-        F.col(id_col),
+    staged = df.select(
         F.col(source_col).alias("source"),
         F.md5(norm_text(text_col)).alias("__fp"),
         token_count(F.col(text_col)).cast("bigint").alias("__nt"),
+        _gopher_exprs(text_col)["keep"].alias("keep"),
+        *_text_stats_staged(text_col),
     )
-    j = base.join(g, id_col).join(q, id_col)
+    j = staged.withColumn("quality", _text_stats_final()["quality"])
     per_source = j.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         (F.count("*") - F.countDistinct("__fp")).cast("bigint").alias("dup_docs"),
@@ -2629,12 +2682,17 @@ def interp_trigram_logppl(
 
     Plan / 100 TB: the model folds to three count tables — trigram,
     bigram, unigram — each vocabulary-sized with map-side partial
-    aggregation; scoring is the corpus trigram stream LEFT-joined to
-    the three (the bigram table twice: once as history (a,b), once as
-    (b,c)), all token-keyed exchanges over id+token tuples, never
-    document bodies.  T and V ride in as a broadcast 1-row aggregate.
-    nll terms round to 9 dp before the per-doc mean so cross-engine
-    float fold order cannot move the result.
+    aggregation.  Round 11: the per-trigram nll is a PURE FUNCTION of
+    (a, b, c), so scoring runs at the DISTINCT-trigram grain — the
+    count tables join against the distinct trigram set (vocabulary-
+    sized), and the scored table attaches back to the corpus stream
+    with ONE (a, b, c)-keyed join; the previous shape exchanged the
+    full per-occurrence stream five times (keys abc, ab, bc, b, c —
+    guide §2.3: shuffle keys and metadata, not the heavy stream).  The
+    stream's (a, b, c) exchange is shared by the distinct aggregate and
+    the attach join (ReuseExchange).  T and V ride in as a broadcast
+    1-row aggregate.  nll terms round to 9 dp before the per-doc mean
+    so cross-engine float fold order cannot move the result.
     """
     model = df if model is None else model
     l3, l2, l1 = (float(x) for x in lambdas)
@@ -2662,8 +2720,9 @@ def interp_trigram_logppl(
     p1 = (F.coalesce(F.col("n1c"), F.lit(0)) + F.lit(1.0)) / (
         F.col("total") + F.col("vocab")
     )
-    scored = (
-        trig.join(c3, ["a", "b", "c"], "left")
+    uniq = trig.select("a", "b", "c").distinct()
+    scored_tri = (
+        uniq.join(c3, ["a", "b", "c"], "left")
         .join(
             c2.select(
                 F.col("a"), F.col("b"), F.col("n2").alias("n2h")
@@ -2691,12 +2750,13 @@ def interp_trigram_logppl(
         )
         .crossJoin(F.broadcast(totals))
         .select(
-            "id",
+            "a", "b", "c",
             F.round(
                 -F.log(F.lit(l3) * p3 + F.lit(l2) * p2 + F.lit(l1) * p1), 9
             ).alias("nll"),
         )
     )
+    scored = trig.join(scored_tri, ["a", "b", "c"]).select("id", "nll")
     return scored.groupBy(F.col("id").alias(id_col)).agg(
         F.count("*").cast("bigint").alias("n_trigrams"),
         F.round(F.avg("nll"), decimals).alias("logppl"),
@@ -3340,8 +3400,14 @@ def kneser_ney_bigram_ppl(
     spillably) feeds every model marginal — left totals + fan-out,
     continuation fan-in, and the grand continuation total — so the
     corpus tokenizes exactly twice (model build + scoring stream); the
-    scoring joins are token-keyed, never document-keyed.  Per-position
-    NLLs round to 9 dp and DECIMAL-sum per doc.
+    scoring joins are token-keyed, never document-keyed.  Round 11: the
+    per-position nll is a pure function of the bigram (a, b), so it is
+    computed ONCE per distinct bigram ON the count table (the marginal
+    joins run at bigram-vocab grain) and attached to the occurrence
+    stream with a single (a, b)-keyed join — the previous shape
+    exchanged the full occurrence stream three times (keys ab, a, b;
+    guide §2.3).  Per-position NLLs round to 9 dp and DECIMAL-sum per
+    doc.
     """
     bp = _bigram_pairs(df, id_col, text_col)
     c12 = _persist_spillable(
@@ -3354,17 +3420,21 @@ def kneser_ney_bigram_ppl(
     right = c12.groupBy("b").agg(F.count("*").cast("bigint").alias("n1pr"))
     tot = F.broadcast(c12.agg(F.count("*").cast("bigint").alias("n1pt")))
     d = F.lit(float(discount))
-    scored = (
-        bp.join(c12, ["a", "b"]).join(left, "a").join(right, "b").crossJoin(tot)
-    )
     p = F.greatest(F.col("n2").cast("double") - d, F.lit(0.0)) / F.col(
         "c1"
     ).cast("double") + (d * F.col("n1pl").cast("double") / F.col("c1").cast("double")) * (
         F.col("n1pr").cast("double") / F.col("n1pt").cast("double")
     )
     nll = F.round(-F.log(p), 9)
+    scored_bi = (
+        c12.join(left, "a")
+        .join(right, "b")
+        .crossJoin(tot)
+        .select("a", "b", nll.alias("nll"))
+    )
+    scored = bp.join(scored_bi, ["a", "b"])
     return (
-        scored.select("id", nll.alias("nll"))
+        scored.select("id", "nll")
         .groupBy(F.col("id").alias(id_col))
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),

@@ -32,7 +32,14 @@ def test_recheck_has_no_duplicates():
 def test_recheck_is_small():
     # Every recheck slot delays a never-sampled name by a round; the list
     # exists only for queries whose code changed since their green row.
-    assert len(dq._RECHECK) <= 5
+    # Once EVERY registered name holds a driver row (true since round
+    # 10), recheck slots displace only re-samples, so the cap relaxes to
+    # the window size an optimization round can need (changed-code
+    # queries must always re-verify).
+    sampled = _sampled_names()
+    never_sampled = set(dq.QUERIES) - sampled
+    cap = 5 if never_sampled else 20
+    assert len(dq._RECHECK) <= cap
 
 
 def test_recheck_names_are_registered():
