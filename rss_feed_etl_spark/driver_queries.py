@@ -814,6 +814,11 @@ _RECHECK = [
     # with one join — textstats.py)
     "interp_trigram_logppl",
     "kneser_ney_bigram_ppl",
+    "bigram_logppl",
+    # 60-bit md5 trigram codes as count/join/window keys, lockstep in
+    # the oracle (the r10 decontaminate precedent)
+    "source_token_mutual_info",
+    "source_js_divergence_matrix",
     # fused single-scan scorecard over the shared gate expressions
     "source_scorecard",
 ]

@@ -14,15 +14,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import testdata as td
 from .driver_queries import _register
+from .driver_queries_corpus import _hexfold
 from .operators import textstats
 
 _TRI = (
     r"list_transform(range(1, len(w) - 1), "
     r"i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
 )
+# Round 11 (guide §2.3, lockstep with the Spark operators): the trigram
+# key is the 60-bit md5 code (Spark's functions.hashing.md5_bucket ==
+# DuckDB's _hexfold) — narrower count/join/window keys on both engines,
+# identical collisions, hash-exact parity.
 _TOKS = (
     r"SELECT source AS g, "
-    rf"unnest({_TRI}) AS tok "
+    rf"unnest(list_transform({_TRI}, t -> {_hexfold('t')})) AS tok "
     r"FROM (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS w "
     r"FROM documents)"
 )

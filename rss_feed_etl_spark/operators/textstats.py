@@ -552,12 +552,15 @@ def bigram_logppl(
     ``alpha`` · (C1(b)+1)/(total+V) (add-one unigram backoff).
 
     Plan: the model side reduces to two vocabulary-sized count tables
-    (bigram conditional probs, unigram counts) built once; scoring is the
-    corpus bigram stream LEFT-joined to each — two token-keyed exchanges
-    over (id, a, b) triples, never document bodies, with partial
-    aggregation on both count builds.  The two scalar constants ride in
-    as a broadcast 1-row aggregate.  Docs with < 2 tokens emit no bigrams
-    and are absent from the output.
+    (bigram conditional probs, unigram counts) built once.  Round 11:
+    the per-position nll is a pure function of the bigram (a, b), so it
+    is scored once per DISTINCT scoring bigram (the model joins run at
+    bigram-vocab grain) and attached to the occurrence stream with a
+    single (a, b)-keyed join — the stream's (a, b) exchange is shared
+    by the distinct aggregate and the attach join (guide §2.3/§2.4);
+    the previous shape exchanged the full (id, a, b) stream twice.
+    The two scalar constants ride in as a broadcast 1-row aggregate.
+    Docs with < 2 tokens emit no bigrams and are absent from the output.
     """
     model = df if model is None else model
     big = _bigram_pairs(df, id_col, text_col)
@@ -574,14 +577,16 @@ def bigram_logppl(
     pbi = c2.join(c1.withColumnRenamed("tok", "a"), "a").select(
         "a", "b", (F.col("n2") / F.col("n1")).alias("pb")
     )
-    scored = (
-        big.join(pbi, ["a", "b"], "left")
+    scored_bi = (
+        big.select("a", "b")
+        .distinct()
+        .join(pbi, ["a", "b"], "left")
         .join(
             c1.select(F.col("tok").alias("b"), F.col("n1").alias("nb")), "b", "left"
         )
         .crossJoin(F.broadcast(totals))
         .select(
-            "id",
+            "a", "b",
             F.round(
                 -F.log(
                     F.when(F.col("pb").isNotNull(), F.col("pb")).otherwise(
@@ -594,6 +599,7 @@ def bigram_logppl(
             ).alias("nll"),
         )
     )
+    scored = big.join(scored_bi, ["a", "b"]).select("id", "nll")
     return scored.groupBy(F.col("id").alias(id_col)).agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.round(F.avg("nll"), decimals).alias("logppl"),
@@ -3205,10 +3211,20 @@ def source_token_mutual_info(
     term join) — vocabulary-scale, so it spills rather than pins like
     the model-sized localCheckpoint frames.  The term join is keyed on
     the token (vocabulary-grain exchange; the source marginal rides a
-    broadcast).  Per-term products round to 9 dp and sum as DECIMAL.
+    broadcast).  Round 11 (guide §2.3, the round-10 decontaminate
+    precedent): the trigram key is the 60-bit md5 CODE of the trigram
+    string, changed in lockstep in the oracle — an 8-byte bigint through
+    the count aggregate, the token-marginal window and the distinct
+    count instead of a ~25-byte string; distinct 60-bit collisions at
+    vocabulary scale are ~n²/2⁶¹ (≪1e-5 even at 10×), and both engines
+    collide identically.  Per-term products round to 9 dp and sum as
+    DECIMAL.
     """
+    from ..functions.hashing import md5_bucket
+
     trips = _trigram_triples(df, group_col, text_col).select(
-        F.col("id").alias("g"), F.concat_ws(" ", "a", "b", "c").alias("tok")
+        F.col("id").alias("g"),
+        md5_bucket(F.concat_ws(" ", "a", "b", "c")).alias("tok"),
     )
     counts = _persist_spillable(
         trips.groupBy("g", "tok").agg(F.count("*").cast("bigint").alias("c"))
@@ -3308,11 +3324,17 @@ def source_js_divergence_matrix(
     pair join is keyed on the TOKEN, so a hot token fans out to at most
     n_sources^2 pair rows (bounded by the label cardinality, never by
     corpus volume); the pair grid itself (n_sources^2 rows) is a
-    broadcast cross of the model-sized marginals.  Per-term sums round
-    to 9 dp and accumulate as DECIMAL.
+    broadcast cross of the model-sized marginals.  Round 11 (guide
+    §2.3): the trigram key is the 60-bit md5 CODE, lockstep in the
+    oracle — see ``source_token_mutual_info`` — so the count aggregate
+    and the pair join shuffle 8-byte bigints instead of strings.
+    Per-term sums round to 9 dp and accumulate as DECIMAL.
     """
+    from ..functions.hashing import md5_bucket
+
     trips = _trigram_triples(df, group_col, text_col).select(
-        F.col("id").alias("g"), F.concat_ws(" ", "a", "b", "c").alias("tok")
+        F.col("id").alias("g"),
+        md5_bucket(F.concat_ws(" ", "a", "b", "c")).alias("tok"),
     )
     counts = _persist_spillable(
         trips.groupBy("g", "tok").agg(F.count("*").cast("bigint").alias("c"))
