@@ -693,14 +693,15 @@ def test_fold_stats_batch_no_rounding_drift_over_epochs(spark, tmp_path):
     value: 2dp-boundary values (x.005) folded one epoch at a time must
     equal the one-shot aggregate exactly, even after many epochs.  Folding
     the rounded display total instead accumulates ±0.005 per epoch, which
-    this catches by epoch ~3."""
+    this catches by epoch ~3 (6 epochs = the failure point plus margin;
+    the previous 12 doubled the runtime without adding coverage)."""
     from rss_feed_etl_spark.streaming.incremental import fold_stats_batch
 
     from rss_feed_etl_spark.operators import sketches
 
     schema = "event_id long, event_type string, value double"
     agg_path = str(tmp_path / "agg")
-    vals = [0.005 + i * 0.01 for i in range(12)]  # every value a 2dp boundary
+    vals = [0.005 + i * 0.01 for i in range(6)]  # every value a 2dp boundary
     for epoch, v in enumerate(vals):
         assert fold_stats_batch(
             spark, spark.createDataFrame([(epoch, "a", v)], schema), epoch, agg_path

@@ -10,6 +10,29 @@ def ts(s):
     return dt.datetime.fromisoformat(s)
 
 
+def _drain_and_stop(q, done, timeout=120):
+    """Wait until ``done()`` (the sink holds the expected rows), then stop
+    the query.
+
+    ``availableNow`` + ``applyInPandasWithState(ProcessingTimeTimeout)``
+    never self-terminates on Spark 4.1 (the processing-time timeout keeps
+    scheduling state-maintenance batches), so a bare
+    ``awaitTermination(120)`` burned its full 120 s AND left the query
+    running micro-batches for the rest of the session - taxing every
+    later test in the suite.  Polling the sink asserts the same end state
+    in seconds and leaves the session quiet."""
+    import time as _t
+
+    deadline = _t.time() + timeout
+    while _t.time() < deadline:
+        if not q.isActive or done():
+            break
+        _t.sleep(0.2)
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(30)
+
+
 def test_sessionize_stream_continues_across_batches(spark, tmp_path):
     from rss_feed_etl_spark.streaming.stateful import sessionize_stream
 
@@ -52,7 +75,9 @@ def test_sessionize_stream_continues_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain_and_stop(
+        q, lambda: spark.sql("SELECT count(*) FROM sessions_out").collect()[0][0] >= 7
+    )
     got = {
         r.event_id: r.session_id
         for r in spark.sql("SELECT * FROM sessions_out").collect()
@@ -129,7 +154,11 @@ def test_running_user_totals_folds_across_batches(spark, tmp_path, request):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # update mode emits one row per (batch, touched key): b1 touches
+    # users {1, 2}, b2 touches {1, 3} — 4 sink rows when both batches land
+    _drain_and_stop(
+        q, lambda: spark.sql("SELECT count(*) FROM user_totals").collect()[0][0] >= 4
+    )
     # update mode emits one row per (batch, touched key): the LAST row per
     # key is the live profile — and it must equal the batch groupBy fold
     rows = spark.sql(
